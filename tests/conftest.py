@@ -1,0 +1,28 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Mirrors the driver's multi-chip dry-run environment so sharding tests exercise
+real collectives without TPU hardware. Must set flags before jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE_FIXTURE = pathlib.Path("/root/reference/testdata/tinyllamas-stories-260k-f32.gguf")
+
+
+@pytest.fixture(scope="session")
+def stories260k_path():
+    if not REFERENCE_FIXTURE.exists():
+        pytest.skip("reference 260k fixture not available")
+    return str(REFERENCE_FIXTURE)
