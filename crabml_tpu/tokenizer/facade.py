@@ -1,0 +1,93 @@
+"""Tokenizer facade + UTF-8 streaming decode buffer.
+
+Mirrors crabml-core/src/tokenizer/mod.rs: one `Tokenizer` type dispatching to
+the llama (SPM-greedy) or gpt2 (byte BPE) implementation, constructed from
+GGUF metadata, plus `Utf8Buf` which buffers partial multi-byte characters so
+streamed decoding never emits broken UTF-8.
+"""
+
+from __future__ import annotations
+
+from .gpt2_bpe import Gpt2Tokenizer
+from .llama_spm import LlamaTokenizer
+
+
+class Utf8Buf:
+    """Buffers undecodable byte prefixes across decode steps (mod.rs:113-153)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    @staticmethod
+    def _valid(b) -> bool:
+        try:
+            bytes(b).decode("utf-8")
+            return True
+        except UnicodeDecodeError:
+            return False
+
+    def step(self, data: bytes) -> str:
+        data_valid = self._valid(data)
+        self.buf.extend(data)
+        if data_valid or self._valid(self.buf) or len(self.buf) >= 4:
+            s = bytes(self.buf).decode("utf-8", errors="replace")
+            self.buf.clear()
+            return s
+        return ""
+
+
+class Tokenizer:
+    def __init__(self, inner, tokens: list[str], eos_token: int):
+        self._inner = inner
+        self.tokens = tokens
+        self.eos_token = eos_token
+
+    @property
+    def kind(self) -> str:
+        return "llama" if isinstance(self._inner, LlamaTokenizer) else "gpt2"
+
+    @property
+    def bos_token(self) -> int:
+        return self._inner.bos_token
+
+    def vocab(self) -> list[str]:
+        return self.tokens
+
+    def token(self, token_id: int) -> str:
+        return self.tokens[token_id]
+
+    def encode(self, text: str, bos: bool = True, eos: bool = False) -> list[int]:
+        return self._inner.encode(text, bos, eos, add_prefix_space=True)
+
+    def decode_bytes(self, token: int) -> bytes:
+        return self._inner.decode(token)
+
+    def decode(self, token: int, decode_buf: Utf8Buf) -> str:
+        return decode_buf.step(self._inner.decode(token))
+
+    def decode_tokens(self, token_ids) -> str:
+        buf = Utf8Buf()
+        return "".join(self.decode(t, buf) for t in token_ids)
+
+    @classmethod
+    def new_llama(cls, tokens, scores, bos_token: int, eos_token: int) -> "Tokenizer":
+        return cls(LlamaTokenizer(tokens, scores, bos_token, eos_token), tokens, eos_token)
+
+    @classmethod
+    def new_gpt2(cls, tokens, merges, bos_token: int, eos_token: int) -> "Tokenizer":
+        return cls(Gpt2Tokenizer(tokens, merges, bos_token, eos_token), tokens, eos_token)
+
+
+def tokenizer_from_gguf(metadata) -> Tokenizer:
+    """Build from GGUF metadata keys (crabml-llama2/src/model.rs:494-551)."""
+    tokens = list(metadata.get("tokenizer.ggml.tokens"))
+    bos = metadata.get_int("tokenizer.ggml.bos_token_id")
+    eos = metadata.get_int("tokenizer.ggml.eos_token_id")
+    kind = metadata.get_str("tokenizer.ggml.model")
+    if kind == "llama":
+        scores = [float(s) for s in metadata.get("tokenizer.ggml.scores")]
+        return Tokenizer.new_llama(tokens, scores, bos, eos)
+    if kind == "gpt2":
+        merges = list(metadata.get("tokenizer.ggml.merges"))
+        return Tokenizer.new_gpt2(tokens, merges, bos, eos)
+    raise ValueError(f"unsupported tokenizer model {kind!r}")

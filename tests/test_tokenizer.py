@@ -1,0 +1,109 @@
+"""Tokenizer tests — encode/decode round-trips per the reference test vectors
+(tokenizer_llama.rs:145-206) adapted to the committed 260k vocabulary, plus
+gpt2 BPE unit tests on a synthetic vocab and Utf8Buf streaming."""
+
+import pytest
+
+from crabml_tpu.gguf import GGUFFile
+from crabml_tpu.tokenizer import Gpt2Tokenizer, Tokenizer, Utf8Buf, tokenizer_from_gguf
+
+
+@pytest.fixture(scope="module")
+def tk260(stories260k_path):
+    gf = GGUFFile(stories260k_path)
+    return tokenizer_from_gguf(gf.metadata)
+
+
+def pieces(tk, ids):
+    return " - ".join(tk.token(t) for t in ids)
+
+
+def test_encode_basic(tk260):
+    ids = tk260.encode("Lily is a cat", bos=True, eos=True)
+    s = pieces(tk260, ids)
+    assert s.startswith("<s> - ▁Lily - ")
+    assert s.endswith(" - </s>")
+    # round-trip decode
+    text = tk260.decode_tokens(ids[1:-1])
+    assert text == " Lily is a cat"
+
+
+def test_encode_byte_fallback(tk260):
+    # 'Z' is in this tiny vocab; use a char that's not: emoji → utf-8 byte tokens (+3)
+    ids = tk260.encode("🦀", bos=False, eos=False)
+    emoji = "🦀".encode("utf-8")
+    # after the dummy prefix token, expect 4 byte-fallback tokens
+    assert ids[-4:] == [b + 3 for b in emoji]
+    assert tk260.decode_tokens(ids).endswith("🦀")
+
+
+def test_greedy_merge_prefers_best_score(tk260):
+    # "little" should merge into ▁little (present in vocab) not stay char-level
+    ids = tk260.encode("a little time", bos=False, eos=False)
+    assert "▁little" in pieces(tk260, ids)
+    assert "▁time" in pieces(tk260, ids)
+
+
+def test_decode_streams_partial_utf8(tk260):
+    ids = tk260.encode("é…", bos=False, eos=False)
+    buf = Utf8Buf()
+    out = "".join(tk260.decode(t, buf) for t in ids)
+    assert "é" in out and "…" in out
+
+
+def test_utf8buf_partial_flush():
+    buf = Utf8Buf()
+    euro = "€".encode("utf-8")  # 3 bytes
+    assert buf.step(euro[0:1]) == ""
+    assert buf.step(euro[1:2]) == ""
+    assert buf.step(euro[2:3]) == "€"
+
+
+def test_utf8buf_invalid_flushes_at_4():
+    buf = Utf8Buf()
+    assert buf.step(b"\xff") == ""
+    assert buf.step(b"\xff") == ""
+    assert buf.step(b"\xff") == ""
+    out = buf.step(b"\xff")
+    assert len(out) == 4  # replacement chars
+
+
+def _toy_gpt2():
+    # vocab covering bytes for "hello world" plus merged tokens
+    from crabml_tpu.tokenizer.gpt2_bpe import build_byte_encode_map
+
+    bem = build_byte_encode_map()
+    chars = sorted({bem[b] for b in " helowrd".encode("utf-8")})
+    vocab = chars + ["he", "ll", "hell", "hello", "Ġw", "Ġwor", "Ġworld", "or", "ld"]
+    merges = ["h e", "l l", "he ll", "hell o", "Ġ w", "o r", "l d", "Ġw or", "Ġwor ld"]
+    # 'Ġ' is the gpt2 encoding of space (0x20 -> U+0120)
+    assert bem[0x20] == "Ġ"
+    return Gpt2Tokenizer(vocab, merges, bos_token=0, eos_token=1)
+
+
+def test_gpt2_bpe_merge_order():
+    tk = _toy_gpt2()
+    ids = tk.encode("hello world", bos=False, eos=False, add_prefix_space=False)
+    toks = [tk.tokens[i] for i in ids]
+    assert toks == ["hello", "Ġworld"]
+
+
+def test_gpt2_decode_roundtrip():
+    tk = _toy_gpt2()
+    ids = tk.encode("hello world", bos=False, eos=False, add_prefix_space=False)
+    data = b"".join(tk.decode(i) for i in ids)
+    assert data == b"hello world"
+
+
+def test_gpt2_special_tokens_not_split():
+    from crabml_tpu.tokenizer.gpt2_bpe import build_byte_encode_map
+
+    bem = build_byte_encode_map()
+    chars = [bem[b] for b in range(33, 127)]
+    vocab = sorted(set(chars)) + ["<|im_start|>", "<|im_end|>"]
+    tk = Gpt2Tokenizer(vocab, [], bos_token=0, eos_token=1)
+    ids = tk.encode("<|im_start|>hi<|im_end|>", bos=False, eos=False, add_prefix_space=False)
+    toks = [tk.tokens[i] for i in ids]
+    assert toks[0] == "<|im_start|>"
+    assert toks[-1] == "<|im_end|>"
+    assert "".join(toks[1:-1]) == "hi"
