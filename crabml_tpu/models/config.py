@@ -1,0 +1,111 @@
+"""Model configuration from GGUF metadata.
+
+Covers the four architectures of the reference (llama, gemma, qwen2, phi2;
+crabml-llama2/src/model.rs:553-633) as one config with per-arch feature
+flags, so the forward pass is a single parameterized function instead of four
+near-copies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+ARCH_FEATURES = {
+    # rope mode, activation, qkv bias, parallel residual, norm bias,
+    # embedding scale, tied output fallback
+    "llama": dict(rope_mode="llama", act="silu"),
+    "gemma": dict(rope_mode="neox", act="gelu", scale_embedding=True),
+    "qwen2": dict(rope_mode="neox", act="silu", qkv_bias=True),
+    "phi2": dict(
+        rope_mode="neox",
+        act="gelu",
+        fused_qkv=True,
+        qkv_bias=True,
+        parallel_residual=True,
+        norm_bias=True,
+        attn_out_bias=True,
+        ffn_bias=True,
+        no_ffn_gate=True,
+    ),
+}
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    architecture: str
+    model_name: str = ""
+    chat_template: str = ""
+    embedding_dim: int = 0
+    hidden_dim: int = 0
+    n_layers: int = 0
+    n_heads: int = 0
+    n_kv_heads: int = 0
+    vocab_size: int = 0
+    seq_len: int = 0
+    rms_norm_eps: float = 1e-5
+    rope_dim: int | None = None
+    rope_base: float = 10000.0
+
+    # arch feature flags
+    rope_mode: str = "llama"
+    act: str = "silu"
+    qkv_bias: bool = False
+    fused_qkv: bool = False
+    parallel_residual: bool = False
+    norm_bias: bool = False
+    attn_out_bias: bool = False
+    ffn_bias: bool = False
+    no_ffn_gate: bool = False
+    scale_embedding: bool = False
+    # NOTE: the reference scales phi2's q by 1/sqrt(head_dim) twice
+    # (llama2.rs:414 + llama2.rs:565) — we scale exactly once, matching
+    # llama.cpp's build_phi2.
+
+    @property
+    def head_dim(self) -> int:
+        return self.embedding_dim // self.n_heads
+
+    @property
+    def kv_dim(self) -> int:
+        return (self.embedding_dim * self.n_kv_heads) // self.n_heads
+
+    @property
+    def effective_rope_dim(self) -> int:
+        return self.rope_dim if self.rope_dim is not None else self.head_dim
+
+    def with_overrides(self, **kw) -> "ModelConfig":
+        return replace(self, **kw)
+
+
+def config_from_gguf(metadata) -> ModelConfig:
+    arch = metadata.get_str("general.architecture")
+    if arch not in ARCH_FEATURES:
+        raise ValueError(f"unsupported architecture {arch!r}")
+    p = arch  # metadata key prefix == architecture name (model.rs:556-562)
+
+    eps_key = (
+        f"{p}.attention.layer_norm_epsilon"
+        if arch == "phi2"
+        else f"{p}.attention.layer_norm_rms_epsilon"
+    )
+    tokens = metadata.get("tokenizer.ggml.tokens")
+    rope_dim = metadata.get_int(f"{p}.rope.dimension_count")
+    rope_base = metadata.get_float(f"{p}.rope.freq_base", 10000.0)
+
+    return ModelConfig(
+        architecture=arch,
+        model_name=metadata.get_str("general.name", ""),
+        chat_template=metadata.get_str("tokenizer.chat_template", ""),
+        embedding_dim=metadata.get_int(f"{p}.embedding_length"),
+        hidden_dim=metadata.get_int(f"{p}.feed_forward_length"),
+        n_layers=metadata.get_int(f"{p}.block_count"),
+        n_heads=metadata.get_int(f"{p}.attention.head_count"),
+        n_kv_heads=metadata.get_int(f"{p}.attention.head_count_kv"),
+        vocab_size=len(tokens) if tokens is not None else metadata.get_int(f"{p}.vocab_size", 0),
+        seq_len=metadata.get_int(f"{p}.context_length"),
+        rms_norm_eps=metadata.get_float(eps_key, 1e-5),
+        rope_dim=rope_dim,
+        rope_base=rope_base,
+        **ARCH_FEATURES[arch],
+    )

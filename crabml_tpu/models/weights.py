@@ -1,0 +1,112 @@
+"""GGUF -> planar weight pytree.
+
+Loads the per-architecture tensor-name schemas of the reference
+(crabml-llama2/src/model.rs:200-460): llama/gemma, qwen2 (+q/k/v bias), phi2
+(fused qkv split into q/k/v rows at load — row slicing is safe because quant
+blocks run along k). Norm weights are dequantized to f32 eagerly (as the
+reference does, model.rs:267-282); matmul weights stay quantized as planar
+QTensors, stacked across layers for lax.scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFFile
+from ..quant.codecs import dequantize
+from ..quant.planar import QTensor, stack_qtensors, to_planar
+from .config import ModelConfig
+
+
+def _dense_f32(gf: GGUFFile, name: str) -> np.ndarray:
+    info = gf.get_tensor_info(name)
+    if info is None:
+        raise KeyError(f"tensor not found: {name}")
+    return dequantize(info.typ, info.to_numpy(), info.n_elems).reshape(info.shape)
+
+
+def _qtensor(gf: GGUFFile, name: str) -> QTensor:
+    info = gf.get_tensor_info(name)
+    if info is None:
+        raise KeyError(f"tensor not found: {name}")
+    return to_planar(info.typ, info.to_numpy(), info.shape)
+
+
+def _qtensor_opt(gf: GGUFFile, name: str) -> QTensor | None:
+    return _qtensor(gf, name) if name in gf else None
+
+
+def _slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
+    """Row-slice a QTensor (all planes share the leading m axis)."""
+    return QTensor(
+        qt.kind, (stop - start, qt.k), {n: p[start:stop] for n, p in qt.planes.items()}
+    )
+
+
+def load_weights(gf: GGUFFile, cfg: ModelConfig) -> dict:
+    arch = cfg.architecture
+    L = cfg.n_layers
+    dim = cfg.embedding_dim
+    kv_dim = cfg.kv_dim
+
+    layers: dict[str, object] = {}
+
+    def stack_q(fmt: str) -> QTensor:
+        return stack_qtensors([_qtensor(gf, fmt.format(l)) for l in range(L)])
+
+    def stack_f32(fmt: str) -> np.ndarray:
+        return np.stack([_dense_f32(gf, fmt.format(l)) for l in range(L)])
+
+    if arch in ("llama", "gemma", "qwen2"):
+        layers["wq"] = stack_q("blk.{}.attn_q.weight")
+        layers["wk"] = stack_q("blk.{}.attn_k.weight")
+        layers["wv"] = stack_q("blk.{}.attn_v.weight")
+        layers["wo"] = stack_q("blk.{}.attn_output.weight")
+        layers["ffn_gate"] = stack_q("blk.{}.ffn_gate.weight")
+        layers["ffn_down"] = stack_q("blk.{}.ffn_down.weight")
+        layers["ffn_up"] = stack_q("blk.{}.ffn_up.weight")
+        layers["attn_norm"] = stack_f32("blk.{}.attn_norm.weight")
+        layers["ffn_norm"] = stack_f32("blk.{}.ffn_norm.weight")
+        if arch == "qwen2":
+            layers["bq"] = stack_f32("blk.{}.attn_q.bias")
+            layers["bk"] = stack_f32("blk.{}.attn_k.bias")
+            layers["bv"] = stack_f32("blk.{}.attn_v.bias")
+    elif arch == "phi2":
+        wq, wk, wv, bq, bk, bv = [], [], [], [], [], []
+        for l in range(L):
+            qkv = _qtensor(gf, f"blk.{l}.attn_qkv.weight")
+            # fused rows: [q (dim), k (kv_dim), v (kv_dim)] (llama2.rs:369-390)
+            wq.append(_slice_rows(qkv, 0, dim))
+            wk.append(_slice_rows(qkv, dim, dim + kv_dim))
+            wv.append(_slice_rows(qkv, dim + kv_dim, dim + 2 * kv_dim))
+            bqkv = _dense_f32(gf, f"blk.{l}.attn_qkv.bias")
+            bq.append(bqkv[0:dim])
+            bk.append(bqkv[dim : dim + kv_dim])
+            bv.append(bqkv[dim + kv_dim : dim + 2 * kv_dim])
+        layers["wq"] = stack_qtensors(wq)
+        layers["wk"] = stack_qtensors(wk)
+        layers["wv"] = stack_qtensors(wv)
+        layers["bq"] = np.stack(bq)
+        layers["bk"] = np.stack(bk)
+        layers["bv"] = np.stack(bv)
+        layers["wo"] = stack_q("blk.{}.attn_output.weight")
+        layers["bo"] = stack_f32("blk.{}.attn_output.bias")
+        layers["ffn_down"] = stack_q("blk.{}.ffn_down.weight")
+        layers["ffn_up"] = stack_q("blk.{}.ffn_up.weight")
+        layers["ffn_down_b"] = stack_f32("blk.{}.ffn_down.bias")
+        layers["ffn_up_b"] = stack_f32("blk.{}.ffn_up.bias")
+        layers["attn_norm"] = stack_f32("blk.{}.attn_norm.weight")
+        layers["attn_norm_b"] = stack_f32("blk.{}.attn_norm.bias")
+    else:
+        raise ValueError(f"unsupported architecture {arch}")
+
+    weights = {
+        "token_embed": _qtensor(gf, "token_embd.weight"),
+        "final_norm": _dense_f32(gf, "output_norm.weight"),
+        "final_norm_b": _dense_f32(gf, "output_norm.bias") if arch == "phi2" else None,
+        # gemma has no output.weight -> tied embeddings (model.rs:433-434)
+        "output": _qtensor_opt(gf, "output.weight"),
+        "layers": layers,
+    }
+    return weights

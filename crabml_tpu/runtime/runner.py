@@ -1,0 +1,142 @@
+"""The model runner: jitted prefill/decode over a donated KV cache.
+
+Equivalent surface to Llama2Runner (crabml-llama2/src/llama2.rs:45-182) —
+prefill / generate / prefill_and_generate — but TPU-shaped:
+
+- ONE compiled step per (batch, padded-length) bucket instead of per-op
+  dispatch; prompt lengths pad to power-of-two buckets to bound recompiles.
+- The KV cache is donated through jit, so decode updates in place on device.
+- Sampling runs on device; only the sampled token ids cross to host.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFFile
+from ..models.config import ModelConfig, config_from_gguf
+from ..models.forward import KVCache, forward
+from ..models.weights import load_weights
+from ..tokenizer import Tokenizer, Utf8Buf, tokenizer_from_gguf
+from ..utils.metrics import Metrics
+from .sampler import Sampler
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class Runner:
+    def __init__(
+        self,
+        model: str | GGUFFile,
+        seq_len: int | None = None,
+        batch_size: int = 1,
+        compute_dtype=jnp.float32,
+        kv_dtype=None,
+        sampler: Sampler | None = None,
+        sharding=None,
+        seed: int = 0,
+    ):
+        gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
+        self.cfg: ModelConfig = config_from_gguf(gf.metadata)
+        self.seq_len = min(seq_len or self.cfg.seq_len, self.cfg.seq_len)
+        self.batch_size = batch_size
+        self.compute_dtype = compute_dtype
+        self.kv_dtype = kv_dtype or compute_dtype
+        self.tokenizer: Tokenizer = tokenizer_from_gguf(gf.metadata)
+        self.sampler = sampler or Sampler()
+        self.metrics = Metrics()
+        self._key = jax.random.PRNGKey(seed)
+
+        with self.metrics.track("load"):
+            host_weights = load_weights(gf, self.cfg)
+            if sharding is not None:
+                from ..parallel.sharding import shard_weights
+
+                self.weights = shard_weights(host_weights, sharding, self.cfg)
+            else:
+                self.weights = jax.tree.map(jax.device_put, host_weights)
+        self._sharding = sharding
+
+        self.cache = KVCache.create(self.cfg, batch_size, self.seq_len, self.kv_dtype)
+        self.pos = np.zeros(batch_size, dtype=np.int32)
+        self._decode_buf = Utf8Buf()
+
+        self._step = jax.jit(
+            partial(forward, cfg=self.cfg, compute_dtype=self.compute_dtype),
+            donate_argnames=("cache",),
+        )
+
+    # ------------------------------------------------------------------
+    def kv_cache_len(self) -> int:
+        return int(self.pos[0])
+
+    def reset(self):
+        self.cache = KVCache.create(
+            self.cfg, self.batch_size, self.seq_len, self.kv_dtype
+        )
+        self.pos[:] = 0
+        self._decode_buf = Utf8Buf()
+
+    def _forward_tokens(self, token_ids: list[int]):
+        """Run `token_ids` through the model at the current position; returns
+        last-token logits (1, V)."""
+        n = len(token_ids)
+        t_pad = _bucket(n)
+        padded = np.zeros((self.batch_size, t_pad), dtype=np.int32)
+        padded[0, :n] = token_ids
+        logits, self.cache = self._step(
+            self.weights,
+            self.cache,
+            jnp.asarray(padded),
+            jnp.asarray(self.pos),
+        )
+        self.pos[0] += n
+        return logits[:1, n - 1]
+
+    def prefill(self, prompt: str, bos: bool = True) -> tuple[int, int, int]:
+        """Tokenize + forward the prompt; returns (next_pos, last_prompt_token,
+        first_generated_token) like the reference (llama2.rs:111-139)."""
+        tokens = self.tokenizer.encode(prompt, bos=bos)
+        if not tokens:
+            raise ValueError("expected at least 1 prompt token")
+        with self.metrics.track("prefill"):
+            logits = self._forward_tokens(tokens)
+            token = int(self._sample(logits)[0])
+        return int(self.pos[0]), tokens[-1], token
+
+    def _sample(self, logits):
+        self._key, sub = jax.random.split(self._key)
+        return self.sampler.sample(logits, sub)
+
+    def generate(self, token: int, steps: int | None = None):
+        """Greedy/sampled streaming generation from `token` (already sampled
+        by prefill). Yields decoded text pieces; stops at EOS or seq_len."""
+        max_steps = self.seq_len - int(self.pos[0]) - 1
+        if steps is not None:
+            max_steps = min(max_steps, steps - 1)
+
+        yield self.tokenizer.decode(token, self._decode_buf)
+        current = token
+        for _ in range(max_steps):
+            with self.metrics.track("decode"):
+                logits = self._forward_tokens([current])
+                new_token = int(self._sample(logits)[0])
+            self.metrics.count("tokens")
+            if new_token == self.tokenizer.eos_token:
+                return
+            yield self.tokenizer.decode(new_token, self._decode_buf)
+            current = new_token
+
+    def prefill_and_generate(self, prompt: str, steps: int):
+        _, _, token = self.prefill(prompt, bos=True)
+        return self.generate(token, steps)

@@ -1,0 +1,44 @@
+"""On-device sampling: greedy argmax / temperature softmax + top-p nucleus.
+
+Functional analogue of Llama2Sampler (crabml-llama2/src/sampler.rs:27-116),
+running on TPU so logits never cross to the host. Divergences (documented):
+- exact exp, not the reference's f16 LUT (softmax.rs:44-52);
+- top-p truncates the *descending* sorted distribution (llama2.c semantics);
+  the reference sorts ascending (sampler.rs:85 — a bug inherited upstream).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class Sampler:
+    temperature: float = 0.0
+    topp: float = 0.9
+
+    def sample(self, logits, key):
+        """logits: (B, V) f32; key: PRNG key -> (B,) int32 tokens."""
+        if self.temperature == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return _sample_topp(logits, key, self.temperature, self.topp)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _sample_topp(logits, key, temperature: float, topp: float):
+    probs = jax.nn.softmax(logits / jnp.float32(temperature), axis=-1)
+    if topp <= 0.0 or topp >= 1.0:
+        return jax.random.categorical(key, jnp.log(probs), axis=-1).astype(jnp.int32)
+
+    # nucleus: keep the smallest prefix of the descending sort with mass > topp
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    # token i is kept while the cumulative mass *before* it is < topp
+    keep = (csum - sorted_probs) < topp
+    cutoff = jnp.where(keep, sorted_probs, 1.0).min(axis=-1, keepdims=True)
+    filtered = jnp.where(probs >= cutoff, probs, 0.0)
+    return jax.random.categorical(key, jnp.log(filtered), axis=-1).astype(jnp.int32)

@@ -6,12 +6,18 @@ real collectives without TPU hardware. Must set flags before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: the axon sitecustomize force-sets JAX_PLATFORMS=axon; only
+# jax.config.update after import actually wins on this image.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("CRABML_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 
