@@ -1,0 +1,109 @@
+"""CLI: generate or chat against a GGUF model.
+
+Mirrors the reference CLI surface (crabml-cli/src/main.rs:29-64): model path,
+steps, temperature/top-p, chat REPL, verbose metrics dump — TPU flags added
+(dtype, tensor parallelism, backend).
+
+  python -m crabml_tpu.cli model.gguf -p "Once upon a time" -n 128
+  python -m crabml_tpu.cli model.gguf --chat
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="crabml-tpu")
+    ap.add_argument("model", help="path to GGUF model file")
+    ap.add_argument("-p", "--prompt", default="Once upon a time")
+    ap.add_argument("-n", "--steps", type=int, default=300)
+    ap.add_argument("-t", "--temperature", type=float, default=0.0)
+    ap.add_argument("--probability", type=float, default=0.9, help="top-p")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--chat", action="store_true", help="interactive chat REPL")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--kv-dtype", default=None, choices=[None, "f32", "bf16"])
+    ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--tp", type=int, default=None, help="tensor parallel degree")
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from .gguf.reader import GGUFFile
+    from .ops import matmul as matmul_mod
+    from .runtime.chat import ChatSession
+    from .runtime.runner import Runner
+    from .runtime.sampler import Sampler
+
+    matmul_mod.set_backend(args.backend)
+    dtypes = {"f32": jnp.float32, "bf16": jnp.bfloat16, None: None}
+
+    sharding = None
+    if args.tp and args.tp > 1:
+        from .parallel import make_mesh
+
+        sharding = make_mesh(tp=args.tp, dp=1)
+
+    gf = GGUFFile(args.model)
+    if args.verbose:
+        print("== metadata ==", file=sys.stderr)
+        for k, v in gf.metadata.as_dict().items():
+            s = str(v)
+            print(f"  {k}: {s[:80]}{'...' if len(s) > 80 else ''}", file=sys.stderr)
+
+    runner = Runner(
+        gf,
+        seq_len=args.seq_len,
+        compute_dtype=dtypes[args.dtype],
+        kv_dtype=dtypes[args.kv_dtype],
+        sampler=Sampler(temperature=args.temperature, topp=args.probability),
+        sharding=sharding,
+        seed=args.seed,
+    )
+
+    if args.chat:
+        session = ChatSession(runner)
+        print("chat REPL — empty line or ctrl-d to exit", file=sys.stderr)
+        while True:
+            try:
+                prompt = input(">> ").strip()
+            except (EOFError, KeyboardInterrupt):
+                break
+            if not prompt:
+                break
+            for piece in session.reply(prompt):
+                print(piece, end="", flush=True)
+            session.finish()
+            print()
+        return 0
+
+    t0 = time.perf_counter()
+    print(args.prompt, end="", flush=True)
+    for piece in runner.prefill_and_generate(args.prompt, args.steps):
+        print(piece, end="", flush=True)
+    wall = time.perf_counter() - t0
+    print()
+
+    m = runner.metrics
+    toks = m.counts.get("tokens", 0)
+    print(
+        f"\n{toks} tokens, {m.tokens_per_sec():.2f} tokens/s, "
+        f"prefill {m.times_ns.get('prefill', 0) / 1e6:.0f} ms, total {wall:.2f} s",
+        file=sys.stderr,
+    )
+    if args.verbose:
+        print(m.table(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -131,6 +131,14 @@ class GGUFWriter:
         if isinstance(packed, np.ndarray):
             packed = packed.tobytes()
         n_elems = int(np.prod(shape)) if len(shape) else 1
+        from .constants import GGML_BLOCK_SIZES
+
+        blk = GGML_BLOCK_SIZES[typ][0]
+        if len(shape) > 1 and shape[-1] % blk != 0:
+            raise ValueError(
+                f"tensor {name}: row length {shape[-1]} not a multiple of "
+                f"{typ.name} block size {blk} (blocks must not span rows)"
+            )
         expect = tensor_nbytes(typ, n_elems)
         if len(packed) != expect:
             raise ValueError(

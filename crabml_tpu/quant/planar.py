@@ -176,6 +176,92 @@ def to_planar(typ: GGMLType, raw, shape) -> QTensor:
     raise NotImplementedError(f"planar layout for {typ.name}")
 
 
+def plane_spec(typ: GGMLType, m: int, k: int) -> dict[str, tuple[tuple[int, int], type]]:
+    """{plane name: (shape, numpy dtype)} for a (m, k) tensor of `typ`."""
+    t = GGMLType
+    f32, f16, u8, i8 = np.float32, np.float16, np.uint8, np.int8
+    if typ == t.F32:
+        return {"w": ((m, k), f32)}
+    if typ == t.F16:
+        return {"w": ((m, k), f16)}
+    if typ in (t.Q8_0, t.Q8_1):
+        return {"qs": ((m, k), i8), "d": ((m, k // 32), f32)}
+    if typ == t.Q4_0:
+        return {"qs": ((m, k // 2), u8), "d": ((m, k // 32), f32)}
+    if typ == t.Q4_1:
+        return {"qs": ((m, k // 2), u8), "d": ((m, k // 32), f32), "mn": ((m, k // 32), f32)}
+    if typ == t.Q5_0:
+        return {"qs": ((m, k // 2), u8), "qh": ((m, k // 8), u8), "d": ((m, k // 32), f32)}
+    if typ == t.Q5_1:
+        return {
+            "qs": ((m, k // 2), u8),
+            "qh": ((m, k // 8), u8),
+            "d": ((m, k // 32), f32),
+            "mn": ((m, k // 32), f32),
+        }
+    if typ == t.Q2_K:
+        return {
+            "qs": ((m, k // 4), u8),
+            "sc": ((m, k // 16), u8),
+            "mn": ((m, k // 16), u8),
+            "d": ((m, k // QK_K), f32),
+            "dmin": ((m, k // QK_K), f32),
+        }
+    if typ == t.Q3_K:
+        return {
+            "qs": ((m, k // 4), u8),
+            "hb": ((m, k // 8), u8),
+            "sc": ((m, k // 16), i8),
+            "d": ((m, k // QK_K), f32),
+        }
+    if typ == t.Q4_K:
+        return {
+            "qs": ((m, k // 2), u8),
+            "sc": ((m, k // 32), u8),
+            "mn": ((m, k // 32), u8),
+            "d": ((m, k // QK_K), f32),
+            "dmin": ((m, k // QK_K), f32),
+        }
+    if typ == t.Q5_K:
+        return {
+            "qs": ((m, k // 2), u8),
+            "qh": ((m, k // 8), u8),
+            "sc": ((m, k // 32), u8),
+            "mn": ((m, k // 32), u8),
+            "d": ((m, k // QK_K), f32),
+            "dmin": ((m, k // QK_K), f32),
+        }
+    if typ == t.Q6_K:
+        return {
+            "ql": ((m, k // 2), u8),
+            "qh": ((m, k // 4), u8),
+            "sc": ((m, k // 16), i8),
+            "d": ((m, k // QK_K), f32),
+        }
+    raise NotImplementedError(typ.name)
+
+
+def random_planar(typ: GGMLType, shape, rng=None, scale: float = 0.02) -> QTensor:
+    """Random planes with realistic value ranges — instant synthetic weights
+    for benchmarks (layout-faithful; no slow encode path)."""
+    rng = rng or np.random.default_rng(0)
+    m = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    k = int(shape[-1])
+    planes = {}
+    for name, (pshape, dt) in plane_spec(typ, m, k).items():
+        if dt in (np.float32, np.float16):
+            if name in ("d", "dmin", "mn", "w"):
+                vals = rng.standard_normal(pshape) * scale
+            else:
+                vals = rng.standard_normal(pshape)
+            planes[name] = np.abs(vals).astype(dt) if name in ("d", "dmin") else vals.astype(dt)
+        elif dt == np.int8:
+            planes[name] = rng.integers(-64, 64, pshape, dtype=np.int8)
+        else:
+            planes[name] = rng.integers(0, 256, pshape, dtype=np.uint8)
+    return QTensor(typ, (m, k), planes)
+
+
 def device_put_qtensor(qt: QTensor, sharding=None) -> QTensor:
     """Move all planes to device (optionally with a NamedSharding)."""
     put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put

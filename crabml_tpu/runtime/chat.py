@@ -1,0 +1,150 @@
+"""Chat sessions: templates, stop-mark state machine, multi-turn KV reuse.
+
+Functional equivalent of crabml-llama2/src/chat.rs: `ChatTemplate` covers the
+four built-in formats with the same heuristic guess; `MarkMatcher` merges
+multi-token stop marks streamed from the model; `ChatSession` keeps the KV
+cache warm across turns (prefill resumes from the current cache length).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from .runner import Runner
+
+
+class ChatTemplate(Enum):
+    LLAMA2 = "llama2"
+    LLAMA3 = "llama3"
+    CHATML = "chatml"
+    GEMMA = "gemma"
+
+    @staticmethod
+    def heuristic_guess(model_name: str, architecture: str, chat_tmpl: str) -> "ChatTemplate":
+        """Same guess order as chat.rs:201-218."""
+        if "gemma" in model_name or architecture == "gemma":
+            return ChatTemplate.GEMMA
+        if "llama2" in model_name:
+            return ChatTemplate.LLAMA2
+        if "chatml" in chat_tmpl or "<|im_start|>" in chat_tmpl:
+            return ChatTemplate.CHATML
+        if "llama3" in model_name or "<|start_header_id|>" in chat_tmpl:
+            return ChatTemplate.LLAMA3
+        return ChatTemplate.LLAMA2
+
+    @property
+    def stop_mark(self) -> str:
+        return {
+            ChatTemplate.LLAMA2: "[/INST]",
+            ChatTemplate.GEMMA: "<end_of_turn>",
+            ChatTemplate.LLAMA3: "<|eot_id|>",
+            ChatTemplate.CHATML: "<|im_end|>",
+        }[self]
+
+    def apply(
+        self,
+        prompt: str,
+        system_prompt: str | None = None,
+        append_assistant_prefix: bool = True,
+    ) -> str:
+        if self == ChatTemplate.LLAMA2:
+            sys_p = f"<<SYS>>{system_prompt}<</SYS>>" if system_prompt else ""
+            prefix = "[[INST]]" if append_assistant_prefix else ""
+            return f"[INST] {sys_p} {prompt} [/INST]{prefix}"
+        if self == ChatTemplate.LLAMA3:
+            sys_p = (
+                f"<|start_header_id|>system<|end_header_id|>\n\n{system_prompt}<|eot_id|>"
+                if system_prompt
+                else ""
+            )
+            prefix = (
+                "<|start_header_id|>assistant<|end_header_id|>\n\n"
+                if append_assistant_prefix
+                else ""
+            )
+            return (
+                f"{sys_p}<|start_header_id|>user<|end_header_id|>\n\n"
+                f"{prompt}<|eot_id|>{prefix}"
+            )
+        if self == ChatTemplate.GEMMA:
+            sys_p = system_prompt or ""
+            prefix = "<start_of_turn>model\n" if append_assistant_prefix else ""
+            return f"<start_of_turn>user\n{sys_p} {prompt}<end_of_turn>{prefix}"
+        if self == ChatTemplate.CHATML:
+            sys_p = (
+                f"<|im_start|>system\n{system_prompt}<|im_end|>" if system_prompt else ""
+            )
+            prefix = "<|im_start|>assistant\n" if append_assistant_prefix else ""
+            return f"{sys_p}<|im_start|>user\n{prompt}<|im_end|>{prefix}"
+        raise AssertionError(self)
+
+
+class MarkMatcher:
+    """Streams tokens, merging multi-token stop marks (chat.rs:127-186)."""
+
+    def __init__(self, marks: list[str]):
+        self.marks = marks
+        self.buf = ""
+        self.active = False
+
+    def push(self, token: str) -> str | None:
+        if not self.active:
+            if token in self.marks:
+                return token
+            if any(m.startswith(token) for m in self.marks):
+                self.active = True
+                self.buf = token
+                return None
+            return token
+        self.buf += token
+        if self.buf in self.marks:
+            self.active = False
+            return self.buf
+        if not any(m.startswith(self.buf) for m in self.marks):
+            self.active = False
+            return self.buf
+        return None
+
+
+@dataclass
+class ChatSession:
+    """Multi-turn chat on a persistent KV cache (chat.rs:15-58)."""
+
+    runner: Runner
+    system_prompt: str | None = None
+    template: ChatTemplate | None = None
+    _has_stop_mark: bool = field(default=False, init=False)
+
+    def __post_init__(self):
+        if self.template is None:
+            cfg = self.runner.cfg
+            self.template = ChatTemplate.heuristic_guess(
+                cfg.model_name, cfg.architecture, cfg.chat_template
+            )
+
+    def reply(self, prompt: str):
+        """Yields reply text pieces; stops at the template stop mark or EOS."""
+        templated = self.template.apply(
+            prompt,
+            self.system_prompt if self.runner.kv_cache_len() == 0 else None,
+            append_assistant_prefix=True,
+        )
+        bos = self.runner.kv_cache_len() == 0
+        _, _, token = self.runner.prefill(templated, bos=bos)
+        matcher = MarkMatcher([self.template.stop_mark])
+        self._has_stop_mark = False
+        for piece in self.runner.generate(token):
+            merged = matcher.push(piece)
+            if merged is None:
+                continue
+            if merged == self.template.stop_mark:
+                self._has_stop_mark = True
+                return
+            yield merged
+
+    def finish(self):
+        """Append the stop mark to the cache if the model never emitted it
+        (chat.rs:51-58), keeping the transcript well-formed for next turn."""
+        if not self._has_stop_mark:
+            self.runner.prefill(self.template.stop_mark, bos=False)

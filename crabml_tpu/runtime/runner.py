@@ -68,6 +68,10 @@ class Runner:
         self._sharding = sharding
 
         self.cache = KVCache.create(self.cfg, batch_size, self.seq_len, self.kv_dtype)
+        # NB: self.pos is replaced, never mutated in place — jnp.asarray()
+        # transfers host buffers asynchronously, so in-place mutation after
+        # passing it to a jitted call races the in-flight copy (observed as
+        # nondeterministic generations under host load).
         self.pos = np.zeros(batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
 
@@ -84,7 +88,7 @@ class Runner:
         self.cache = KVCache.create(
             self.cfg, self.batch_size, self.seq_len, self.kv_dtype
         )
-        self.pos[:] = 0
+        self.pos = np.zeros(self.batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
 
     def _forward_tokens(self, token_ids: list[int]):
@@ -100,7 +104,7 @@ class Runner:
             jnp.asarray(padded),
             jnp.asarray(self.pos),
         )
-        self.pos[0] += n
+        self.pos = self.pos + np.asarray([n] + [0] * (self.batch_size - 1), np.int32)
         return logits[:1, n - 1]
 
     def prefill(self, prompt: str, bos: bool = True) -> tuple[int, int, int]:

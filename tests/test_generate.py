@@ -1,0 +1,79 @@
+"""On-device decode loop vs the streaming Runner path, and synthetic GGUF
+end-to-end (write -> load -> generate) in quantized schemes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crabml_tpu.gguf.constants import GGMLType
+from crabml_tpu.models.config import config_from_gguf
+from crabml_tpu.models.forward import KVCache, forward
+from crabml_tpu.models.weights import load_weights
+from crabml_tpu.gguf.reader import GGUFFile
+from crabml_tpu.models.synthetic import tiny_config, write_synthetic_gguf
+from crabml_tpu.runtime.generate import decode_loop
+from crabml_tpu.runtime.runner import Runner
+
+
+def test_decode_loop_matches_streaming(stories260k_path):
+    gf = GGUFFile(stories260k_path)
+    cfg = config_from_gguf(gf.metadata)
+    weights = jax.tree.map(jax.device_put, load_weights(gf, cfg))
+
+    prompt = [1, 365, 400, 430, 284]
+    steps = 10
+
+    # streaming: one forward per token, greedy
+    cache = KVCache.create(cfg, 1, 64)
+    logits, cache = forward(
+        weights, cache, jnp.asarray([prompt], jnp.int32), jnp.zeros(1, jnp.int32), cfg
+    )
+    tok = int(jnp.argmax(logits[0, len(prompt) - 1]))
+    want = [tok]
+    pos = len(prompt)
+    for _ in range(steps - 1):
+        logits, cache = forward(
+            weights, cache, jnp.asarray([[tok]], jnp.int32), jnp.asarray([pos]), cfg
+        )
+        tok = int(jnp.argmax(logits[0, 0]))
+        want.append(tok)
+        pos += 1
+
+    # fused loop: prefill then scan-decode
+    cache2 = KVCache.create(cfg, 1, 64)
+    logits, cache2 = forward(
+        weights, cache2, jnp.asarray([prompt], jnp.int32), jnp.zeros(1, jnp.int32), cfg
+    )
+    first = jnp.argmax(logits[:, len(prompt) - 1], axis=-1).astype(jnp.int32)
+    toks, _, _ = decode_loop(
+        weights,
+        cache2,
+        first,
+        jnp.asarray([len(prompt)], jnp.int32),
+        jax.random.PRNGKey(0),
+        steps - 1,
+        cfg,
+    )
+    got = [int(first[0])] + [int(t) for t in np.asarray(toks[0])]
+    assert got == want
+
+
+@pytest.mark.parametrize("typ", [GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_K], ids=lambda t: t.name)
+def test_synthetic_gguf_generates(tmp_path, typ):
+    # K-quants need row length % 256 == 0 (superblock must not span rows)
+    cfg = tiny_config(
+        embedding_dim=256, hidden_dim=256, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=256,
+    )
+    path = str(tmp_path / f"syn-{typ.name}.gguf")
+    write_synthetic_gguf(path, cfg, typ, seed=3)
+
+    r = Runner(path, seq_len=64)
+    assert r.cfg.architecture == "llama"
+    out = "".join(r.prefill_and_generate("hello", steps=5))
+    assert isinstance(out, str)  # random weights: any tokens, but must not crash
+    # determinism across a reset
+    r.reset()
+    out2 = "".join(r.prefill_and_generate("hello", steps=5))
+    assert out == out2

@@ -1,0 +1,57 @@
+"""Tensor-parallel correctness on a virtual 8-device CPU mesh: sharded
+forward must match the single-device forward exactly (same f32 math, XLA
+inserts the collectives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crabml_tpu.gguf.reader import GGUFFile
+from crabml_tpu.models.config import config_from_gguf
+from crabml_tpu.models.forward import KVCache, forward
+from crabml_tpu.models.weights import load_weights
+from crabml_tpu.parallel import cache_sharding, make_mesh, shard_weights
+
+TOKENS = [1, 365, 400, 430, 284]
+
+
+@pytest.fixture(scope="module")
+def model260(stories260k_path):
+    gf = GGUFFile(stories260k_path)
+    cfg = config_from_gguf(gf.metadata)
+    weights = load_weights(gf, cfg)
+    return cfg, weights
+
+
+@pytest.mark.parametrize("tp,dp", [(4, 1), (2, 2), (4, 2)])
+def test_tp_forward_matches_single_device(model260, tp, dp):
+    cfg, weights = model260
+    if len(jax.devices()) < tp * dp:
+        pytest.skip("not enough devices")
+    # 260k: n_heads=8, n_kv_heads=4, hidden=172 (not % tp) → pad-free check
+    if cfg.hidden_dim % tp or cfg.vocab_size % tp or cfg.n_kv_heads % tp:
+        pytest.skip("dims not divisible")
+
+    toks = jnp.asarray([TOKENS], jnp.int32)
+    cache = KVCache.create(cfg, 1, 32)
+    want, _ = forward(weights, cache, toks, jnp.zeros(1, jnp.int32), cfg)
+
+    mesh = make_mesh(tp=tp, dp=dp)
+    sharded = shard_weights(weights, mesh, cfg)
+    cache_s = jax.device_put(KVCache.create(cfg, dp, 32), cache_sharding(mesh))
+    toks_b = jnp.tile(toks, (dp, 1))
+    got, new_cache = jax.jit(forward, static_argnames=("cfg",))(
+        sharded, cache_s, toks_b, jnp.zeros(dp, jnp.int32), cfg
+    )
+    for b in range(dp):
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(want[0]), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_tp_validation_rejects_bad_split(model260):
+    cfg, weights = model260
+    mesh = make_mesh(tp=8, dp=1)
+    with pytest.raises(AssertionError):
+        shard_weights(weights, mesh, cfg)  # n_kv_heads=4 < 8
