@@ -23,9 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_weights_fast(cfg, typ, dtype_planes=True):
+def build_weights_fast(cfg, typ, backend="xla"):
     """Random planar weights directly on device (no slow host encode)."""
     from crabml_tpu.quant.planar import QTensor, random_planar
+    from crabml_tpu.ops.pallas.gemm_quant import random_repacked
 
     rng = np.random.default_rng(0)
     D, HD, V, L, kv = (
@@ -36,15 +37,17 @@ def build_weights_fast(cfg, typ, dtype_planes=True):
         cfg.kv_dim,
     )
 
+    make = random_repacked if backend == "pallas" else random_planar
+
     def stacked(m, k):
-        one = random_planar(typ, (m, k), rng)
+        one = make(typ, (m, k), rng)
         planes = {
             n: jax.device_put(np.broadcast_to(p, (L,) + p.shape)) for n, p in one.planes.items()
         }
         return QTensor(typ, (L, m, k), planes)
 
     def single(m, k):
-        qt = random_planar(typ, (m, k), rng)
+        qt = make(typ, (m, k), rng)
         return QTensor(qt.kind, qt.shape, {n: jax.device_put(p) for n, p in qt.planes.items()})
 
     layers = {
@@ -58,8 +61,14 @@ def build_weights_fast(cfg, typ, dtype_planes=True):
         "attn_norm": jax.device_put(np.ones((L, D), np.float32)),
         "ffn_norm": jax.device_put(np.ones((L, D), np.float32)),
     }
+    # embedding stays canonical planar — the gather path dequantizes rows and
+    # only matmul weights go through the kernels
+    emb = random_planar(typ, (V, D), rng)
+    token_embed = QTensor(
+        emb.kind, emb.shape, {n: jax.device_put(p) for n, p in emb.planes.items()}
+    )
     return {
-        "token_embed": single(V, D),
+        "token_embed": token_embed,
         "final_norm": jax.device_put(np.ones(D, np.float32)),
         "final_norm_b": None,
         "output": single(V, D),
@@ -67,26 +76,18 @@ def build_weights_fast(cfg, typ, dtype_planes=True):
     }
 
 
-def weight_bytes_per_token(cfg, typ):
-    """Planar bytes streamed from HBM per decode step (all matmul weights +
-    output head; embedding gather is negligible)."""
-    from crabml_tpu.quant.planar import plane_spec
+def weight_bytes_per_token(weights):
+    """Actual bytes streamed from HBM per decode step: every matmul-weight
+    plane read once (embedding gather negligible)."""
+    from crabml_tpu.quant.planar import QTensor
 
-    def nbytes(m, k):
-        return sum(
-            int(np.prod(shape)) * np.dtype(dt).itemsize
-            for shape, dt in plane_spec(typ, m, k).values()
-        )
-
-    D, HD, V, L, kv = (
-        cfg.embedding_dim,
-        cfg.hidden_dim,
-        cfg.vocab_size,
-        cfg.n_layers,
-        cfg.kv_dim,
-    )
-    per_layer = nbytes(D, D) * 2 + nbytes(kv, D) * 2 + nbytes(HD, D) * 2 + nbytes(D, HD)
-    return per_layer * L + nbytes(V, D)
+    total = 0
+    items = list(weights["layers"].items()) + [("output", weights["output"])]
+    for _, val in items:
+        if isinstance(val, QTensor):
+            for p in val.planes.values():
+                total += int(np.prod(p.shape)) * p.dtype.itemsize
+    return total
 
 
 HBM_BW = {
@@ -135,7 +136,7 @@ def main():
         cfg = tiny_config()
 
     B = args.batch
-    weights = build_weights_fast(cfg, typ)
+    weights = build_weights_fast(cfg, typ, backend=args.backend or "xla")
     cache = KVCache.create(cfg, B, 1024, jnp.bfloat16)
     compute = jnp.bfloat16
 
@@ -171,7 +172,7 @@ def main():
     dt = time.perf_counter() - t0
 
     tok_s = args.steps * B / dt
-    bpt = weight_bytes_per_token(cfg, typ)
+    bpt = weight_bytes_per_token(weights)
     roofline = detect_bw() / bpt
     result = {
         "metric": f"decode_tokens_per_sec_{args.model}_{args.quant}",

@@ -44,6 +44,36 @@ def _slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
     )
 
 
+def repack_weights(weights: dict) -> dict:
+    """Re-layout matmul weights for the Pallas kernels (ops.pallas.gemm_quant).
+
+    token_embed stays canonical (the gather path dequantizes rows);
+    unsupported shapes keep their canonical planes and fall back to XLA.
+    """
+    from ..ops.pallas.gemm_quant import repack
+    from ..quant.planar import stack_qtensors
+
+    def rep_stacked(qt: QTensor) -> QTensor:
+        outs = []
+        for l in range(qt.shape[0]):
+            one = QTensor(qt.kind, tuple(qt.shape[1:]), {n: p[l] for n, p in qt.planes.items()})
+            r = repack(one)
+            if r is None:
+                return qt
+            outs.append(r)
+        return stack_qtensors(outs)
+
+    out = dict(weights)
+    out["layers"] = {
+        name: (rep_stacked(val) if isinstance(val, QTensor) else val)
+        for name, val in weights["layers"].items()
+    }
+    if weights.get("output") is not None:
+        r = repack(weights["output"])
+        out["output"] = r if r is not None else weights["output"]
+    return out
+
+
 def load_weights(gf: GGUFFile, cfg: ModelConfig) -> dict:
     arch = cfg.architecture
     L = cfg.n_layers

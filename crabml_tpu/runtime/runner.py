@@ -21,7 +21,7 @@ import numpy as np
 from ..gguf.reader import GGUFFile
 from ..models.config import ModelConfig, config_from_gguf
 from ..models.forward import KVCache, forward
-from ..models.weights import load_weights
+from ..models.weights import load_weights, repack_weights
 from ..tokenizer import Tokenizer, Utf8Buf, tokenizer_from_gguf
 from ..utils.metrics import Metrics
 from .sampler import Sampler
@@ -45,6 +45,7 @@ class Runner:
         sampler: Sampler | None = None,
         sharding=None,
         seed: int = 0,
+        backend: str | None = None,
     ):
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg: ModelConfig = config_from_gguf(gf.metadata)
@@ -57,8 +58,14 @@ class Runner:
         self.metrics = Metrics()
         self._key = jax.random.PRNGKey(seed)
 
+        if backend is not None:
+            from ..ops import matmul as matmul_mod
+
+            matmul_mod.set_backend(backend)
         with self.metrics.track("load"):
             host_weights = load_weights(gf, self.cfg)
+            if backend == "pallas":
+                host_weights = repack_weights(host_weights)
             if sharding is not None:
                 from ..parallel.sharding import shard_weights
 

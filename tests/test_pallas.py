@@ -1,0 +1,96 @@
+"""Pallas fused dequant+matmul kernels vs the exact XLA dequant path.
+
+On CPU these run in interpret mode (same kernel code, no Mosaic); the real
+TPU run is covered by bench.py and the verify drives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crabml_tpu.gguf.constants import GGMLType
+from crabml_tpu.quant.codecs import quantize
+from crabml_tpu.quant.jnp_dequant import dequant_jnp
+from crabml_tpu.quant.planar import to_planar
+from crabml_tpu.ops.pallas import gemm_quant
+
+ALL = list(gemm_quant.SCHEMES)
+
+
+@pytest.mark.parametrize("typ", ALL, ids=lambda t: t.name)
+def test_kernel_matches_dequant(typ):
+    rng = np.random.default_rng(int(typ))
+    m, k = 256, 512
+    w = rng.standard_normal((m, k)).astype(np.float32) * 0.1
+    x = rng.standard_normal((2, k)).astype(np.float32)
+
+    qt = to_planar(typ, quantize(typ, w), (m, k))
+    want = x @ np.asarray(dequant_jnp(qt)).T
+
+    rqt = gemm_quant.repack(qt)
+    assert rqt is not None and gemm_quant.is_repacked(rqt)
+    got = gemm_quant.qmatmul_pallas(jnp.asarray(x, jnp.bfloat16), rqt, jnp.bfloat16)
+    assert got is not None
+    got = np.asarray(got, np.float32)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.01, f"{typ.name}: rel err {rel}"
+
+
+def test_kernel_f32_is_tight():
+    typ = GGMLType.Q4_K
+    rng = np.random.default_rng(1)
+    m, k = 256, 512
+    w = rng.standard_normal((m, k)).astype(np.float32) * 0.1
+    x = rng.standard_normal((1, k)).astype(np.float32)
+    qt = to_planar(typ, quantize(typ, w), (m, k))
+    want = x @ np.asarray(dequant_jnp(qt)).T
+    rqt = gemm_quant.repack(qt)
+    got = np.asarray(gemm_quant.qmatmul_pallas(jnp.asarray(x), rqt, jnp.float32))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2e-5, rel
+
+
+def test_unsupported_shapes_fall_back():
+    typ = GGMLType.Q8_0
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((100, 64)).astype(np.float32)
+    qt = to_planar(typ, quantize(typ, w), (100, 64))
+    assert gemm_quant.repack(qt) is None
+    assert gemm_quant.qmatmul_pallas(jnp.zeros((1, 64)), qt) is None
+
+
+def test_batched_lead_dims():
+    typ = GGMLType.Q4_0
+    rng = np.random.default_rng(3)
+    m, k = 256, 512
+    w = rng.standard_normal((m, k)).astype(np.float32) * 0.1
+    x = rng.standard_normal((2, 3, k)).astype(np.float32)
+    qt = to_planar(typ, quantize(typ, w), (m, k))
+    rqt = gemm_quant.repack(qt)
+    got = gemm_quant.qmatmul_pallas(jnp.asarray(x), rqt, jnp.float32)
+    assert got.shape == (2, 3, m)
+    want = x.reshape(6, k) @ np.asarray(dequant_jnp(qt)).T
+    np.testing.assert_allclose(np.asarray(got).reshape(6, m), want, rtol=2e-5, atol=2e-5)
+
+
+def test_runner_pallas_backend_matches_xla(stories260k_path, tmp_path):
+    """End-to-end: a Q8_0 synthetic model generates the same tokens on both
+    backends (260k dims are too small for the kernels — they fall back)."""
+    from crabml_tpu.models.synthetic import tiny_config, write_synthetic_gguf
+    from crabml_tpu.runtime.runner import Runner
+    from crabml_tpu.ops import matmul as mm
+
+    cfg = tiny_config(
+        embedding_dim=512, hidden_dim=512, n_layers=2, n_heads=8, n_kv_heads=4,
+        vocab_size=512, seq_len=256,
+    )
+    path = str(tmp_path / "syn-q8.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.Q8_0, seed=5)
+
+    r1 = Runner(path, seq_len=64, backend="xla", compute_dtype=jnp.bfloat16)
+    out_xla = "".join(r1.prefill_and_generate("hello", steps=6))
+    r2 = Runner(path, seq_len=64, backend="pallas", compute_dtype=jnp.bfloat16)
+    out_pl = "".join(r2.prefill_and_generate("hello", steps=6))
+    mm.set_backend("xla")
+    assert out_xla == out_pl
