@@ -28,6 +28,30 @@ class Sampler:
         return _sample_topp(logits, key, self.temperature, self.topp)
 
 
+def sample_batch(logits, key, temperature, topp):
+    """Vectorized per-sequence sampling for the serving engine.
+
+    logits: (B, V) f32; temperature/topp: (B,) f32 — a slot with
+    temperature 0 is greedy, others are temperature-softmax + nucleus.
+    Fully jittable with *traced* per-slot params (no recompile when a
+    request with different sampling settings lands in a slot).
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
+    probs = jax.nn.softmax(logits / temp, axis=-1)
+
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    keep = (csum - sorted_probs) < topp[:, None]
+    cutoff = jnp.where(keep, sorted_probs, 1.0).min(axis=-1, keepdims=True)
+    use_topp = ((topp > 0.0) & (topp < 1.0))[:, None]
+    filtered = jnp.where(~use_topp | (probs >= cutoff), probs, 0.0)
+
+    sampled = jax.random.categorical(key, jnp.log(filtered), axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _sample_topp(logits, key, temperature: float, topp: float):
     probs = jax.nn.softmax(logits / jnp.float32(temperature), axis=-1)

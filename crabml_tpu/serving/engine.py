@@ -1,0 +1,313 @@
+"""Continuous-batching serving engine.
+
+The reference is a single-sequence CLI engine (SURVEY §2.12: no serving
+daemon, no batching); BASELINE.json makes continuous batching across hosts a
+first-class requirement of the TPU build. This engine is the single-host
+core: a fixed pool of KV-cache *slots* (the jit-static batch dimension),
+requests admitted into free slots as soon as they open, one compiled decode
+step advancing every active slot per tick.
+
+TPU-shaped decisions:
+- The slot pool IS the batch: the decode step is jitted once for
+  (n_slots, 1) shapes and never recompiles as requests come and go.
+- Prefill runs per-request on a single slot *sliced out* of the pooled cache
+  (dynamic_slice on the batch axis) and scattered back — admitting a request
+  never recompiles the decode step or touches other slots' state. Prompt
+  lengths pad to power-of-two buckets to bound prefill compile count.
+- Sampling params (temperature/top-p) are *traced* (B,) vectors, so mixed
+  greedy/sampled requests share one compiled step (runtime.sampler.sample_batch).
+- Inactive slots still step (cheap: they re-write cache position 0, which
+  the next admission's prefill overwrites); the host just ignores their
+  token. No gather/scatter of live slots per tick.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.forward import KVCache, forward
+from ..runtime.sampler import sample_batch
+from ..tokenizer import Utf8Buf
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype"),
+    donate_argnames=("cache",),
+)
+def _prefill_slot(weights, cache: KVCache, tokens, slot, pos0, cfg, compute_dtype):
+    """Forward `tokens` (1, Tpad) through slot `slot` starting at `pos0`.
+
+    Slices the slot's (L, 1, S, KV, hd) cache out of the pool, runs the
+    normal forward, scatters it back. Returns (logits (1, Tpad, V), cache).
+    """
+    k = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
+    v = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
+    logits, small = forward(
+        weights, KVCache(k, v), tokens, pos0[None], cfg, compute_dtype
+    )
+    k = jax.lax.dynamic_update_slice_in_dim(cache.k, small.k, slot, axis=1)
+    v = jax.lax.dynamic_update_slice_in_dim(cache.v, small.v, slot, axis=1)
+    return logits, KVCache(k, v)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype"),
+    donate_argnames=("cache",),
+)
+def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp, cfg, compute_dtype):
+    """One batched decode tick: forward all slots, sample per-slot."""
+    logits, cache = forward(weights, cache, tokens[:, None], pos, cfg, compute_dtype)
+    nxt = sample_batch(logits[:, 0], key, temp, topp)
+    return nxt, cache
+
+
+@dataclass
+class Request:
+    prompt: str
+    max_tokens: int = 256
+    temperature: float = 0.0
+    topp: float = 0.9
+    stop_token_ids: tuple[int, ...] = ()
+    request_id: int = field(default_factory=itertools.count().__next__)
+
+    # filled by the engine
+    prompt_tokens: list[int] = field(default_factory=list, repr=False)
+    output_tokens: list[int] = field(default_factory=list, repr=False)
+    finish_reason: str | None = None
+    _stream: "queue.SimpleQueue[str | None] | None" = field(default=None, repr=False)
+    _utf8: Utf8Buf = field(default_factory=Utf8Buf, repr=False)
+
+    @property
+    def done(self) -> bool:
+        return self.finish_reason is not None
+
+
+class ServingEngine:
+    """Slot-pool continuous batching on one host (one chip or one TP mesh).
+
+    Drive it either synchronously — `submit()` then `step()` until done, or
+    `generate(prompts)` — or via `run_forever()` on a thread with `enqueue()`
+    from request handlers (serving.http does this).
+    """
+
+    def __init__(
+        self,
+        runner=None,
+        *,
+        weights=None,
+        cfg=None,
+        tokenizer=None,
+        n_slots: int = 8,
+        seq_len: int | None = None,
+        compute_dtype=jnp.float32,
+        kv_dtype=None,
+        seed: int = 0,
+    ):
+        if runner is not None:
+            weights, cfg, tokenizer = runner.weights, runner.cfg, runner.tokenizer
+            compute_dtype = runner.compute_dtype
+            kv_dtype = kv_dtype or runner.kv_dtype
+        assert weights is not None and cfg is not None
+        self.weights = weights
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.n_slots = n_slots
+        self.seq_len = min(seq_len or cfg.seq_len, cfg.seq_len)
+        self.compute_dtype = compute_dtype
+        self.kv_dtype = kv_dtype or compute_dtype
+
+        self.cache = KVCache.create(cfg, n_slots, self.seq_len, self.kv_dtype)
+        self.slots: list[Request | None] = [None] * n_slots
+        # host-side per-slot state (device copies made fresh each step; see
+        # runner.py's note on async-transfer races)
+        self.pos = np.zeros(n_slots, np.int32)
+        self.cur_tok = np.zeros(n_slots, np.int32)
+        self.temp = np.zeros(n_slots, np.float32)
+        self.topp = np.ones(n_slots, np.float32)
+        self.pending: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
+        self._waiting: list[Request] = []
+        self._key = jax.random.PRNGKey(seed)
+        self._stop = threading.Event()
+        self.steps = 0
+
+    # -- admission ----------------------------------------------------------
+
+    def submit(self, req: Request) -> Request:
+        """Queue a request (thread-safe). It is admitted to a slot on the
+        next step() with a free slot."""
+        if not req.prompt_tokens:
+            req.prompt_tokens = self.tokenizer.encode(req.prompt, bos=True)
+        self.pending.put(req)
+        return req
+
+    def _free_slots(self) -> list[int]:
+        return [i for i, r in enumerate(self.slots) if r is None]
+
+    def _admit(self):
+        free = self._free_slots()
+        while free:
+            if self._waiting:
+                req = self._waiting.pop(0)
+            else:
+                try:
+                    req = self.pending.get_nowait()
+                except queue.Empty:
+                    break
+            slot = free.pop(0)
+            self._prefill_into(slot, req)
+
+    def _prefill_into(self, slot: int, req: Request):
+        toks = req.prompt_tokens
+        limit = self.seq_len - 1
+        if len(toks) > limit:
+            toks = toks[-limit:]  # keep the tail, like a sliding window
+        t_pad = _bucket(len(toks))
+        padded = np.zeros((1, t_pad), np.int32)
+        padded[0, : len(toks)] = toks
+        logits, self.cache = _prefill_slot(
+            self.weights,
+            self.cache,
+            jnp.asarray(padded),
+            jnp.int32(slot),
+            jnp.int32(0),
+            self.cfg,
+            self.compute_dtype,
+        )
+        self._key, sub = jax.random.split(self._key)
+        first = sample_batch(
+            logits[:, len(toks) - 1],
+            sub,
+            jnp.asarray([req.temperature], jnp.float32),
+            jnp.asarray([req.topp], jnp.float32),
+        )
+        self.slots[slot] = req
+        self.pos = self.pos.copy()
+        self.cur_tok = self.cur_tok.copy()
+        self.temp = self.temp.copy()
+        self.topp = self.topp.copy()
+        self.pos[slot] = len(toks)
+        self.temp[slot] = req.temperature
+        self.topp[slot] = req.topp
+        self._deliver(slot, int(first[0]))
+
+    # -- the tick -----------------------------------------------------------
+
+    def step(self) -> int:
+        """Admit pending requests, run one decode tick. Returns the number
+        of active slots after the tick."""
+        self._admit()
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return 0
+
+        self._key, sub = jax.random.split(self._key)
+        nxt, self.cache = _decode_step(
+            self.weights,
+            self.cache,
+            jnp.asarray(self.cur_tok),
+            jnp.asarray(self.pos),
+            sub,
+            jnp.asarray(self.temp),
+            jnp.asarray(self.topp),
+            self.cfg,
+            self.compute_dtype,
+        )
+        nxt = np.asarray(nxt)
+        self.pos = self.pos + np.asarray(
+            [1 if self.slots[i] is not None else 0 for i in range(self.n_slots)],
+            np.int32,
+        )
+        self.steps += 1
+        for i in active:
+            self._deliver(i, int(nxt[i]))
+        return sum(r is not None for r in self.slots)
+
+    def _deliver(self, slot: int, token: int):
+        """Record a sampled token for slot; finish/free on EOS/limits."""
+        req = self.slots[slot]
+        eos = self.tokenizer.eos_token if self.tokenizer else -1
+        stop = req.stop_token_ids
+        if token == eos or token in stop:
+            self._finish(slot, "stop")
+            return
+        req.output_tokens.append(token)
+        if req._stream is not None and self.tokenizer:
+            piece = self.tokenizer.decode(token, req._utf8)
+            if piece:
+                req._stream.put(piece)
+        self.cur_tok = self.cur_tok.copy()
+        self.cur_tok[slot] = token
+        if len(req.output_tokens) >= req.max_tokens:
+            self._finish(slot, "length")
+        elif int(self.pos[slot]) >= self.seq_len - 1:
+            self._finish(slot, "length")
+
+    def _finish(self, slot: int, reason: str):
+        req = self.slots[slot]
+        req.finish_reason = reason
+        if req._stream is not None:
+            req._stream.put(None)  # sentinel: stream closed
+        self.slots[slot] = None
+        self.pos = self.pos.copy()
+        self.pos[slot] = 0
+        self.cur_tok = self.cur_tok.copy()
+        self.cur_tok[slot] = 0
+        self.temp = self.temp.copy()
+        self.temp[slot] = 0.0
+        self.topp = self.topp.copy()
+        self.topp[slot] = 1.0
+
+    # -- convenience drivers --------------------------------------------------
+
+    def drain(self, max_steps: int | None = None):
+        """Step until every queued + active request is finished."""
+        n = 0
+        while (
+            any(self.slots) or not self.pending.empty() or self._waiting
+        ) and (max_steps is None or n < max_steps):
+            self.step()
+            n += 1
+
+    def generate(self, prompts: list[str], **kw) -> list[str]:
+        """Batch API: submit all prompts, drain, return decoded outputs."""
+        reqs = [self.submit(Request(prompt=p, **kw)) for p in prompts]
+        self.drain()
+        outs = []
+        for r in reqs:
+            buf = Utf8Buf()
+            outs.append("".join(self.tokenizer.decode(t, buf) for t in r.output_tokens))
+        return outs
+
+    def run_forever(self, idle_sleep: float = 0.005):
+        """Engine loop for a serving thread; `enqueue` from other threads."""
+        import time
+
+        while not self._stop.is_set():
+            if self.step() == 0 and self.pending.empty():
+                time.sleep(idle_sleep)
+
+    def enqueue_streaming(self, req: Request) -> "queue.SimpleQueue[str | None]":
+        """Submit with a live text stream (None sentinel terminates)."""
+        req._stream = queue.SimpleQueue()
+        self.submit(req)
+        return req._stream
+
+    def shutdown(self):
+        self._stop.set()

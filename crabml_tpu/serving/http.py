@@ -1,0 +1,166 @@
+"""Minimal OpenAI-style HTTP front-end over ServingEngine.
+
+Stdlib-only (http.server): POST /v1/completions with
+  {"prompt": str, "max_tokens": int, "temperature": float, "top_p": float,
+   "stream": bool}
+-> {"id", "choices": [{"text", "finish_reason"}], "usage": {...}}, or
+chunked text/event-stream when "stream" is true. GET /health reports slot
+occupancy. The engine loop runs on a dedicated thread; handler threads only
+enqueue and wait on per-request queues, so many in-flight requests
+continuously batch onto the slot pool.
+
+The reference has no serving daemon (SURVEY §2.12); this is the host-side
+routing layer BASELINE.json requires — in a multi-host deployment one of
+these runs per model replica behind any off-the-shelf LB, with DCN only
+carrying requests/responses (weights and KV never leave the replica's ICI
+domain).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .engine import Request, ServingEngine
+
+
+def make_handler(engine: ServingEngine):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(
+                    200,
+                    {
+                        "status": "ok",
+                        "model": engine.cfg.model_name,
+                        "slots_total": engine.n_slots,
+                        "slots_busy": sum(r is not None for r in engine.slots),
+                        "steps": engine.steps,
+                    },
+                )
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/completions", "/generate"):
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                req = Request(
+                    prompt=payload.get("prompt", ""),
+                    max_tokens=int(payload.get("max_tokens", 256)),
+                    temperature=float(payload.get("temperature", 0.0)),
+                    topp=float(payload.get("top_p", 0.9)),
+                )
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+
+            if payload.get("stream"):
+                stream = engine.enqueue_streaming(req)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+                while True:
+                    piece = stream.get()
+                    if piece is None:
+                        break
+                    data = b"data: " + json.dumps({"text": piece}).encode() + b"\n\n"
+                    chunk(data)
+                chunk(b"data: [DONE]\n\n")
+                chunk(b"")
+                return
+
+            stream = engine.enqueue_streaming(req)
+            parts = []
+            while True:
+                piece = stream.get()
+                if piece is None:
+                    break
+                parts.append(piece)
+            self._json(
+                200,
+                {
+                    "id": f"cmpl-{req.request_id}",
+                    "object": "text_completion",
+                    "model": engine.cfg.model_name,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "text": "".join(parts),
+                            "finish_reason": req.finish_reason,
+                        }
+                    ],
+                    "usage": {
+                        "prompt_tokens": len(req.prompt_tokens),
+                        "completion_tokens": len(req.output_tokens),
+                        "total_tokens": len(req.prompt_tokens) + len(req.output_tokens),
+                    },
+                },
+            )
+
+    return Handler
+
+
+def serve(engine: ServingEngine, host: str = "0.0.0.0", port: int = 8000):
+    """Run the engine loop + HTTP server until interrupted."""
+    loop = threading.Thread(target=engine.run_forever, daemon=True)
+    loop.start()
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    try:
+        server.serve_forever()
+    finally:
+        engine.shutdown()
+        server.server_close()
+
+
+def main(argv=None):
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ..runtime.runner import Runner
+
+    ap = argparse.ArgumentParser(prog="crabml-tpu-serve")
+    ap.add_argument("model", help="path to GGUF model file")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    args = ap.parse_args(argv)
+
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    runner = Runner(
+        args.model, seq_len=args.seq_len, compute_dtype=dt, backend=args.backend
+    )
+    engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len)
+    print(f"serving {engine.cfg.model_name} on {args.host}:{args.port} "
+          f"({args.slots} slots, seq_len={engine.seq_len})")
+    serve(engine, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()
