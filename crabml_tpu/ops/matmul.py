@@ -32,14 +32,25 @@ def set_backend(name: str):
     _BACKEND = name
 
 
-def qmatmul(x, qt: QTensor, compute_dtype=jnp.float32):
-    """x: (..., k) @ qt(m, k)^T -> (..., m)."""
+def qmatmul(x, qt: QTensor, compute_dtype=jnp.float32, layer=None):
+    """x: (..., k) @ qt(m, k)^T -> (..., m).
+
+    `layer`: traced layer index selecting one layer of a stacked
+    (L, m, k) QTensor — the Pallas path picks it via scalar prefetch
+    (no plane copies inside lax.scan); the XLA path dynamic-indexes.
+    """
     if _BACKEND == "pallas":
         from .pallas import gemm_quant
 
-        out = gemm_quant.qmatmul_pallas(x, qt, compute_dtype)
+        out = gemm_quant.qmatmul_pallas(x, qt, compute_dtype, layer=layer)
         if out is not None:
             return out
+    if layer is not None:
+        qt = QTensor(
+            qt.kind,
+            tuple(qt.shape[1:]),
+            {n: jnp.asarray(p)[layer] for n, p in qt.planes.items()},
+        )
     w = dequant_jnp(qt, compute_dtype)
     # f32 compute must be real f32 on the MXU (default TPU matmul is bf16)
     prec = "highest" if compute_dtype == jnp.float32 else None

@@ -10,25 +10,40 @@ Every ggml scheme reduces to ONE kernel template via a host-side repack:
 
   w[:, c] = (val(c) - off) * dsub[:, c // gr] (+ msub[:, c // gr])
 
-1. *Stride permutation.* Mosaic has no lane element-repeat (pltpu.repeat
-   TILES the array, and gather/reshape broadcasts don't lower), so we permute
-   columns within each TK-step: new column c ↔ original column
-   (c % G)·gr + c // G  (G = TK/gr groups). After this, the scale vector the
-   kernel needs IS pltpu.repeat(dsub_tile, gr) — a tile. The activation gets
-   the same permutation, a (B, S, G, gr)→(B, S, gr, G) transpose, O(B·k).
+All planes are stored **m-tiled and k-major**: q planes are
+(m/TM, kpad/P, TM) and scale planes (m/TM, S, G, TM), so (a) every array's
+lane dim is tile-aligned (a scale layout with G=8..32 lanes tile-pads
+8-16× in HBM — that alone OOM'd a 7B model), and (b) every grid block is a
+single fully *contiguous* HBM region (a (TKp, TM) block cut from a (k, m)
+array fragments into TKp separate TM-byte bursts). k zero-pads up to a TK
+multiple (MAX_PAD_FRAC) so odd shapes like ffn_down's k=11008 keep large
+steps. The kernel computes (B, TK) @ (TK, TM), the MXU-native orientation.
 
-2. *Strided sub-byte packing.* q values are packed so byte b of a step holds
-   the values of new columns {p·(TK/P) + b : p < P} at bit p·pbits. Unpack =
-   pltpu.repeat(plane, P) >> (lane//(TK/P)·pbits) & mask — tile + iota shift,
-   no relayout. 5/6/3-bit schemes use two planes (4+1, 4+2, 2+1 bits).
+Key layout facts (all row order is NATURAL k order — no permutation):
+
+1. *Strided sub-byte packing.* Byte row b of a step holds the values of
+   rows {p·(TK/P) + b : p < P} at bit p·pbits. Unpack =
+   pltpu.repeat(plane, P, axis=0) >> (sublane//(TK/P)·pbits) & mask —
+   a sublane tiling + constant iota shift, no relayout. 5/6/3-bit schemes
+   use two planes (4+1, 4+2, 2+1 bits).
+
+2. *Scale broadcast by free sublane reshape.* Row r's scale group is
+   r // gr, so viewing the (TK, TM) value tile as (G, gr, TM) makes the
+   scale a natural (G, 1, TM) broadcast — sublane-splitting reshapes are
+   layout-free in Mosaic. (An earlier lane-major layout needed a stride
+   permutation of rows AND activation columns to make the scale tile a
+   pltpu.repeat; transposing the layout made all of that unnecessary.)
 
 3. *Folded scales.* K-quant superblock scales fold on the host:
-   dsub = d·sc, msub = -dmin·mn (bf16), one scale granularity per scheme.
-   Scale planes are swept to (k/TK, m, G) so the k-step is a blocked leading
-   axis (any G is then a legal block width).
+   dsub = d·sc, msub = -dmin·mn, one scale granularity per scheme.
 
-Grid: (m/TM, k/TK) with k minor; the (B, TM) f32 output block stays resident
-in VMEM and accumulates across the k sweep.
+Layer-stacked weights (the lax.scan-over-layers forward) use **scalar
+prefetch**: planes keep their leading L dim on device and the kernel's
+index_map picks the layer with a prefetched scalar — no per-layer
+dynamic-slice copies of multi-MB plane arrays inside the scan.
+
+Grid: (m/TM, kpad/TK) with k minor; the (B, TM) f32 output block stays
+resident in VMEM and accumulates across the k sweep.
 """
 
 from __future__ import annotations
@@ -47,7 +62,8 @@ from ...quant.planar import QTensor
 from ...quant import codecs
 
 TM = 256
-TK = 512  # original-k elements per grid step (layout is tied to this)
+TK_CHOICES = (1024, 512, 256)  # k elements per grid step (k pads up to a multiple)
+MAX_PAD_FRAC = 0.04  # accept <=4% zero-padding of k to use a bigger TK
 B_PAD = 8
 
 
@@ -76,10 +92,16 @@ SCHEMES: dict[GGMLType, _Scheme] = {
 PALLAS_KINDS = tuple(SCHEMES)
 
 
-def _f32(a):
-    if a.dtype in (jnp.uint8, jnp.int8):
-        a = a.astype(jnp.int32)
-    return a.astype(jnp.float32)
+def _tk_for(kind: GGMLType, m: int, k: int) -> int | None:
+    """Pick the k-step size (k zero-pads up to a TK multiple), or None if the
+    shape can't use the kernels."""
+    if kind not in SCHEMES or m % TM or k < 256:
+        return None
+    for tk in TK_CHOICES:
+        kpad = -(-k // tk) * tk
+        if (kpad - k) / k <= MAX_PAD_FRAC:
+            return tk
+    return 256
 
 
 # ---------------------------------------------------------------------------
@@ -87,12 +109,20 @@ def _f32(a):
 # ---------------------------------------------------------------------------
 
 
-def _qmm_kernel(*refs, scheme: _Scheme, out_dtype, n_qplanes):
+def _sq2(ref):
+    """Block ref -> its trailing-2D tile (leading dims are all size 1)."""
+    a = ref[...]
+    return a.reshape(a.shape[-2], a.shape[-1])
+
+
+def _qmm_kernel(*refs, scheme: _Scheme, out_dtype, n_qplanes, tk: int, stacked: bool):
+    refs = refs[1:] if stacked else refs  # drop the prefetched layer scalar
     x_ref = refs[0]
     qrefs = refs[1 : 1 + n_qplanes]
     dsub_ref = refs[1 + n_qplanes]
     msub_ref = refs[2 + n_qplanes] if scheme.has_min else None
     o_ref = refs[-1]
+    G = tk // scheme.gr
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -101,28 +131,31 @@ def _qmm_kernel(*refs, scheme: _Scheme, out_dtype, n_qplanes):
     val = None
     bit_base = 0
     for pbits, qref in zip(scheme.planes, qrefs):
+        q2 = _sq2(qref)
         if pbits == 8:
-            v = qref[:].astype(jnp.int32)  # i8 plane, already full width
+            v = q2.astype(jnp.int32)  # i8 plane, already full width
         else:
             P = 8 // pbits
-            TKp = TK // P
-            tile = qref[:] if len(qref.shape) == 2 else qref[0]
-            t = pltpu.repeat(tile, P, axis=1)
+            TKp = tk // P
+            t = pltpu.repeat(q2, P, axis=0)  # (TK, TM), row r = plane[r % TKp]
             shift = (
-                jax.lax.broadcasted_iota(jnp.int32, (TM, TK), 1) // TKp
+                jax.lax.broadcasted_iota(jnp.int32, (tk, TM), 0) // TKp
             ) * pbits
             v = (t.astype(jnp.int32) >> shift) & ((1 << pbits) - 1)
         val = v if val is None else val | (v << bit_base)
         bit_base += pbits
+    if scheme.off:
+        val = val - int(scheme.off)  # integer sub, before the f-convert
 
-    w = (val.astype(jnp.float32) - scheme.off) * _f32(
-        pltpu.repeat(dsub_ref[0], scheme.gr, axis=1)
-    )
+    # compute in f32 only when the caller wants exact-f32 output
+    cd = jnp.float32 if out_dtype == jnp.float32 else jnp.bfloat16
+    d3 = _sq2(dsub_ref).astype(cd)[:, None, :]  # (G, 1, TM)
+    w3 = val.astype(cd).reshape(G, scheme.gr, TM) * d3
     if msub_ref is not None:
-        w = w + _f32(pltpu.repeat(msub_ref[0], scheme.gr, axis=1))
-    w = w.astype(out_dtype)
+        w3 = w3 + _sq2(msub_ref).astype(cd)[:, None, :]
+    w = w3.reshape(tk, TM).astype(out_dtype)
     o_ref[:] += jax.lax.dot_general(
-        x_ref[:], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x_ref[:], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
 
@@ -193,55 +226,70 @@ def _extract_vals_scales(qt: QTensor):
     raise NotImplementedError(kind.name)
 
 
+def _np_scale_dtype(scale_dtype):
+    if scale_dtype in ("bf16", jnp.bfloat16):
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return np.dtype(scale_dtype)
+
+
 def repack(qt: QTensor, scale_dtype=np.float32) -> QTensor | None:
-    """Canonical planar QTensor -> kernel-layout QTensor, or None if shape
-    unsupported (caller keeps the XLA path)."""
+    """Canonical planar QTensor -> m-tiled kernel-layout QTensor, or None
+    if shape unsupported (caller keeps the XLA path). scale_dtype="bf16"
+    halves scale-plane HBM traffic at ~3 decimal digits of scale precision."""
     kind = qt.kind
     if kind not in SCHEMES:
         return None
     m, k = qt.m, qt.k
-    if m % TM or k % TK:
+    tk = _tk_for(kind, m, k)
+    if tk is None:
         return None
+    sdt = _np_scale_dtype(scale_dtype)
     s = SCHEMES[kind]
     vals, dsub, msub = _extract_vals_scales(qt)
+    if msub is None and s.has_min:
+        msub = np.zeros_like(dsub)
 
-    S = k // TK
-    G = TK // s.gr
+    S = -(-k // tk)
+    kpad = S * tk
+    G = tk // s.gr
+    MT = m // TM
+    if kpad != k:  # zero scales make the padded tail a no-op
+        vals = np.pad(vals, ((0, 0), (0, kpad - k)))
+        dsub = np.pad(dsub, ((0, 0), (0, (kpad - k) // s.gr)))
+        if msub is not None:
+            msub = np.pad(msub, ((0, 0), (0, (kpad - k) // s.gr)))
 
-    # stride permutation within each step: new c <-> orig (c%G)*gr + c//G
-    vals = np.ascontiguousarray(
-        vals.reshape(m, S, G, s.gr).transpose(0, 1, 3, 2).reshape(m, k)
-    )
+    # m-tiled k-major: (m/TM, kpad, TM); every (tk, TM) block contiguous
+    vals_t = np.ascontiguousarray(vals.reshape(MT, TM, kpad).transpose(0, 2, 1))
 
     planes: dict[str, np.ndarray] = {}
     bit_base = 0
     for idx, pbits in enumerate(s.planes):
         if pbits == 8:
-            planes[f"q{idx}"] = vals.astype(np.int8)  # signed i8 payload
+            planes[f"q{idx}"] = vals_t.astype(np.int8)  # signed i8 payload
             bit_base += pbits
             continue
-        sub = (vals.astype(np.int32) >> bit_base) & ((1 << pbits) - 1)
+        sub = (vals_t.astype(np.int32) >> bit_base) & ((1 << pbits) - 1)
         bit_base += pbits
         P = 8 // pbits
-        TKp = TK // P
-        # byte b of step s holds new columns {p*TKp + b} at bit p*pbits
-        sub = sub.reshape(m, S, P, TKp).astype(np.uint8)
-        packed = np.zeros((m, S, TKp), np.uint8)
+        TKp = tk // P
+        # byte row b of step s holds rows {p*TKp + b} at bit p*pbits
+        sub = sub.reshape(MT, S, P, TKp, TM).astype(np.uint8)
+        packed = np.zeros((MT, S, TKp, TM), np.uint8)
         for pp in range(P):
-            packed |= sub[:, :, pp, :] << (pp * pbits)
-        if TKp >= 128:
-            planes[f"q{idx}"] = packed.reshape(m, k // P)
-        else:  # narrow plane: sweep so the block covers the full width
-            planes[f"q{idx}"] = np.ascontiguousarray(packed.transpose(1, 0, 2))
+            packed |= sub[:, :, pp] << (pp * pbits)
+        planes[f"q{idx}"] = packed.reshape(MT, kpad // P, TM)
 
-    def sweep_scale(a):
+    def sweep_scale(a):  # (m, kpad/gr) -> (m/TM, S, G, TM)
         return np.ascontiguousarray(
-            a.astype(scale_dtype).reshape(m, S, G).transpose(1, 0, 2)
+            a.astype(sdt).reshape(MT, TM, S, G).transpose(0, 2, 3, 1)
         )
 
     planes["dsub"] = sweep_scale(dsub)
     if s.has_min:
-        planes["msub"] = sweep_scale(msub if msub is not None else np.zeros_like(dsub))
+        planes["msub"] = sweep_scale(msub)
     return QTensor(kind, qt.shape, planes)
 
 
@@ -250,52 +298,61 @@ def repack(qt: QTensor, scale_dtype=np.float32) -> QTensor | None:
 # ---------------------------------------------------------------------------
 
 
-def _permute_x(x2, k, gr):
-    """Per-step stride permutation of the activation (matches repack)."""
-    B = x2.shape[0]
-    S = k // TK
-    G = TK // gr
-    return x2.reshape(B, S, G, gr).transpose(0, 1, 3, 2).reshape(B, k)
+def _pad_x(x2, tk):
+    """Zero-pad the activation's k up to a tk multiple (matches repack)."""
+    k = x2.shape[1]
+    kpad = -(-k // tk) * tk
+    if kpad != k:
+        x2 = jnp.pad(x2, ((0, 0), (0, kpad - k)))
+    return x2
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "m", "k", "out_dtype"))
-def _run(kind: GGMLType, m: int, k: int, out_dtype, x2, *planes):
+@functools.partial(jax.jit, static_argnames=("kind", "m", "tk", "out_dtype", "stacked"))
+def _run(kind: GGMLType, m: int, tk: int, out_dtype, stacked: bool, x2, layer, *planes):
     s = SCHEMES[kind]
-    B = x2.shape[0]
-    grid = (m // TM, k // TK)
-    G = TK // s.gr
+    B, kpad = x2.shape
+    grid = (m // TM, kpad // tk)
+    G = tk // s.gr
+    n_qplanes = len(s.planes)
 
-    def vspec(shape, imap):
+    def vspec(core_shape, core_imap):
+        if stacked:
+            shape = (1,) + core_shape
+            imap = lambda i, j, l_ref: (l_ref[0],) + core_imap(i, j)
+        else:
+            shape, imap = core_shape, core_imap
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
-    in_specs = [vspec((B, TK), lambda i, j: (0, j))]
-    n_qplanes = len(s.planes)
-    for pbits, plane in zip(s.planes, planes[:n_qplanes]):
-        if pbits == 8:
-            in_specs.append(vspec((TM, TK), lambda i, j: (i, j)))
-        else:
-            P = 8 // pbits
-            TKp = TK // P
-            if plane.ndim == 2:
-                in_specs.append(vspec((TM, TKp), lambda i, j: (i, j)))
-            else:  # swept narrow plane (S, m, TKp)
-                in_specs.append(
-                    vspec((1, TM, TKp), lambda i, j: (j, i, 0))
-                )
-    in_specs.append(vspec((1, TM, G), lambda i, j: (j, i, 0)))  # dsub
-    if s.has_min:
-        in_specs.append(vspec((1, TM, G), lambda i, j: (j, i, 0)))  # msub
+    def xspec():
+        if stacked:
+            return pl.BlockSpec((B, tk), lambda i, j, l_ref: (0, j), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((B, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+
+    in_specs = [xspec()]
+    for pbits in s.planes:
+        rows = tk if pbits == 8 else tk // (8 // pbits)
+        in_specs.append(vspec((1, rows, TM), lambda i, j: (i, j, 0)))
+    for _ in range(1 + int(s.has_min)):  # dsub (+ msub)
+        in_specs.append(vspec((1, 1, G, TM), lambda i, j: (i, j, 0, 0)))
 
     kernel = functools.partial(
-        _qmm_kernel, scheme=s, out_dtype=out_dtype, n_qplanes=n_qplanes
+        _qmm_kernel, scheme=s, out_dtype=out_dtype, n_qplanes=n_qplanes,
+        tk=tk, stacked=stacked,
     )
+    out_shape = jax.ShapeDtypeStruct((B, m), jnp.float32)
+    interp = jax.default_backend() != "tpu"
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((B, TM), lambda i, j, l_ref: (0, i), memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec, interpret=interp)(
+            jnp.asarray(layer, jnp.int32)[None], x2, *planes
+        )
     return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((B, m), jnp.float32),
-        grid=grid,
-        in_specs=in_specs,
+        kernel, out_shape=out_shape, grid=grid, in_specs=in_specs,
         out_specs=pl.BlockSpec((B, TM), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        interpret=jax.default_backend() != "tpu",
+        interpret=interp,
     )(x2, *planes)
 
 
@@ -303,43 +360,59 @@ def is_repacked(qt: QTensor) -> bool:
     return "dsub" in qt.planes
 
 
+def _infer_tk(qt: QTensor) -> int:
+    # dsub is (m/TM, S, G, TM) (one more leading dim when layer-stacked):
+    # TK = G * gr
+    s = SCHEMES[qt.kind]
+    return qt.planes["dsub"].shape[-2] * s.gr
+
+
 def random_repacked(kind: GGMLType, shape, rng=None, scale_dtype=np.float32) -> QTensor:
     """Random kernel-layout planes (for benchmarks; layout-faithful)."""
     rng = rng or np.random.default_rng(0)
     m = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
     k = int(shape[-1])
-    if kind not in SCHEMES or m % TM or k % TK:
+    tk = _tk_for(kind, m, k)
+    if tk is None:
         from ...quant.planar import random_planar
 
         return random_planar(kind, shape, rng)  # XLA fallback layout
+    sdt = _np_scale_dtype(scale_dtype)
     s = SCHEMES[kind]
-    S, G = k // TK, TK // s.gr
+    S = -(-k // tk)
+    kpad, G, MT = S * tk, tk // s.gr, m // TM
     planes: dict[str, np.ndarray] = {}
     for idx, pbits in enumerate(s.planes):
         if pbits == 8:
-            planes[f"q{idx}"] = rng.integers(-127, 127, (m, k), dtype=np.int8)
-            continue
-        P = 8 // pbits
-        TKp = TK // P
-        a = rng.integers(0, 256, (m, S, TKp), dtype=np.uint8)
-        planes[f"q{idx}"] = (
-            a.reshape(m, k // P) if TKp >= 128 else np.ascontiguousarray(a.transpose(1, 0, 2))
-        )
-    planes["dsub"] = (np.abs(rng.standard_normal((S, m, G))) * 0.01).astype(scale_dtype)
+            planes[f"q{idx}"] = rng.integers(-127, 127, (MT, kpad, TM), dtype=np.int8)
+        else:
+            P = 8 // pbits
+            planes[f"q{idx}"] = rng.integers(0, 256, (MT, kpad // P, TM), dtype=np.uint8)
+    planes["dsub"] = (np.abs(rng.standard_normal((MT, S, G, TM))) * 0.01).astype(sdt)
     if s.has_min:
-        planes["msub"] = (rng.standard_normal((S, m, G)) * 0.01).astype(scale_dtype)
+        planes["msub"] = (rng.standard_normal((MT, S, G, TM)) * 0.01).astype(sdt)
     return QTensor(kind, (m, k), planes)
 
 
-def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16):
+def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None):
     """x: (..., k) @ qt(m, k)^T -> (..., m), or None if `qt` has no kernel
-    layout (caller falls back to the XLA dequant path)."""
+    layout (caller falls back to the XLA dequant path).
+
+    With `layer`, qt's planes carry a leading layer axis and the kernel
+    selects the layer via scalar prefetch — pass the full stacked QTensor
+    inside a lax.scan body instead of slicing it (slicing copies planes).
+    """
     kind = qt.kind
     if kind not in SCHEMES or not is_repacked(qt):
         return None
-    m, k = qt.m, qt.k
-    if m % TM or k % TK:
+    stacked = layer is not None
+    if stacked:
+        _, m, k = qt.shape[-3], qt.shape[-2], qt.shape[-1]
+    else:
+        m, k = qt.m, qt.k
+    if m % TM:
         return None
+    tk = _infer_tk(qt)
     s = SCHEMES[kind]
 
     lead = x.shape[:-1]
@@ -348,12 +421,13 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16):
     Bp = -(-B // B_PAD) * B_PAD
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
-    x2 = _permute_x(x2, k, s.gr)
+    x2 = _pad_x(x2, tk)
 
     p = qt.planes
     qplanes = [p[f"q{i}"] for i in range(len(s.planes))]
     splanes = [p["dsub"]] + ([p["msub"]] if s.has_min else [])
-    out = _run(kind, m, k, compute_dtype, x2, *qplanes, *splanes)
+    out = _run(kind, m, tk, compute_dtype, stacked, x2, layer if stacked else 0,
+               *qplanes, *splanes)
 
     if Bp != B:
         out = out[:B]

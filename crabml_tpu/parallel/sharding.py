@@ -60,9 +60,9 @@ def shard_weights(weights: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
     tp = mesh.shape["tp"]
     validate_tp(cfg, tp)
 
-    row = {"wq", "wk", "wv", "ffn_gate", "ffn_up"}
+    row = {"wq", "wk", "wv", "wqkv", "ffn_gate", "ffn_up", "wgu"}
     col = {"wo", "ffn_down"}
-    row_bias = {"bq", "bk", "bv", "ffn_up_b"}
+    row_bias = {"bq", "bk", "bv", "bqkv", "ffn_up_b"}
 
     def put_q(qt: QTensor, axis: str | None) -> QTensor:
         # axis: "row" (m), "col" (k), or None; resolved per QTensor rank so

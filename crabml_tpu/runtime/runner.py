@@ -21,7 +21,7 @@ import numpy as np
 from ..gguf.reader import GGUFFile
 from ..models.config import ModelConfig, config_from_gguf
 from ..models.forward import KVCache, forward
-from ..models.weights import load_weights, repack_weights
+from ..models.weights import fuse_weights, load_weights, repack_weights
 from ..tokenizer import Tokenizer, Utf8Buf, tokenizer_from_gguf
 from ..utils.metrics import Metrics
 from .sampler import Sampler
@@ -63,7 +63,7 @@ class Runner:
 
             matmul_mod.set_backend(backend)
         with self.metrics.track("load"):
-            host_weights = load_weights(gf, self.cfg)
+            host_weights = fuse_weights(load_weights(gf, self.cfg), self.cfg)
             if backend == "pallas":
                 host_weights = repack_weights(host_weights)
             if sharding is not None:
