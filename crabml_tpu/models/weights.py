@@ -37,6 +37,31 @@ def _qtensor_opt(gf: GGUFFile, name: str) -> QTensor | None:
     return _qtensor(gf, name) if name in gf else None
 
 
+def _qtensor_kernel(gf: GGUFFile, name: str) -> QTensor:
+    """Load a matmul weight directly in the Pallas kernel plane layout.
+
+    Uses the native C++ single-pass repack (crabml_tpu.native) when built;
+    otherwise canonical planar + the Python repack. Falls back to canonical
+    planes (XLA dequant path) for unsupported shapes — qmatmul dispatches
+    per-tensor on is_repacked()."""
+    from .. import native
+    from ..ops.pallas.gemm_quant import repack
+
+    info = gf.get_tensor_info(name)
+    if info is None:
+        raise KeyError(f"tensor not found: {name}")
+    shape = info.shape
+    m = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    k = int(shape[-1])
+    if native.available():
+        planes = native.repack_raw(info.typ, info.to_numpy(), m, k)
+        if planes is not None:
+            return QTensor(info.typ, (m, k), planes)
+    qt = to_planar(info.typ, info.to_numpy(), shape)
+    r = repack(qt)
+    return r if r is not None else qt
+
+
 def _slice_rows(qt: QTensor, start: int, stop: int) -> QTensor:
     """Row-slice a QTensor (all planes share the leading m axis)."""
     return QTensor(
@@ -58,6 +83,8 @@ def fuse_weights(weights: dict, cfg: ModelConfig) -> dict:
             return
         if len({q.kind for q in qs}) != 1 or len({q.k for q in qs}) != 1:
             return
+        if len({frozenset(q.planes) for q in qs}) != 1:
+            return  # mixed kernel/planar layouts (partial fallback)
         planes = {
             n: np.concatenate([q.planes[n] for q in qs], axis=1)
             for n in qs[0].planes
@@ -88,7 +115,11 @@ def repack_weights(weights: dict) -> dict:
     from ..ops.pallas.gemm_quant import repack
     from ..quant.planar import stack_qtensors
 
+    from ..ops.pallas.gemm_quant import is_repacked
+
     def rep_stacked(qt: QTensor) -> QTensor:
+        if is_repacked(qt):
+            return qt
         outs = []
         for l in range(qt.shape[0]):
             one = QTensor(qt.kind, tuple(qt.shape[1:]), {n: p[l] for n, p in qt.planes.items()})
@@ -103,22 +134,26 @@ def repack_weights(weights: dict) -> dict:
         name: (rep_stacked(val) if isinstance(val, QTensor) else val)
         for name, val in weights["layers"].items()
     }
-    if weights.get("output") is not None:
+    if weights.get("output") is not None and not is_repacked(weights["output"]):
         r = repack(weights["output"])
         out["output"] = r if r is not None else weights["output"]
     return out
 
 
-def load_weights(gf: GGUFFile, cfg: ModelConfig) -> dict:
+def load_weights(gf: GGUFFile, cfg: ModelConfig, layout: str = "planar") -> dict:
+    """layout="kernel" loads matmul weights pre-repacked for the Pallas
+    kernels (native C++ single pass when available); "planar" keeps the
+    canonical planes for the XLA dequant path."""
     arch = cfg.architecture
     L = cfg.n_layers
     dim = cfg.embedding_dim
     kv_dim = cfg.kv_dim
+    q_load = _qtensor_kernel if layout == "kernel" else _qtensor
 
     layers: dict[str, object] = {}
 
     def stack_q(fmt: str) -> QTensor:
-        return stack_qtensors([_qtensor(gf, fmt.format(l)) for l in range(L)])
+        return stack_qtensors([q_load(gf, fmt.format(l)) for l in range(L)])
 
     def stack_f32(fmt: str) -> np.ndarray:
         return np.stack([_dense_f32(gf, fmt.format(l)) for l in range(L)])
@@ -171,7 +206,11 @@ def load_weights(gf: GGUFFile, cfg: ModelConfig) -> dict:
         "final_norm": _dense_f32(gf, "output_norm.weight"),
         "final_norm_b": _dense_f32(gf, "output_norm.bias") if arch == "phi2" else None,
         # gemma has no output.weight -> tied embeddings (model.rs:433-434)
-        "output": _qtensor_opt(gf, "output.weight"),
+        "output": (
+            q_load(gf, "output.weight")
+            if "output.weight" in gf
+            else None
+        ),
         "layers": layers,
     }
     return weights

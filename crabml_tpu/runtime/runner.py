@@ -63,9 +63,10 @@ class Runner:
 
             matmul_mod.set_backend(backend)
         with self.metrics.track("load"):
-            host_weights = fuse_weights(load_weights(gf, self.cfg), self.cfg)
+            layout = "kernel" if backend == "pallas" else "planar"
+            host_weights = fuse_weights(load_weights(gf, self.cfg, layout), self.cfg)
             if backend == "pallas":
-                host_weights = repack_weights(host_weights)
+                host_weights = repack_weights(host_weights)  # stragglers only
             if sharding is not None:
                 from ..parallel.sharding import shard_weights
 
