@@ -1,0 +1,132 @@
+"""Perplexity harness — the quant-accuracy gate.
+
+The reference's accuracy story is golden-string tests plus per-scheme
+vec_dot error budgets (buf_q4_k.rs:288-315 etc.); llama.cpp's is wikitext
+perplexity. BASELINE.json asks for "perplexity within 0.1% of the reference
+at equal bit-width per scheme". Our planar codecs are bit-exact against
+ggml payloads (tests/test_codecs.py, tests/test_native.py), so at f32
+matmul precision the dequantized weights — and therefore the model
+distribution — are identical to the reference's by construction; this
+harness measures it end-to-end and quantifies what each quant scheme (and
+each compute dtype / kernel path) costs in NLL on real text.
+
+Usage:
+    python -m crabml_tpu.eval.perplexity model.gguf --text corpus.txt
+    python -m crabml_tpu.eval.perplexity model.gguf --sweep q8_0,q4_k
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _chunk_nll(weights, cfg, ids, compute_dtype):
+    """Total negative log-likelihood (nats) + token count for one chunk."""
+    from ..models.forward import KVCache, forward
+
+    T = len(ids)
+    cache = KVCache.create(cfg, 1, T, compute_dtype)
+    tokens = jnp.asarray([ids], jnp.int32)
+    logits, _ = forward(weights, cache, tokens, jnp.zeros(1, jnp.int32), cfg, compute_dtype)
+    logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
+    tgt = jnp.asarray(ids[1:], jnp.int32)
+    nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1).sum()
+    return float(nll), T - 1
+
+
+def perplexity(runner, text: str, window: int | None = None) -> dict:
+    """Token-level perplexity of `text` under a Runner's model.
+
+    Splits into `window`-token chunks (default: the runner's seq_len, capped
+    at 512) evaluated independently — the llama.cpp-style sliding
+    convention, simplified to disjoint windows.
+    """
+    ids = runner.tokenizer.encode(text, bos=True)
+    window = min(window or runner.seq_len, runner.seq_len, 512)
+    total_nll, total_tok = 0.0, 0
+    for i in range(0, max(len(ids) - 1, 1), window):
+        chunk = ids[i : i + window + 1]
+        if len(chunk) < 2:
+            break
+        nll, n = _chunk_nll(runner.weights, runner.cfg, chunk, runner.compute_dtype)
+        total_nll += nll
+        total_tok += n
+    return {
+        "nll_per_token": total_nll / max(total_tok, 1),
+        "perplexity": float(np.exp(total_nll / max(total_tok, 1))),
+        "tokens": total_tok,
+    }
+
+
+def quant_sweep(model_path: str, text: str, schemes: list[str], seq_len: int = 256,
+                backend: str | None = None) -> dict:
+    """Re-quantize every matmul weight of `model_path` to each scheme and
+    measure perplexity deltas vs the original model.
+
+    Writes temp GGUFs via GGUFWriter + codecs.quantize (the encode path the
+    reference only has for activations/tests) and runs the full engine on
+    each — an end-to-end gate on codec+kernel+layout per scheme.
+    """
+    import tempfile
+
+    from ..gguf.constants import GGMLType
+    from ..gguf.reader import GGUFFile
+    from ..gguf.writer import requantize_gguf
+    from ..runtime.runner import Runner
+
+    base = Runner(model_path, seq_len=seq_len, backend=backend)
+    results = {"f32_baseline": perplexity(base, text)}
+    base_ppl = results["f32_baseline"]["perplexity"]
+
+    for name in schemes:
+        typ = GGMLType[name.upper()]
+        with tempfile.NamedTemporaryFile(suffix=f"-{name}.gguf", delete=False) as f:
+            tmp = f.name
+        n_req = requantize_gguf(model_path, tmp, typ)
+        r = Runner(tmp, seq_len=seq_len, backend=backend)
+        res = perplexity(r, text)
+        res["tensors_requantized"] = n_req
+        res["delta_vs_baseline"] = res["perplexity"] - base_ppl
+        res["rel_delta"] = (res["perplexity"] - base_ppl) / base_ppl
+        results[name] = res
+    return results
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="crabml-tpu-ppl")
+    ap.add_argument("model")
+    ap.add_argument("--text", default=None, help="text file (default: built-in sample)")
+    ap.add_argument("--sweep", default=None, help="comma list of quant schemes")
+    ap.add_argument("--seq-len", type=int, default=256)
+    ap.add_argument("--backend", default=None, choices=[None, "xla", "pallas"])
+    args = ap.parse_args(argv)
+
+    if args.text:
+        with open(args.text) as f:
+            text = f.read()
+    else:
+        text = (
+            "Once upon a time there was a little cat named Lily. She liked to "
+            "play in the garden with her ball. One day she saw a bird in the "
+            "tree and wanted to catch it. The bird flew away and Lily was sad. "
+            "Her friend Tom came to play and they had fun together all day."
+        )
+
+    if args.sweep:
+        out = quant_sweep(args.model, text, args.sweep.split(","),
+                          seq_len=args.seq_len, backend=args.backend)
+    else:
+        from ..runtime.runner import Runner
+
+        out = perplexity(Runner(args.model, seq_len=args.seq_len, backend=args.backend), text)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

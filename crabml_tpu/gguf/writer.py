@@ -182,3 +182,39 @@ class GGUFWriter:
                     pos = off
                 f.write(packed)
                 pos += len(packed)
+
+
+def requantize_gguf(src_path: str, dst_path: str, typ: GGMLType) -> int:
+    """Re-quantize a GGUF's matmul weights to `typ` (the llama.cpp
+    `quantize` tool's role). Norm vectors and any tensor whose row length
+    doesn't divide the target block size keep their original encoding;
+    metadata is copied verbatim. Returns the number of requantized
+    tensors (0 means the sweep was a no-op, e.g. K-quants on rows < 256)."""
+    from ..quant.codecs import dequantize, quantize
+    from .constants import GGML_BLOCK_SIZES
+    from .reader import GGUFFile
+
+    gf = GGUFFile(src_path)
+    w = GGUFWriter()
+    for key, value in gf.metadata.as_dict().items():
+        w.add_metadata(key, value)
+    blk = GGML_BLOCK_SIZES[typ][0]
+    n_requant = 0
+    for info in gf.tensor_infos:
+        shape = info.shape
+        requant = (
+            len(shape) == 2
+            and shape[-1] % blk == 0
+            and info.typ in (GGMLType.F32, GGMLType.F16)
+            or len(shape) == 2
+            and shape[-1] % blk == 0
+            and info.typ != typ
+        )
+        if requant:
+            dense = dequantize(info.typ, info.to_numpy(), info.n_elems).reshape(shape)
+            w.add_tensor(info.name, typ, shape, quantize(typ, dense))
+            n_requant += 1
+        else:
+            w.add_tensor(info.name, info.typ, shape, bytes(info.to_numpy()))
+    w.write(dst_path)
+    return n_requant

@@ -55,8 +55,14 @@ def _block_elems(qt: QTensor) -> int:
     return GGML_BLOCK_SIZES[qt.kind][0]
 
 
-def shard_weights(weights: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
-    """device_put the weight pytree with TP shardings over `mesh`."""
+def shard_weights(weights: dict, mesh: Mesh, cfg: ModelConfig, _put=None) -> dict:
+    """device_put the weight pytree with TP shardings over `mesh`.
+
+    `_put(array, sharding)` overrides the placement primitive — the
+    multi-host loader (parallel.distributed.shard_weights_local) passes a
+    make_array_from_callback-based put so each process materializes only
+    its own shards."""
+    put = _put or jax.device_put
     tp = mesh.shape["tp"]
     validate_tp(cfg, tp)
 
@@ -74,16 +80,16 @@ def shard_weights(weights: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
         ax = {None: None, "row": ndim - 2, "col": ndim - 1}[axis]
         sh = _q_sharding(mesh, qt, ax, "tp")
         return QTensor(
-            qt.kind, qt.shape, {n: jax.device_put(p, sh) for n, p in qt.planes.items()}
+            qt.kind, qt.shape, {n: put(p, sh) for n, p in qt.planes.items()}
         )
 
     rep = NamedSharding(mesh, P())
 
     out = {}
     out["token_embed"] = put_q(weights["token_embed"], None)
-    out["final_norm"] = jax.device_put(weights["final_norm"], rep)
+    out["final_norm"] = put(weights["final_norm"], rep)
     out["final_norm_b"] = (
-        jax.device_put(weights["final_norm_b"], rep)
+        put(weights["final_norm_b"], rep)
         if weights.get("final_norm_b") is not None
         else None
     )
@@ -98,11 +104,9 @@ def shard_weights(weights: dict, mesh: Mesh, cfg: ModelConfig) -> dict:
             layers[name] = put_q(val, axis)
         else:  # stacked (L, d) arrays: biases / norms
             if name in row_bias:
-                layers[name] = jax.device_put(
-                    val, NamedSharding(mesh, P(None, "tp"))
-                )
+                layers[name] = put(val, NamedSharding(mesh, P(None, "tp")))
             else:
-                layers[name] = jax.device_put(val, rep)
+                layers[name] = put(val, rep)
     out["layers"] = layers
     return out
 

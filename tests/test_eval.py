@@ -1,0 +1,50 @@
+"""Perplexity harness: quant sweep on the real 260k fixture + a K-quant
+sweep on a synthetic 256-dim model (260k rows are too short for K blocks)."""
+
+import pytest
+
+from crabml_tpu.eval import perplexity, quant_sweep
+from crabml_tpu.runtime.runner import Runner
+
+TEXT = (
+    "Once upon a time there was a little cat named Lily. She liked to play "
+    "in the garden with her ball. One day she saw a bird in the tree and "
+    "wanted to catch it. The bird flew away and Lily was sad. Her friend "
+    "Tom came to play with her and they had fun together all day long."
+)
+
+
+def test_perplexity_sane(stories260k_path):
+    r = Runner(stories260k_path, seq_len=128)
+    res = perplexity(r, TEXT)
+    # stories-260k on in-domain story text: low single digits
+    assert 1.5 < res["perplexity"] < 20, res
+    # deterministic
+    assert perplexity(r, TEXT)["perplexity"] == res["perplexity"]
+
+
+def test_quant_sweep_260k(stories260k_path):
+    out = quant_sweep(stories260k_path, TEXT, ["q8_0", "q4_0"], seq_len=128)
+    assert out["q8_0"]["tensors_requantized"] > 0
+    # q8_0 is near-lossless; q4_0 visibly worse but bounded on this tiny model
+    assert abs(out["q8_0"]["rel_delta"]) < 0.01, out["q8_0"]
+    assert abs(out["q4_0"]["rel_delta"]) < 0.5, out["q4_0"]
+    assert out["q4_0"]["rel_delta"] > out["q8_0"]["rel_delta"] - 0.01
+
+
+def test_quant_sweep_kquants_synthetic(tmp_path):
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.synthetic import tiny_config, write_synthetic_gguf
+
+    cfg = tiny_config(
+        embedding_dim=256, hidden_dim=256, n_layers=1, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=128,
+    )
+    path = str(tmp_path / "syn.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=11)
+    out = quant_sweep(path, "hello world one two three", ["q4_k", "q6_k"], seq_len=64)
+    assert out["q4_k"]["tensors_requantized"] > 0
+    assert out["q6_k"]["tensors_requantized"] > 0
+    # K-quants on random weights: ppl finite and q6 at least as faithful as q4
+    assert out["q6_k"]["perplexity"] > 0
+    assert abs(out["q6_k"]["rel_delta"]) <= abs(out["q4_k"]["rel_delta"]) + 0.05

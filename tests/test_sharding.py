@@ -55,3 +55,35 @@ def test_tp_validation_rejects_bad_split(model260):
     mesh = make_mesh(tp=8, dp=1)
     with pytest.raises(AssertionError):
         shard_weights(weights, mesh, cfg)  # n_kv_heads=4 < 8
+
+
+def test_global_mesh_and_distributed_single_process():
+    """distributed helpers degrade to single-host behavior on the CPU mesh."""
+    import jax
+
+    from crabml_tpu.parallel import global_mesh, init_distributed
+
+    assert init_distributed() == 1
+    mesh = global_mesh(tp=4, dp=2)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert mesh.axis_names == ("dp", "tp")
+
+
+def test_shard_weights_local_matches_shard_weights():
+    import jax
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.synthetic import make_weights, tiny_config
+    from crabml_tpu.parallel import make_mesh, shard_weights
+    from crabml_tpu.parallel.distributed import shard_weights_local
+
+    cfg = tiny_config()
+    w = make_weights(cfg, GGMLType.Q8_0, seed=0)
+    mesh = make_mesh(tp=4, dp=2)
+    a = shard_weights(w, mesh, cfg)
+    b = shard_weights_local(w, mesh, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(a["layers"]["wq"].planes["qs"]),
+        np.asarray(b["layers"]["wq"].planes["qs"]),
+    )
