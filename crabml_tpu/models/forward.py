@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.matmul import embedding_lookup, qmatmul
 from ..ops.norm import rms_norm
@@ -46,7 +47,8 @@ NEG_INF = -1e30
 )
 @dataclass
 class KVCache:
-    """k, v: (L, B, S, n_kv_heads, head_dim)."""
+    """k, v: (L, B, n_kv_heads, S, head_dim) — head-major so attention
+    kernels see (S, head_dim) as the trailing (tile-aligned) dims."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -54,12 +56,12 @@ class KVCache:
     @staticmethod
     def create(cfg: ModelConfig, batch: int, seq_len: int | None = None, dtype=jnp.float32):
         s = seq_len or cfg.seq_len
-        shape = (cfg.n_layers, batch, s, cfg.n_kv_heads, cfg.head_dim)
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     @property
     def seq_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def _activation(x, kind: str):
@@ -73,16 +75,27 @@ def _activation(x, kind: str):
 def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None):
     """Masked GQA attention over the full cache.
 
-    q: (B, T, H, hd); k_cache/v_cache: (B, S, KV, hd); pos: (B,) int32 —
+    q: (B, T, H, hd); k_cache/v_cache: (B, KV, S, hd); pos: (B,) int32 —
     number of valid cache entries before this call's tokens.
     """
     B, T, H, hd = q.shape
-    S, KV = k_cache.shape[1], k_cache.shape[2]
+    KV, S = k_cache.shape[1], k_cache.shape[2]
     G = H // KV
+
+    if T > 1 and probe is None:  # prefill: try the flash kernel
+        from ..ops import matmul as _mm
+
+        if _mm._BACKEND == "pallas":
+            from ..ops.pallas.flash_attention import flash_attention
+
+            out = flash_attention(q, k_cache, v_cache, pos, scale)
+            if out is not None:
+                return out
+
     qg = q.reshape(B, T, KV, G, hd)
 
     scores = jnp.einsum(
-        "btkgh,bskh->bkgts", qg.astype(jnp.float32), k_cache.astype(jnp.float32),
+        "btkgh,bksh->bkgts", qg.astype(jnp.float32), k_cache.astype(jnp.float32),
         preferred_element_type=jnp.float32, precision="highest",
     ) * scale
 
@@ -99,7 +112,7 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None):
         probe["attn_probs"] = probs
 
     out = jnp.einsum(
-        "bkgts,bskh->btkgh", probs, v_cache.astype(jnp.float32),
+        "bkgts,bksh->btkgh", probs, v_cache.astype(jnp.float32),
         preferred_element_type=jnp.float32, precision="highest",
     )
     return out.reshape(B, T, H * hd)
@@ -112,9 +125,16 @@ def forward(
     pos: jnp.ndarray,  # (B,) int32 — valid cache length per sequence
     cfg: ModelConfig,
     compute_dtype=jnp.float32,
-    probes: dict | None = None,
+    collect_probes: bool = False,
 ):
-    """Returns (logits (B, T, vocab), updated KVCache)."""
+    """Returns (logits (B, T, vocab), updated KVCache[, probes]).
+
+    `collect_probes=True` (static) additionally returns a dict of named
+    intermediates — per-layer tensors stacked (L, ...) by the scan, plus
+    top-level embed/final_rmsnorm — the TPU equivalent of the reference's
+    debug_named_tensors instrument (cpu_device.rs:126-132, llama2.rs:737-797
+    uses it to cross-check backends at named probes). Used by
+    tests to pin the XLA and Pallas compute paths against each other."""
     B, T = tokens.shape
     D = cfg.embedding_dim
     H, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -166,13 +186,13 @@ def forward(
         k = apply_rope(k, positions, rope_dim, cfg.rope_mode, cfg.rope_base)
 
         # write new k/v into the cache at each sequence's own offset
-        def upd(cache_b, new_b, p):
-            return jax.lax.dynamic_update_slice(cache_b, new_b, (p, 0, 0))
+        def upd(cache_b, new_b, p):  # cache_b (KV, S, hd); new_b (KV, T, hd)
+            return jax.lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
 
-        k_l = jax.vmap(upd)(k_l, k.astype(k_l.dtype), pos)
-        v_l = jax.vmap(upd)(v_l, v.astype(v_l.dtype), pos)
+        k_l = jax.vmap(upd)(k_l, k.transpose(0, 2, 1, 3).astype(k_l.dtype), pos)
+        v_l = jax.vmap(upd)(v_l, v.transpose(0, 2, 1, 3).astype(v_l.dtype), pos)
 
-        scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+        scale = float(1.0 / np.sqrt(hd))
         attn = attention(q, k_l, v_l, pos, T, scale)
         attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
         if "bo" in lw:
@@ -207,9 +227,15 @@ def forward(
             x = x + attn_out + down
         else:
             x = x + down
-        return x, (k_l, v_l)
+        probe = (
+            {"attn_rmsnorm": h, "attn_out": attn_out, "ffn_down": down, "layer_out": x}
+            if collect_probes
+            else {}
+        )
+        return x, (k_l, v_l, probe)
 
-    x, (k_new, v_new) = jax.lax.scan(
+    x0 = x
+    x, (k_new, v_new, layer_probes) = jax.lax.scan(
         layer_step, x, (jnp.arange(L, dtype=jnp.int32), cache.k, cache.v)
     )
 
@@ -217,4 +243,7 @@ def forward(
 
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     logits = qmatmul(x, out_w, compute_dtype)  # (B, T, vocab)
+    if collect_probes:
+        probes = {"embed": x0, "final_rmsnorm": x, **layer_probes}
+        return logits.astype(jnp.float32), KVCache(k_new, v_new), probes
     return logits.astype(jnp.float32), KVCache(k_new, v_new)

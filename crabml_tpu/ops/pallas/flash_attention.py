@@ -1,0 +1,160 @@
+"""Causal flash-attention prefill kernel over the fixed-shape KV cache.
+
+The XLA attention path materializes the (B, KV, G, T, S) score tensor —
+fine for decode (T=1) but O(T·S) HBM for prefill: a 2k-token llama-7B
+prefill would materialize ~0.5 GB of probabilities per layer. This kernel
+runs the standard online-softmax tiling (running max m, denominator l, and
+output accumulator in VMEM scratch across the KV sweep), so HBM traffic is
+just Q/K/V/O.
+
+Shapes match models.forward.attention: q (B, T, H, hd); cache k/v
+(B, KV, S, hd) head-major; pos (B,) — each sequence's first new row sits at its own
+cache offset (multi-turn chat, serving slots). pos arrives via scalar
+prefetch, so the causal/validity mask col ≤ pos[b] + row is computed
+in-kernel per block. GQA is grid-native: one grid step per KV head
+processes ALL G q-heads of the group as a single (G·BQ, hd) block — K/V
+tiles are fetched once per group (not once per q head) and the score
+matmul is G× larger, which is what the MXU wants.
+
+Grid: (B, KV, T/BQ, S/BK), KV-sweep minor; fully-masked KV blocks
+early-out via pl.when. The reference has no attention kernel at all
+(scores materialize through batch_matmul,
+crabml-core/.../batch_matmul.rs:97-123).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+            *, bq: int, bk: int, g: int, scale: float):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    last_k = pl.num_programs(3) - 1
+    rows = g * bq  # all q heads of this KV group, stacked
+
+    @pl.when(kj == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = pos_ref[b]
+    # stacked row r = head-local g*bq + t; its token index uses r % bq
+    row = pos + qi * bq + (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0) % bq
+    )
+    col = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1)
+    # col <= row: causal over the new tokens AND validity over the cache
+    # prefix (cols < pos are earlier turns, visible; cols in this call's
+    # range obey causality; cols beyond are unwritten slots).
+    block_live = kj * bk <= pos + (qi + 1) * bq - 1
+
+    @pl.when(block_live)
+    def _step():
+        q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (G*BQ, hd)
+        k = k_ref[0, 0]  # (BK, hd)
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(col <= row, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]  # (BQ, 1), lanes replicated
+        m_cur = s.max(axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # rows with no live column yet keep m = -inf; exp(-inf - -inf) guard:
+        alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(col <= row, p, 0.0)
+
+        l_new = l_ref[:, :1] * alpha + p.sum(axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kj == last_k)
+    def _finish():
+        l = l_ref[:, :1]
+        out = (acc_ref[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = out.reshape(o_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "bq", "bk"))
+def _flash(q, k_cache, v_cache, pos, scale: float, bq: int, bk: int):
+    # q arrives group-major (B, KV, G, T, hd); cache is (B, KV, S, hd)
+    B, KV, G, T, hd = q.shape
+    S = k_cache.shape[2]
+
+    grid = (B, KV, T // bq, S // bk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, G, bq, hd), lambda b, kv, i, j, pos_ref: (b, kv, 0, i, 0)),
+            pl.BlockSpec((1, 1, bk, hd), lambda b, kv, i, j, pos_ref: (b, kv, j, 0)),
+            pl.BlockSpec((1, 1, bk, hd), lambda b, kv, i, j, pos_ref: (b, kv, j, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, bq, hd), lambda b, kv, i, j, pos_ref: (b, kv, 0, i, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G * bq, 128), jnp.float32),  # running max (lanes replicated)
+            pltpu.VMEM((G * bq, 128), jnp.float32),  # running denominator
+            pltpu.VMEM((G * bq, hd), jnp.float32),  # output accumulator
+        ],
+    )
+    kernel = functools.partial(_kernel, bq=bq, bk=bk, g=G, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, T, hd), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pos.astype(jnp.int32), q, k_cache, v_cache)
+
+
+def flash_attention(q, k_cache, v_cache, pos, scale: float, force: bool = False):
+    """Flash prefill over the cache, or None if shapes aren't eligible
+    (caller keeps the XLA attention path — decode T=1 always falls back).
+
+    q: (B, T, H, hd) -> (B, T, H*hd), matching models.forward.attention.
+
+    Dispatch heuristic: below ~1.5M score elements per head-group the
+    XLA-fused path wins (kernel grid overhead dominates); above it the
+    flash tiling wins — measured 1.9x at T=S=2048 on v5e — and, more
+    importantly, never materializes the (T, S) score tensor, so prefill
+    memory stays flat with context length.
+    """
+    B, T, H, hd = q.shape
+    KV, S = k_cache.shape[1], k_cache.shape[2]
+    if H % KV or hd % 64 or hd > 512:
+        return None
+    if T * S < (3 << 19) and not force:  # ~1.5M: XLA wins below this
+        return None
+    bq = 256 if T % 256 == 0 else 128 if T % 128 == 0 else None
+    bk = 256 if S % 256 == 0 else 128 if S % 128 == 0 else None
+    if bq is None or bk is None:
+        return None
+    G = H // KV
+    qg = q.reshape(B, T, KV, G, hd).transpose(0, 2, 3, 1, 4)  # (B, KV, G, T, hd)
+    out = _flash(
+        qg, k_cache.astype(q.dtype), v_cache.astype(q.dtype), pos, scale, bq, bk
+    )
+    # (B, KV, G, T, hd) -> (B, T, KV, G, hd) -> (B, T, H*hd)
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, T, H * hd)

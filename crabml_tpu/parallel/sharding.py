@@ -112,8 +112,8 @@ def shard_weights(weights: dict, mesh: Mesh, cfg: ModelConfig, _put=None) -> dic
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache (L, B, S, KV, hd): batch over dp, kv heads over tp."""
-    return NamedSharding(mesh, P(None, "dp", None, "tp", None))
+    """KV cache (L, B, KV, S, hd): batch over dp, kv heads over tp."""
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
 
 
 def token_sharding(mesh: Mesh) -> NamedSharding:

@@ -129,3 +129,49 @@ def test_golden_generation_is_deterministic(stories260k_path):
     r.reset()
     out2 = "".join(r.prefill_and_generate("Lily is a cat", steps=12))
     assert out1 == out2
+
+
+def test_named_probes_cross_backend(tmp_path):
+    """The named-probe instrument (reference: debug_named_tensors,
+    llama2.rs:737-797): XLA vs Pallas paths must agree at every probe."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import make_weights, tiny_config
+    from crabml_tpu.models.weights import repack_weights
+    from crabml_tpu.ops import matmul as mm
+
+    cfg = tiny_config(
+        embedding_dim=512, hidden_dim=512, n_layers=2, n_heads=8, n_kv_heads=4,
+        vocab_size=512, seq_len=64,
+    )
+    w = make_weights(cfg, GGMLType.Q8_0, seed=9)
+    tokens = jnp.asarray([[1, 5, 9, 13]], jnp.int32)
+    pos = jnp.zeros(1, jnp.int32)
+
+    mm.set_backend("xla")
+    cache = KVCache.create(cfg, 1, 64)
+    logits_x, _, probes_x = forward(w, cache, tokens, pos, cfg, jnp.bfloat16,
+                                    collect_probes=True)
+
+    mm.set_backend("pallas")
+    try:
+        wk = repack_weights(w)
+        cache = KVCache.create(cfg, 1, 64)
+        logits_p, _, probes_p = forward(wk, cache, tokens, pos, cfg, jnp.bfloat16,
+                                        collect_probes=True)
+    finally:
+        mm.set_backend("xla")
+
+    assert set(probes_x) == {"embed", "final_rmsnorm", "attn_rmsnorm",
+                             "attn_out", "ffn_down", "layer_out"}
+    for name in probes_x:
+        a, b = np.asarray(probes_x[name], np.float32), np.asarray(probes_p[name], np.float32)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 0.05, f"probe {name} diverged"
+    np.testing.assert_allclose(
+        np.asarray(logits_x), np.asarray(logits_p),
+        rtol=0.1, atol=0.1 * float(np.abs(np.asarray(logits_x)).max()),
+    )
