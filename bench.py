@@ -37,7 +37,11 @@ def build_weights_fast(cfg, typ, backend="xla"):
         cfg.kv_dim,
     )
 
-    make = random_repacked if backend == "pallas" else random_planar
+    # bf16 scales: lossless under bf16 compute, ~15% fewer Q4_K bytes
+    if backend == "pallas":
+        make = lambda typ, shape, rng: random_repacked(typ, shape, rng, scale_dtype="bf16")
+    else:
+        make = random_planar
 
     def stacked(m, k):
         one = make(typ, (m, k), rng)

@@ -37,7 +37,7 @@ def _qtensor_opt(gf: GGUFFile, name: str) -> QTensor | None:
     return _qtensor(gf, name) if name in gf else None
 
 
-def _qtensor_kernel(gf: GGUFFile, name: str) -> QTensor:
+def _qtensor_kernel(gf: GGUFFile, name: str, scale_dtype=np.float32) -> QTensor:
     """Load a matmul weight directly in the Pallas kernel plane layout.
 
     Uses the native C++ single-pass repack (crabml_tpu.native) when built;
@@ -54,11 +54,11 @@ def _qtensor_kernel(gf: GGUFFile, name: str) -> QTensor:
     m = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
     k = int(shape[-1])
     if native.available():
-        planes = native.repack_raw(info.typ, info.to_numpy(), m, k)
+        planes = native.repack_raw(info.typ, info.to_numpy(), m, k, scale_dtype)
         if planes is not None:
             return QTensor(info.typ, (m, k), planes)
     qt = to_planar(info.typ, info.to_numpy(), shape)
-    r = repack(qt)
+    r = repack(qt, scale_dtype)
     return r if r is not None else qt
 
 
@@ -140,15 +140,21 @@ def repack_weights(weights: dict) -> dict:
     return out
 
 
-def load_weights(gf: GGUFFile, cfg: ModelConfig, layout: str = "planar") -> dict:
+def load_weights(
+    gf: GGUFFile, cfg: ModelConfig, layout: str = "planar", scale_dtype=np.float32
+) -> dict:
     """layout="kernel" loads matmul weights pre-repacked for the Pallas
     kernels (native C++ single pass when available); "planar" keeps the
-    canonical planes for the XLA dequant path."""
+    canonical planes for the XLA dequant path. scale_dtype="bf16" halves
+    kernel scale-plane bytes (Q4_K: 6.5 -> 5.5 bits/elem)."""
     arch = cfg.architecture
     L = cfg.n_layers
     dim = cfg.embedding_dim
     kv_dim = cfg.kv_dim
-    q_load = _qtensor_kernel if layout == "kernel" else _qtensor
+    if layout == "kernel":
+        q_load = lambda gf, name: _qtensor_kernel(gf, name, scale_dtype)
+    else:
+        q_load = _qtensor
 
     layers: dict[str, object] = {}
 

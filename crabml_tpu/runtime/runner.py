@@ -46,6 +46,7 @@ class Runner:
         sharding=None,
         seed: int = 0,
         backend: str | None = None,
+        scale_dtype=None,
     ):
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg: ModelConfig = config_from_gguf(gf.metadata)
@@ -64,7 +65,15 @@ class Runner:
             matmul_mod.set_backend(backend)
         with self.metrics.track("load"):
             layout = "kernel" if backend == "pallas" else "planar"
-            host_weights = fuse_weights(load_weights(gf, self.cfg, layout), self.cfg)
+            # bf16 scale planes are LOSSLESS under bf16 compute (the kernel
+            # rounds scales to the compute dtype in-register either way) and
+            # cut Q4_K weight bytes ~15%; f32 compute keeps f32 scales exact.
+            if scale_dtype is None:
+                scale_dtype = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
+            sdt = "bf16" if scale_dtype in ("bf16", jnp.bfloat16) else np.float32
+            host_weights = fuse_weights(
+                load_weights(gf, self.cfg, layout, sdt), self.cfg
+            )
             if backend == "pallas":
                 host_weights = repack_weights(host_weights)  # stragglers only
             if sharding is not None:

@@ -87,3 +87,32 @@ def test_shard_weights_local_matches_shard_weights():
         np.asarray(a["layers"]["wq"].planes["qs"]),
         np.asarray(b["layers"]["wq"].planes["qs"]),
     )
+
+
+def test_ring_attention_matches_dense():
+    """Sequence-sharded ring attention == dense causal attention (8 devices)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.models.forward import attention
+    from crabml_tpu.parallel import make_mesh
+    from crabml_tpu.parallel.ring_attention import ring_prefill
+
+    B, T, KV, G, hd = 1, 256, 2, 2, 64
+    H = KV * G
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, T, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, T, hd)), jnp.float32)
+    scale = 1.0 / np.sqrt(hd)
+
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    devs = _np.asarray(jax.devices()[:8])
+    mesh = Mesh(devs, ("sp",))
+
+    got = ring_prefill(q, k, v, mesh, scale=float(scale))
+    want = attention(q, k, v, jnp.zeros(B, jnp.int32), T, scale).reshape(B, T, H, hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
