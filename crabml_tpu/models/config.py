@@ -46,6 +46,7 @@ class ModelConfig:
     rms_norm_eps: float = 1e-5
     rope_dim: int | None = None
     rope_base: float = 10000.0
+    head_dim_override: int | None = None  # set when heads are TP-localized
 
     # arch feature flags
     rope_mode: str = "llama"
@@ -64,6 +65,8 @@ class ModelConfig:
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.embedding_dim // self.n_heads
 
     @property

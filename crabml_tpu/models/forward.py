@@ -126,8 +126,14 @@ def forward(
     cfg: ModelConfig,
     compute_dtype=jnp.float32,
     collect_probes: bool = False,
+    tp_axis: str | None = None,
 ):
     """Returns (logits (B, T, vocab), updated KVCache[, probes]).
+
+    `tp_axis`: mesh axis name when running shard-local under shard_map
+    (parallel.tp) — inserts the Megatron psums after the column-sharded
+    wo/ffn_down matmuls. `cfg` must then carry PER-DEVICE head/hidden
+    counts (parallel.tp._localize builds it).
 
     `collect_probes=True` (static) additionally returns a dict of named
     intermediates — per-layer tensors stacked (L, ...) by the scan, plus
@@ -195,6 +201,8 @@ def forward(
         scale = float(1.0 / np.sqrt(hd))
         attn = attention(q, k_l, v_l, pos, T, scale)
         attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
+        if tp_axis is not None:  # wo is column-sharded: partial sums over k
+            attn_out = jax.lax.psum(attn_out, tp_axis)
         if "bo" in lw:
             attn_out = attn_out + arr("bo")
 
@@ -212,16 +220,22 @@ def forward(
                 up = up + arr("ffn_up_b")
             act = _activation(up, cfg.act)
             down = qmatmul(act, lw["ffn_down"], compute_dtype, layer=l)
+            if tp_axis is not None:
+                down = jax.lax.psum(down, tp_axis)
             if "ffn_down_b" in lw:
                 down = down + arr("ffn_down_b")
         elif "wgu" in lw:  # load-time fusion: one kernel call for gate|up
             gu = mm("wgu", ffn_in)
             gate, up = gu[..., : cfg.hidden_dim], gu[..., cfg.hidden_dim :]
             down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"], compute_dtype, layer=l)
+            if tp_axis is not None:
+                down = jax.lax.psum(down, tp_axis)
         else:
             gate = mm("ffn_gate", ffn_in)
             up = mm("ffn_up", ffn_in)
             down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"], compute_dtype, layer=l)
+            if tp_axis is not None:
+                down = jax.lax.psum(down, tp_axis)
 
         if cfg.parallel_residual:
             x = x + attn_out + down

@@ -71,20 +71,29 @@ class Runner:
             if scale_dtype is None:
                 scale_dtype = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
             sdt = "bf16" if scale_dtype in ("bf16", jnp.bfloat16) else np.float32
-            host_weights = fuse_weights(
-                load_weights(gf, self.cfg, layout, sdt), self.cfg
-            )
+            host_weights = load_weights(gf, self.cfg, layout, sdt)
+            if sharding is None:
+                # QKV/gate-up fusion is single-device only (fused rows would
+                # straddle the q|k|v boundaries under row sharding)
+                host_weights = fuse_weights(host_weights, self.cfg)
             if backend == "pallas":
                 host_weights = repack_weights(host_weights)  # stragglers only
             if sharding is not None:
-                from ..parallel.sharding import shard_weights
+                from ..parallel.tp import make_tp_forward
 
-                self.weights = shard_weights(host_weights, sharding, self.cfg)
+                self._tp_step, self.weights = make_tp_forward(
+                    host_weights, sharding, self.cfg, compute_dtype
+                )
             else:
+                self._tp_step = None
                 self.weights = jax.tree.map(jax.device_put, host_weights)
         self._sharding = sharding
 
         self.cache = KVCache.create(self.cfg, batch_size, self.seq_len, self.kv_dtype)
+        if sharding is not None:
+            from ..parallel.sharding import cache_sharding
+
+            self.cache = jax.device_put(self.cache, cache_sharding(sharding))
         # NB: self.pos is replaced, never mutated in place — jnp.asarray()
         # transfers host buffers asynchronously, so in-place mutation after
         # passing it to a jitted call races the in-flight copy (observed as
@@ -92,10 +101,13 @@ class Runner:
         self.pos = np.zeros(batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
 
-        self._step = jax.jit(
-            partial(forward, cfg=self.cfg, compute_dtype=self.compute_dtype),
-            donate_argnames=("cache",),
-        )
+        if self._tp_step is not None:
+            self._step = self._tp_step  # shard_map TP forward (parallel.tp)
+        else:
+            self._step = jax.jit(
+                partial(forward, cfg=self.cfg, compute_dtype=self.compute_dtype),
+                donate_argnames=("cache",),
+            )
 
     # ------------------------------------------------------------------
     def kv_cache_len(self) -> int:
@@ -105,6 +117,10 @@ class Runner:
         self.cache = KVCache.create(
             self.cfg, self.batch_size, self.seq_len, self.kv_dtype
         )
+        if self._sharding is not None:
+            from ..parallel.sharding import cache_sharding
+
+            self.cache = jax.device_put(self.cache, cache_sharding(self._sharding))
         self.pos = np.zeros(self.batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
 

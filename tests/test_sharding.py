@@ -116,3 +116,100 @@ def test_ring_attention_matches_dense():
     got = ring_prefill(q, k, v, mesh, scale=float(scale))
     want = attention(q, k, v, jnp.zeros(B, jnp.int32), T, scale).reshape(B, T, H, hd)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_shard_map_tp_matches_single_device():
+    """Explicit shard_map TP forward == single-device forward (XLA path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import make_weights, tiny_config
+    from crabml_tpu.parallel import make_mesh
+    from crabml_tpu.parallel.tp import make_tp_forward
+
+    cfg = tiny_config()
+    w = make_weights(cfg, GGMLType.Q8_0, seed=4)
+    tokens = np.array([[1, 3, 5, 7], [2, 4, 6, 8]], np.int32)
+    pos = np.zeros(2, np.int32)
+
+    # single device reference
+    cache = KVCache.create(cfg, 2, 32)
+    want, _ = forward(w, cache, jnp.asarray(tokens), jnp.asarray(pos), cfg)
+
+    mesh = make_mesh(tp=4, dp=2)
+    fn, sharded = make_tp_forward(w, mesh, cfg, jnp.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cache = jax.device_put(
+        KVCache.create(cfg, 2, 32),
+        NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+    )
+    got, new_cache = fn(sharded, cache, jnp.asarray(tokens), jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    # decode step continues from the sharded cache
+    got2, _ = fn(sharded, new_cache, jnp.asarray([[9], [10]], np.int32),
+                 jnp.asarray([4, 4], np.int32))
+    assert got2.shape == (2, 1, cfg.vocab_size)
+    assert np.isfinite(np.asarray(got2)).all()
+
+
+def test_shard_map_tp_pallas_kernels():
+    """Pallas kernel path under shard_map (interpret mode on the CPU mesh):
+    shard-local fused dequant-matmul + explicit psums."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import make_weights, tiny_config
+    from crabml_tpu.models.weights import repack_weights
+    from crabml_tpu.ops import matmul as mm
+    from crabml_tpu.parallel import make_mesh
+    from crabml_tpu.parallel.tp import make_tp_forward
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # kernel-eligible dims: m % 256 == 0 after sharding, k steps % tp
+    # col-sharded tensors need k-steps % tp: k=2048 -> two 1024 steps
+    cfg = tiny_config(
+        embedding_dim=2048, hidden_dim=2048, n_layers=2, n_heads=8, n_kv_heads=4,
+        vocab_size=1024, seq_len=64,
+    )
+    w = make_weights(cfg, GGMLType.Q8_0, seed=6)
+    tokens = np.array([[1, 3, 5, 7]], np.int32)
+    pos = np.zeros(1, np.int32)
+
+    cache = KVCache.create(cfg, 1, 32)
+    want, _ = forward(w, cache, jnp.asarray(tokens), jnp.asarray(pos), cfg)
+
+    wk = repack_weights(w)
+    mesh = make_mesh(tp=2, dp=1)
+    mm.set_backend("pallas")
+    try:
+        fn, sharded = make_tp_forward(wk, mesh, cfg, jnp.float32)
+        cache = jax.device_put(
+            KVCache.create(cfg, 1, 32),
+            NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+        )
+        got, _ = fn(sharded, cache, jnp.asarray(tokens), jnp.asarray(pos))
+    finally:
+        mm.set_backend("xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_runner_tp_end_to_end(stories260k_path):
+    """Runner on a tp=4/dp=1 mesh generates the same text as single-device."""
+    from crabml_tpu.parallel import make_mesh
+    from crabml_tpu.runtime.runner import Runner
+
+    r1 = Runner(stories260k_path, seq_len=64)
+    want = "".join(r1.prefill_and_generate("Lily is a cat", steps=12))
+
+    mesh = make_mesh(tp=4, dp=1)
+    r2 = Runner(stories260k_path, seq_len=64, sharding=mesh)
+    got = "".join(r2.prefill_and_generate("Lily is a cat", steps=12))
+    assert got == want
