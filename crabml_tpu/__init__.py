@@ -11,3 +11,27 @@ __version__ = "0.1.0"
 
 from .gguf.constants import GGMLType  # noqa: F401
 from .gguf.reader import GGUFFile  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy public API: keep `import crabml_tpu` cheap (no jax import)
+    if name == "Runner":
+        from .runtime.runner import Runner
+
+        return Runner
+    if name == "ServingEngine":
+        from .serving.engine import ServingEngine
+
+        return ServingEngine
+    if name == "ChatSession":
+        from .runtime.chat import ChatSession
+
+        return ChatSession
+    if name == "Sampler":
+        from .runtime.sampler import Sampler
+
+        return Sampler
+    raise AttributeError(name)
+
+
+__all__ = ["GGMLType", "GGUFFile", "Runner", "ServingEngine", "ChatSession", "Sampler"]

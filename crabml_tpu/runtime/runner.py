@@ -174,6 +174,39 @@ class Runner:
             yield self.tokenizer.decode(new_token, self._decode_buf)
             current = new_token
 
+    def save_session(self, path: str):
+        """Persist the KV cache + position (chat session state) to .npz.
+
+        The reference's closest analog is the in-memory persistent cache
+        across chat turns (SURVEY §5.4); this adds durable save/restore so
+        a long conversation survives a process restart without re-prefill.
+        """
+        np.savez(
+            path,
+            k=np.asarray(self.cache.k),
+            v=np.asarray(self.cache.v),
+            pos=self.pos,
+            model_name=self.cfg.model_name,
+        )
+
+    def load_session(self, path: str):
+        data = np.load(path, allow_pickle=False)
+        if data["k"].shape != tuple(self.cache.k.shape):
+            raise ValueError(
+                f"session cache shape {data['k'].shape} != runner "
+                f"{tuple(self.cache.k.shape)} (seq_len/batch/model mismatch)"
+            )
+        self.cache = KVCache(
+            jnp.asarray(data["k"], self.kv_dtype),
+            jnp.asarray(data["v"], self.kv_dtype),
+        )
+        if self._sharding is not None:
+            from ..parallel.sharding import cache_sharding
+
+            self.cache = jax.device_put(self.cache, cache_sharding(self._sharding))
+        self.pos = data["pos"].astype(np.int32)
+        self._decode_buf = Utf8Buf()
+
     def prefill_and_generate(self, prompt: str, steps: int):
         _, _, token = self.prefill(prompt, bos=True)
         return self.generate(token, steps)

@@ -77,3 +77,25 @@ def test_synthetic_gguf_generates(tmp_path, typ):
     r.reset()
     out2 = "".join(r.prefill_and_generate("hello", steps=5))
     assert out == out2
+
+
+def test_session_save_restore(stories260k_path, tmp_path):
+    """KV-cache session persists across Runner instances: the continuation
+    after restore matches an uninterrupted generation."""
+    r = Runner(stories260k_path, seq_len=64)
+    _, _, tok = r.prefill("Lily is a cat", bos=True)
+    full = [tok] + [None] * 0
+    gen = r.generate(tok, steps=12)
+    out_full = "".join(gen)
+
+    r2 = Runner(stories260k_path, seq_len=64)
+    _, _, tok2 = r2.prefill("Lily is a cat", bos=True)
+    assert tok2 == tok
+    path = str(tmp_path / "session.npz")
+    r2.save_session(path)
+
+    r3 = Runner(stories260k_path, seq_len=64)
+    r3.load_session(path)
+    assert r3.kv_cache_len() == r2.kv_cache_len()
+    out_restored = "".join(r3.generate(tok, steps=12))
+    assert out_restored == out_full
