@@ -114,7 +114,12 @@ def write_synthetic_gguf(
     w.add_metadata(f"{a}.attention.head_count", cfg.n_heads)
     w.add_metadata(f"{a}.attention.head_count_kv", cfg.n_kv_heads)
     w.add_metadata(f"{a}.context_length", cfg.seq_len)
-    w.add_metadata(f"{a}.attention.layer_norm_rms_epsilon", cfg.rms_norm_eps)
+    eps_key = (
+        f"{a}.attention.layer_norm_epsilon"
+        if a == "phi2"
+        else f"{a}.attention.layer_norm_rms_epsilon"
+    )
+    w.add_metadata(eps_key, cfg.rms_norm_eps)
     if cfg.rope_dim:
         w.add_metadata(f"{a}.rope.dimension_count", cfg.rope_dim)
     w.add_metadata("tokenizer.ggml.model", "llama")
@@ -129,9 +134,25 @@ def write_synthetic_gguf(
 
     t("token_embd.weight", (V, D))
     for l in range(L):
+        if a == "phi2":  # fused qkv + biases (model.rs:356-415)
+            t(f"blk.{l}.attn_qkv.weight", (D + 2 * kv, D))
+            t(f"blk.{l}.attn_qkv.bias", (D + 2 * kv,), GGMLType.F32)
+            t(f"blk.{l}.attn_output.weight", (D, D))
+            t(f"blk.{l}.attn_output.bias", (D,), GGMLType.F32)
+            t(f"blk.{l}.ffn_up.weight", (HD, D))
+            t(f"blk.{l}.ffn_up.bias", (HD,), GGMLType.F32)
+            t(f"blk.{l}.ffn_down.weight", (D, HD))
+            t(f"blk.{l}.ffn_down.bias", (D,), GGMLType.F32)
+            t(f"blk.{l}.attn_norm.weight", (D,), GGMLType.F32, 1.0)
+            t(f"blk.{l}.attn_norm.bias", (D,), GGMLType.F32)
+            continue
         t(f"blk.{l}.attn_q.weight", (D, D))
         t(f"blk.{l}.attn_k.weight", (kv, D))
         t(f"blk.{l}.attn_v.weight", (kv, D))
+        if a == "qwen2":  # q/k/v biases (model.rs:285-355)
+            t(f"blk.{l}.attn_q.bias", (D,), GGMLType.F32)
+            t(f"blk.{l}.attn_k.bias", (kv,), GGMLType.F32)
+            t(f"blk.{l}.attn_v.bias", (kv,), GGMLType.F32)
         t(f"blk.{l}.attn_output.weight", (D, D))
         t(f"blk.{l}.ffn_gate.weight", (HD, D))
         t(f"blk.{l}.ffn_down.weight", (D, HD))
@@ -139,5 +160,8 @@ def write_synthetic_gguf(
         t(f"blk.{l}.attn_norm.weight", (D,), GGMLType.F32, 1.0)
         t(f"blk.{l}.ffn_norm.weight", (D,), GGMLType.F32, 1.0)
     t("output_norm.weight", (D,), GGMLType.F32, 1.0)
-    t("output.weight", (V, D))
+    if a == "phi2":
+        t("output_norm.bias", (D,), GGMLType.F32)
+    if a != "gemma":  # gemma: tied embeddings (model.rs:433-434)
+        t("output.weight", (V, D))
     w.write(path)

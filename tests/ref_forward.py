@@ -20,13 +20,20 @@ def load_dense(path):
             info.shape
         )
     md = gf.metadata
+    a = md.get_str("general.architecture")
+    eps_key = (
+        f"{a}.attention.layer_norm_epsilon"
+        if a == "phi2"
+        else f"{a}.attention.layer_norm_rms_epsilon"
+    )
     cfg = dict(
-        dim=md.get_int("llama.embedding_length"),
-        n_layers=md.get_int("llama.block_count"),
-        n_heads=md.get_int("llama.attention.head_count"),
-        n_kv_heads=md.get_int("llama.attention.head_count_kv"),
-        eps=md.get_float("llama.attention.layer_norm_rms_epsilon"),
-        rope_dim=md.get_int("llama.rope.dimension_count"),
+        arch=a,
+        dim=md.get_int(f"{a}.embedding_length"),
+        n_layers=md.get_int(f"{a}.block_count"),
+        n_heads=md.get_int(f"{a}.attention.head_count"),
+        n_kv_heads=md.get_int(f"{a}.attention.head_count_kv"),
+        eps=md.get_float(eps_key, 1e-5),
+        rope_dim=md.get_int(f"{a}.rope.dimension_count"),
     )
     return w, cfg
 
@@ -48,28 +55,74 @@ def rope_llama_inplace(v, pos, head_dim, rope_dim):
             v[h, i + 1] = x0 * s + x1 * c
 
 
+def rope_neox_inplace(v, pos, head_dim, rope_dim):
+    # split halves: pairs (i, i + rope_dim/2) (rope.rs:65-81)
+    theta_scale = np.float32(10000.0) ** np.float32(-2.0 / head_dim)
+    half = rope_dim // 2
+    for h in range(v.shape[0]):
+        theta = np.float32(pos)
+        for i in range(half):
+            c, s = np.cos(theta), np.sin(theta)
+            theta = theta * theta_scale
+            x0, x1 = v[h, i], v[h, i + half]
+            v[h, i] = x0 * c - x1 * s
+            v[h, i + half] = x0 * s + x1 * c
+
+
+def gelu(x):
+    from math import sqrt, pi
+    import scipy.special as _sp  # exact erf-based GeLU
+
+    return 0.5 * x * (1.0 + _sp.erf(x / np.sqrt(2.0)))
+
+
 def softmax(x):
     e = np.exp(x - x.max())
     return e / e.sum()
 
 
+def rms_norm_bias(x, wgt, bias, eps):
+    # the reference implements phi2's norm as rmsnorm*w + b, NOT LayerNorm
+    # (llama2.rs:371-375) — parity target is the reference, so same here
+    return x / np.sqrt((x * x).mean() + eps) * wgt + bias
+
+
 def forward_one(w, cfg, k_caches, v_caches, token, pos):
+    """Mirrors the reference's four per-arch forwards
+    (llama2.rs:213-281 llama, :283-352 qwen2, :354-446 phi2, :448-524 gemma)."""
+    arch = cfg.get("arch", "llama")
     dim = cfg["dim"]
     H, KV = cfg["n_heads"], cfg["n_kv_heads"]
     hd = dim // H
+    kv_dim = KV * hd
     G = H // KV
+    rope = rope_llama_inplace if arch == "llama" else rope_neox_inplace
     x = w["token_embd.weight"][token].astype(np.float32).copy()
+    if arch == "gemma":  # embed scaling (llama2.rs:464-466)
+        x = x * np.sqrt(np.float32(dim))
 
     for l in range(cfg["n_layers"]):
         res = x.copy()
-        h = rms_norm(x, w[f"blk.{l}.attn_norm.weight"], cfg["eps"])
-        q = w[f"blk.{l}.attn_q.weight"] @ h
-        k = w[f"blk.{l}.attn_k.weight"] @ h
-        v = w[f"blk.{l}.attn_v.weight"] @ h
+        if arch == "phi2":
+            h = rms_norm_bias(
+                x, w[f"blk.{l}.attn_norm.weight"], w[f"blk.{l}.attn_norm.bias"],
+                cfg["eps"],
+            )
+            qkv = w[f"blk.{l}.attn_qkv.weight"] @ h + w[f"blk.{l}.attn_qkv.bias"]
+            q, k, v = qkv[:dim], qkv[dim : dim + kv_dim], qkv[dim + kv_dim :]
+        else:
+            h = rms_norm(x, w[f"blk.{l}.attn_norm.weight"], cfg["eps"])
+            q = w[f"blk.{l}.attn_q.weight"] @ h
+            k = w[f"blk.{l}.attn_k.weight"] @ h
+            v = w[f"blk.{l}.attn_v.weight"] @ h
+            if arch == "qwen2":
+                q = q + w[f"blk.{l}.attn_q.bias"]
+                k = k + w[f"blk.{l}.attn_k.bias"]
+                v = v + w[f"blk.{l}.attn_v.bias"]
         q = q.reshape(H, hd)
         k = k.reshape(KV, hd)
-        rope_llama_inplace(q, pos, hd, cfg["rope_dim"])
-        rope_llama_inplace(k, pos, hd, cfg["rope_dim"])
+        rope(q, pos, hd, cfg["rope_dim"] or hd)
+        rope(k, pos, hd, cfg["rope_dim"] or hd)
         k_caches[l].append(k.copy())
         v_caches[l].append(v.reshape(KV, hd).copy())
 
@@ -82,17 +135,28 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
             probs = softmax(scores)
             out[head] = probs @ vs[:, kv_head]
         attn = w[f"blk.{l}.attn_output.weight"] @ out.reshape(dim)
+        if arch == "phi2":
+            attn = attn + w[f"blk.{l}.attn_output.bias"]
+            # parallel residual: ffn reads the attn-normed input (llama2.rs:420-436)
+            up = w[f"blk.{l}.ffn_up.weight"] @ h + w[f"blk.{l}.ffn_up.bias"]
+            ffn = w[f"blk.{l}.ffn_down.weight"] @ gelu(up) + w[f"blk.{l}.ffn_down.bias"]
+            x = res + attn + ffn
+            continue
         x = res + attn
 
         res = x.copy()
         h = rms_norm(x, w[f"blk.{l}.ffn_norm.weight"], cfg["eps"])
         gate = w[f"blk.{l}.ffn_gate.weight"] @ h
         up = w[f"blk.{l}.ffn_up.weight"] @ h
-        silu = gate / (1.0 + np.exp(-gate))
-        x = res + w[f"blk.{l}.ffn_down.weight"] @ (silu * up)
+        act = gelu(gate) if arch == "gemma" else gate / (1.0 + np.exp(-gate))
+        x = res + w[f"blk.{l}.ffn_down.weight"] @ (act * up)
 
-    x = rms_norm(x, w["output_norm.weight"], cfg["eps"])
-    return w["output.weight"] @ x
+    if arch == "phi2":
+        x = rms_norm_bias(x, w["output_norm.weight"], w["output_norm.bias"], cfg["eps"])
+    else:
+        x = rms_norm(x, w["output_norm.weight"], cfg["eps"])
+    out_w = w["output.weight"] if "output.weight" in w else w["token_embd.weight"]
+    return out_w @ x
 
 
 def run_tokens(path, tokens):

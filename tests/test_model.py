@@ -175,3 +175,44 @@ def test_named_probes_cross_backend(tmp_path):
         np.asarray(logits_x), np.asarray(logits_p),
         rtol=0.1, atol=0.1 * float(np.abs(np.asarray(logits_x)).max()),
     )
+
+
+@pytest.mark.parametrize("arch", ["llama", "gemma", "qwen2", "phi2"])
+def test_all_archs_match_numpy_reference(arch, tmp_path):
+    """Differential test per architecture: jitted batched forward vs the
+    independent token-at-a-time numpy reference (mirrors the reference's
+    four forwards, llama2.rs:213-524)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import load_weights
+    from crabml_tpu.gguf.reader import GGUFFile
+
+    from ref_forward import run_tokens
+
+    cfg = ModelConfig(
+        architecture=arch, model_name=f"syn-{arch}",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=64, rms_norm_eps=1e-5,
+        **ARCH_FEATURES[arch],
+    )
+    path = str(tmp_path / f"{arch}.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=17)
+
+    tokens = [1, 7, 42, 99, 5]
+    want = run_tokens(path, tokens)
+
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    assert lcfg.architecture == arch
+    w = load_weights(gf, lcfg)
+    cache = KVCache.create(lcfg, 1, 16)
+    logits, _ = forward(
+        w, cache, jnp.asarray([tokens], jnp.int32), jnp.zeros(1, jnp.int32), lcfg
+    )
+    got = np.asarray(logits[0, -1])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
