@@ -127,8 +127,16 @@ def forward(
     compute_dtype=jnp.float32,
     collect_probes: bool = False,
     tp_axis: str | None = None,
+    attn_window: int | None = None,
 ):
     """Returns (logits (B, T, vocab), updated KVCache[, probes]).
+
+    `attn_window` (static): attention reads only the first attn_window
+    cache slots — the caller guarantees every sequence's pos + T fits.
+    Callers bucket it (runner/serving), so decode cost tracks the LIVE
+    context length instead of the full preallocated S (the reference gets
+    this for free from its grow-by-concat cache, llama2.rs:541-555; with a
+    fixed-shape cache it must be explicit).
 
     `tp_axis`: mesh axis name when running shard-local under shard_map
     (parallel.tp) — inserts the Megatron psums after the column-sharded
@@ -199,7 +207,11 @@ def forward(
         v_l = jax.vmap(upd)(v_l, v.transpose(0, 2, 1, 3).astype(v_l.dtype), pos)
 
         scale = float(1.0 / np.sqrt(hd))
-        attn = attention(q, k_l, v_l, pos, T, scale)
+        k_att, v_att = k_l, v_l
+        if attn_window is not None and attn_window < k_l.shape[2]:
+            k_att = k_l[:, :, :attn_window]
+            v_att = v_l[:, :, :attn_window]
+        attn = attention(q, k_att, v_att, pos, T, scale)
         attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
         if tp_axis is not None:  # wo is column-sharded: partial sums over k
             attn_out = jax.lax.psum(attn_out, tp_axis)

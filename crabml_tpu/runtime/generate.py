@@ -20,7 +20,8 @@ from ..models.forward import KVCache, forward
 
 @partial(
     jax.jit,
-    static_argnames=("steps", "cfg", "compute_dtype", "temperature", "topp"),
+    static_argnames=("steps", "cfg", "compute_dtype", "temperature", "topp",
+                     "attn_window"),
     donate_argnames=("cache",),
 )
 def decode_loop(
@@ -34,6 +35,7 @@ def decode_loop(
     compute_dtype=jnp.float32,
     temperature: float = 0.0,
     topp: float = 1.0,
+    attn_window: int | None = None,  # static; must cover max(pos) + steps
 ):
     """Greedy/sampled decode of `steps` tokens entirely on device.
 
@@ -45,7 +47,8 @@ def decode_loop(
     def body(carry, _):
         cache, token, pos, key = carry
         logits, cache = forward(
-            weights, cache, token[:, None], pos, cfg, compute_dtype
+            weights, cache, token[:, None], pos, cfg, compute_dtype,
+            attn_window=attn_window,
         )
         step_logits = logits[:, 0]  # (B, V)
         if temperature == 0.0:

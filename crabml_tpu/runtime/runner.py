@@ -103,11 +103,14 @@ class Runner:
 
         if self._tp_step is not None:
             self._step = self._tp_step  # shard_map TP forward (parallel.tp)
+            self._windowed = False
         else:
             self._step = jax.jit(
                 partial(forward, cfg=self.cfg, compute_dtype=self.compute_dtype),
                 donate_argnames=("cache",),
+                static_argnames=("attn_window",),
             )
+            self._windowed = True
 
     # ------------------------------------------------------------------
     def kv_cache_len(self) -> int:
@@ -131,12 +134,18 @@ class Runner:
         t_pad = _bucket(n)
         padded = np.zeros((self.batch_size, t_pad), dtype=np.int32)
         padded[0, :n] = token_ids
-        logits, self.cache = self._step(
-            self.weights,
-            self.cache,
-            jnp.asarray(padded),
-            jnp.asarray(self.pos),
-        )
+        if self._windowed:
+            # attention window: smallest bucket covering every live slot —
+            # decode cost tracks context length, not preallocated seq_len
+            win = min(_bucket(int(self.pos.max()) + t_pad, 128), self.seq_len)
+            logits, self.cache = self._step(
+                self.weights, self.cache, jnp.asarray(padded),
+                jnp.asarray(self.pos), attn_window=win,
+            )
+        else:
+            logits, self.cache = self._step(
+                self.weights, self.cache, jnp.asarray(padded), jnp.asarray(self.pos)
+            )
         self.pos = self.pos + np.asarray([n] + [0] * (self.batch_size - 1), np.int32)
         return logits[:1, n - 1]
 

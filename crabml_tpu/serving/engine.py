@@ -68,12 +68,14 @@ def _prefill_slot(weights, cache: KVCache, tokens, slot, pos0, cfg, compute_dtyp
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype"),
+    static_argnames=("cfg", "compute_dtype", "attn_window"),
     donate_argnames=("cache",),
 )
-def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp, cfg, compute_dtype):
+def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp, cfg,
+                 compute_dtype, attn_window=None):
     """One batched decode tick: forward all slots, sample per-slot."""
-    logits, cache = forward(weights, cache, tokens[:, None], pos, cfg, compute_dtype)
+    logits, cache = forward(weights, cache, tokens[:, None], pos, cfg, compute_dtype,
+                            attn_window=attn_window)
     nxt = sample_batch(logits[:, 0], key, temp, topp)
     return nxt, cache
 
@@ -218,6 +220,7 @@ class ServingEngine:
             return 0
 
         self._key, sub = jax.random.split(self._key)
+        win = min(_bucket(int(self.pos.max()) + 1, 128), self.seq_len)
         nxt, self.cache = _decode_step(
             self.weights,
             self.cache,
@@ -228,6 +231,7 @@ class ServingEngine:
             jnp.asarray(self.topp),
             self.cfg,
             self.compute_dtype,
+            attn_window=win,
         )
         nxt = np.asarray(nxt)
         self.pos = self.pos + np.asarray(
