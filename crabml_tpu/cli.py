@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--chat", action="store_true", help="interactive chat REPL")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
-    ap.add_argument("--kv-dtype", default=None, choices=[None, "f32", "bf16"])
+    ap.add_argument("--kv-dtype", default=None, choices=[None, "f32", "bf16", "int8"])
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--tp", type=int, default=None, help="tensor parallel degree")
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
@@ -45,7 +45,7 @@ def main(argv=None):
     from .runtime.sampler import Sampler
 
     matmul_mod.set_backend(args.backend)
-    dtypes = {"f32": jnp.float32, "bf16": jnp.bfloat16, None: None}
+    dtypes = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8, None: None}
 
     sharding = None
     if args.tp and args.tp > 1:

@@ -42,22 +42,41 @@ NEG_INF = -1e30
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["k", "v"],
+    data_fields=["k", "v", "k_scale", "v_scale"],
     meta_fields=[],
 )
 @dataclass
 class KVCache:
     """k, v: (L, B, n_kv_heads, S, head_dim) — head-major so attention
-    kernels see (S, head_dim) as the trailing (tile-aligned) dims."""
+    kernels see (S, head_dim) as the trailing (tile-aligned) dims.
+
+    dtype=jnp.int8 stores a QUANTIZED cache: k/v hold symmetric int8 values
+    with per-(token, head) f32 scales in k_scale/v_scale (L, B, KV, S, 1) —
+    8.25 bits/entry, halving cache HBM vs bf16 (the low-bit-KV recipe of
+    the BitDecoding/InnerQ line of work, simplified to tuning-free
+    per-vector max-abs scaling). Float caches keep k_scale/v_scale = None.
+    """
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: jnp.ndarray | None = None
+    v_scale: jnp.ndarray | None = None
 
     @staticmethod
     def create(cfg: ModelConfig, batch: int, seq_len: int | None = None, dtype=jnp.float32):
         s = seq_len or cfg.seq_len
         shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
+        if dtype == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            return KVCache(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32),
+            )
         return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @property
     def seq_len(self) -> int:
@@ -162,8 +181,14 @@ def forward(
     lw = weights["layers"]
     L = cfg.n_layers
 
+    quantized_kv = cache.quantized
+
     def layer_step(x, per_layer):
-        l, k_l, v_l = per_layer
+        if quantized_kv:
+            l, k_l, v_l, ks_l, vs_l = per_layer
+        else:
+            l, k_l, v_l = per_layer
+            ks_l = vs_l = None
 
         def arr(name):  # (L, d) stacked plain array, layer-indexed
             return jnp.asarray(lw[name])[l].astype(compute_dtype)
@@ -203,14 +228,37 @@ def forward(
         def upd(cache_b, new_b, p):  # cache_b (KV, S, hd); new_b (KV, T, hd)
             return jax.lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
 
-        k_l = jax.vmap(upd)(k_l, k.transpose(0, 2, 1, 3).astype(k_l.dtype), pos)
-        v_l = jax.vmap(upd)(v_l, v.transpose(0, 2, 1, 3).astype(v_l.dtype), pos)
+        k_t = k.transpose(0, 2, 1, 3)  # (B, KV, T, hd)
+        v_t = v.transpose(0, 2, 1, 3)
+        if quantized_kv:
+            def q8(a):  # symmetric per-(head, token) int8
+                s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
+                s_ = jnp.maximum(s_.astype(jnp.float32), 1e-12)
+                q = jnp.clip(jnp.round(a.astype(jnp.float32) / s_), -127, 127)
+                return q.astype(jnp.int8), s_
+
+            kq, ks_new = q8(k_t)
+            vq, vs_new = q8(v_t)
+            k_l = jax.vmap(upd)(k_l, kq, pos)
+            v_l = jax.vmap(upd)(v_l, vq, pos)
+            ks_l = jax.vmap(upd)(ks_l, ks_new, pos)
+            vs_l = jax.vmap(upd)(vs_l, vs_new, pos)
+        else:
+            k_l = jax.vmap(upd)(k_l, k_t.astype(k_l.dtype), pos)
+            v_l = jax.vmap(upd)(v_l, v_t.astype(v_l.dtype), pos)
 
         scale = float(1.0 / np.sqrt(hd))
         k_att, v_att = k_l, v_l
+        ks_att, vs_att = ks_l, vs_l
         if attn_window is not None and attn_window < k_l.shape[2]:
             k_att = k_l[:, :, :attn_window]
             v_att = v_l[:, :, :attn_window]
+            if quantized_kv:
+                ks_att = ks_l[:, :, :attn_window]
+                vs_att = vs_l[:, :, :attn_window]
+        if quantized_kv:  # dequantize the (windowed) cache view on the fly
+            k_att = k_att.astype(jnp.float32) * ks_att
+            v_att = v_att.astype(jnp.float32) * vs_att
         attn = attention(q, k_att, v_att, pos, T, scale)
         attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
         if tp_axis is not None:  # wo is column-sharded: partial sums over k
@@ -258,12 +306,21 @@ def forward(
             if collect_probes
             else {}
         )
+        if quantized_kv:
+            return x, (k_l, v_l, ks_l, vs_l, probe)
         return x, (k_l, v_l, probe)
 
     x0 = x
-    x, (k_new, v_new, layer_probes) = jax.lax.scan(
-        layer_step, x, (jnp.arange(L, dtype=jnp.int32), cache.k, cache.v)
-    )
+    idx = jnp.arange(L, dtype=jnp.int32)
+    if quantized_kv:
+        x, (k_new, v_new, ks_new, vs_new, layer_probes) = jax.lax.scan(
+            layer_step, x, (idx, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        )
+    else:
+        x, (k_new, v_new, layer_probes) = jax.lax.scan(
+            layer_step, x, (idx, cache.k, cache.v)
+        )
+        ks_new = vs_new = None
 
     x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
 
@@ -271,5 +328,5 @@ def forward(
     logits = qmatmul(x, out_w, compute_dtype)  # (B, T, vocab)
     if collect_probes:
         probes = {"embed": x0, "final_rmsnorm": x, **layer_probes}
-        return logits.astype(jnp.float32), KVCache(k_new, v_new), probes
-    return logits.astype(jnp.float32), KVCache(k_new, v_new)
+        return logits.astype(jnp.float32), KVCache(k_new, v_new, ks_new, vs_new), probes
+    return logits.astype(jnp.float32), KVCache(k_new, v_new, ks_new, vs_new)

@@ -235,7 +235,7 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype):
             },
         }
         return _forward_local(
-            wl, KVCache(cache.k, cache.v), tokens, pos,
+            wl, KVCache(cache.k, cache.v, cache.k_scale, cache.v_scale), tokens, pos,
             cfg=cfg, lcfg=lcfg, compute_dtype=compute_dtype,
             gather_logits=gather_logits,
         )
@@ -245,11 +245,16 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype):
         mesh=mesh,
         in_specs=(
             specs,
-            KVCache(cache_spec, cache_spec),
+            KVCache(cache_spec, cache_spec,
+                    P(None, "dp", "tp", None, None), P(None, "dp", "tp", None, None)),
             tok_spec,
             pos_spec,
         ),
-        out_specs=(P("dp", None, None), KVCache(cache_spec, cache_spec)),
+        out_specs=(
+            P("dp", None, None),
+            KVCache(cache_spec, cache_spec,
+                    P(None, "dp", "tp", None, None), P(None, "dp", "tp", None, None)),
+        ),
         check_rep=False,
     )
     jfn = jax.jit(fn, donate_argnums=(1,))

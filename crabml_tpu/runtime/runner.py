@@ -190,12 +190,19 @@ class Runner:
         across chat turns (SURVEY §5.4); this adds durable save/restore so
         a long conversation survives a process restart without re-prefill.
         """
+        extra = {}
+        if self.cache.quantized:
+            extra = {
+                "k_scale": np.asarray(self.cache.k_scale),
+                "v_scale": np.asarray(self.cache.v_scale),
+            }
         np.savez(
             path,
             k=np.asarray(self.cache.k),
             v=np.asarray(self.cache.v),
             pos=self.pos,
             model_name=self.cfg.model_name,
+            **extra,
         )
 
     def load_session(self, path: str):
@@ -208,6 +215,8 @@ class Runner:
         self.cache = KVCache(
             jnp.asarray(data["k"], self.kv_dtype),
             jnp.asarray(data["v"], self.kv_dtype),
+            jnp.asarray(data["k_scale"]) if "k_scale" in data else None,
+            jnp.asarray(data["v_scale"]) if "v_scale" in data else None,
         )
         if self._sharding is not None:
             from ..parallel.sharding import cache_sharding

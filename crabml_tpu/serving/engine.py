@@ -56,14 +56,27 @@ def _prefill_slot(weights, cache: KVCache, tokens, slot, pos0, cfg, compute_dtyp
     Slices the slot's (L, 1, S, KV, hd) cache out of the pool, runs the
     normal forward, scatters it back. Returns (logits (1, Tpad, V), cache).
     """
-    k = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
-    v = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
-    logits, small = forward(
-        weights, KVCache(k, v), tokens, pos0[None], cfg, compute_dtype
+    def slot_slice(a):
+        return (
+            None if a is None
+            else jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+        )
+
+    small_in = KVCache(*(slot_slice(a) for a in (cache.k, cache.v, cache.k_scale, cache.v_scale)))
+    logits, small = forward(weights, small_in, tokens, pos0[None], cfg, compute_dtype)
+
+    def slot_update(full, part):
+        return (
+            None if full is None
+            else jax.lax.dynamic_update_slice_in_dim(full, part, slot, axis=1)
+        )
+
+    return logits, KVCache(
+        slot_update(cache.k, small.k),
+        slot_update(cache.v, small.v),
+        slot_update(cache.k_scale, small.k_scale),
+        slot_update(cache.v_scale, small.v_scale),
     )
-    k = jax.lax.dynamic_update_slice_in_dim(cache.k, small.k, slot, axis=1)
-    v = jax.lax.dynamic_update_slice_in_dim(cache.v, small.v, slot, axis=1)
-    return logits, KVCache(k, v)
 
 
 @partial(

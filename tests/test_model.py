@@ -216,3 +216,23 @@ def test_all_archs_match_numpy_reference(arch, tmp_path):
     )
     got = np.asarray(logits[0, -1])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_int8_kv_cache_close_to_float(stories260k_path):
+    """int8 KV cache: generation stays close to the f32-cache path and ppl
+    degrades negligibly (per-vector max-abs scaling)."""
+    import numpy as np
+
+    from crabml_tpu.eval import perplexity
+    from crabml_tpu.runtime.runner import Runner
+
+    r_f = Runner(stories260k_path, seq_len=96)
+    r_q = Runner(stories260k_path, seq_len=96, kv_dtype=jnp.int8)
+
+    text = "Once upon a time there was a little cat named Lily."
+    p_f = perplexity(r_f, text)["perplexity"]
+    p_q = perplexity(r_q, text)["perplexity"]
+    assert abs(p_q - p_f) / p_f < 0.02, (p_f, p_q)
+
+    out_q = "".join(r_q.prefill_and_generate("Lily is a cat", steps=10))
+    assert len(out_q) > 0
