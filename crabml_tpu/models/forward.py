@@ -91,7 +91,7 @@ def _activation(x, kind: str):
     raise ValueError(kind)
 
 
-def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None):
+def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None):
     """Masked GQA attention over the full cache.
 
     q: (B, T, H, hd); k_cache/v_cache: (B, KV, S, hd); pos: (B,) int32 —
@@ -248,18 +248,16 @@ def forward(
             v_l = jax.vmap(upd)(v_l, v_t.astype(v_l.dtype), pos)
 
         scale = float(1.0 / np.sqrt(hd))
-        k_att, v_att = k_l, v_l
-        ks_att, vs_att = ks_l, vs_l
-        if attn_window is not None and attn_window < k_l.shape[2]:
-            k_att = k_l[:, :, :attn_window]
-            v_att = v_l[:, :, :attn_window]
-            if quantized_kv:
-                ks_att = ks_l[:, :, :attn_window]
-                vs_att = vs_l[:, :, :attn_window]
-        if quantized_kv:  # dequantize the (windowed) cache view on the fly
-            k_att = k_att.astype(jnp.float32) * ks_att
-            v_att = v_att.astype(jnp.float32) * vs_att
-        attn = attention(q, k_att, v_att, pos, T, scale)
+        if quantized_kv:
+            # dequantize only the windowed view, then attend over it
+            win = attn_window if attn_window is not None else k_l.shape[2]
+            k_att = k_l[:, :, :win].astype(jnp.float32) * ks_l[:, :, :win]
+            v_att = v_l[:, :, :win].astype(jnp.float32) * vs_l[:, :, :win]
+            attn = attention(q, k_att, v_att, pos, T, scale)
+        else:
+            # full cache + window bound: the pallas kernels gate their own
+            # reads (grid bound / per-seq DMA), the XLA path slices
+            attn = attention(q, k_l, v_l, pos, T, scale, window=attn_window)
         attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
         if tp_axis is not None:  # wo is column-sharded: partial sums over k
             attn_out = jax.lax.psum(attn_out, tp_axis)

@@ -1,0 +1,153 @@
+"""Decode attention with manual, length-gated KV DMA.
+
+For T=1 decode the XLA path (and the BlockSpec-driven flash kernel) must
+fetch the cache up to a STATIC bound — best case a power-of-two window over
+the max sequence length in the batch. This kernel instead keeps K/V in HBM
+(memory_space=ANY) and issues its own chunk DMAs inside the kernel, so each
+sequence reads exactly ceil(len_b / BK) chunks: heterogeneous-length
+serving batches stop paying for their longest member, and nothing
+recompiles as contexts grow.
+
+Structure (the paged-attention recipe from jax's pallas ops, with a
+contiguous per-sequence cache instead of page tables — our serving layer
+allocates whole-slot regions, so the "page table" is the identity):
+  grid (B, KV): one step per sequence x kv head, all G q-heads of the
+  group computed together (GQA grid-native, like flash_attention.py).
+  Inside: fori_loop over live chunks with DOUBLE-BUFFERED
+  pltpu.make_async_copy — chunk i+1's DMA is in flight while chunk i runs
+  the online-softmax update. Lengths arrive via scalar prefetch.
+
+Reference baseline: crabml materializes every score against the full
+cache each step (batch_matmul.rs:97-123) — no length gating at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+BK = 128  # tokens per DMA chunk (matches the 128-token window buckets)
+
+
+def _kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
+            k_buf, v_buf, sem_k, sem_v, *, scale: float, s_max: int):
+    b = pl.program_id(0)
+    kv = pl.program_id(1)
+    length = len_ref[b]
+    n_chunks = jax.lax.div(length + BK - 1, BK)
+
+    def copy_in(i, slot):
+        ck = pltpu.make_async_copy(
+            k_hbm.at[b, kv, pl.ds(i * BK, BK)], k_buf.at[slot], sem_k.at[slot]
+        )
+        cv = pltpu.make_async_copy(
+            v_hbm.at[b, kv, pl.ds(i * BK, BK)], v_buf.at[slot], sem_v.at[slot]
+        )
+        ck.start()
+        cv.start()
+
+    @pl.when(n_chunks > 0)
+    def _run():
+        copy_in(0, 0)
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, hd)
+        G = q.shape[0]
+
+        def body(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_chunks)
+            def _prefetch():
+                copy_in(i + 1, jax.lax.rem(i + 1, 2))
+
+            pltpu.make_async_copy(
+                k_hbm.at[b, kv, pl.ds(0, BK)], k_buf.at[slot], sem_k.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[b, kv, pl.ds(0, BK)], v_buf.at[slot], sem_v.at[slot]
+            ).wait()
+
+            k = k_buf[slot]  # (BK, hd)
+            v = v_buf[slot]
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G, BK)
+            col = i * BK + jax.lax.broadcasted_iota(jnp.int32, (G, BK), 1)
+            s = jnp.where(col < length, s, NEG_INF)
+
+            m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(col < length, p, 0.0)
+            l = l * alpha + p.sum(axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot_general(
+                p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.broadcast_to(m_new, m.shape), l, acc
+
+        hd = q.shape[-1]
+        m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((G, 1), jnp.float32)
+        acc0 = jnp.zeros((G, hd), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _run(q, k_cache, v_cache, lengths, scale: float):
+    B, KV, G, hd = q.shape
+    S = k_cache.shape[2]
+    grid = (B, KV)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, BK, hd), k_cache.dtype),
+            pltpu.VMEM((2, BK, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, scale=scale, s_max=S)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths.astype(jnp.int32), q, k_cache, v_cache)
+
+
+def decode_attention(q, k_cache, v_cache, pos, scale: float):
+    """q (B, 1, H, hd), cache (B, KV, S, hd), pos (B,) -> (B, 1, H*hd) or
+    None when shapes aren't eligible (caller keeps the XLA path).
+
+    Reads exactly ceil((pos_b+1)/BK) chunks per sequence/head via in-kernel
+    double-buffered DMA — per-sequence length gating with no recompiles.
+    """
+    B, T, H, hd = q.shape
+    if T != 1:
+        return None
+    KV, S = k_cache.shape[1], k_cache.shape[2]
+    if H % KV or hd % 128 or S % BK:
+        return None
+    G = H // KV
+    qg = q.reshape(B, KV, G, hd)
+    out = _run(qg, k_cache, v_cache, pos + 1, scale)
+    return out.reshape(B, 1, H * hd)

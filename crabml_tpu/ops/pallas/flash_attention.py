@@ -93,13 +93,13 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = out.reshape(o_ref.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "bq", "bk"))
-def _flash(q, k_cache, v_cache, pos, scale: float, bq: int, bk: int):
+@functools.partial(jax.jit, static_argnames=("scale", "bq", "bk", "s_limit"))
+def _flash(q, k_cache, v_cache, pos, scale: float, bq: int, bk: int,
+           s_limit: int):
     # q arrives group-major (B, KV, G, T, hd); cache is (B, KV, S, hd)
     B, KV, G, T, hd = q.shape
-    S = k_cache.shape[2]
 
-    grid = (B, KV, T // bq, S // bk)
+    grid = (B, KV, T // bq, s_limit // bk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -129,7 +129,8 @@ def _flash(q, k_cache, v_cache, pos, scale: float, bq: int, bk: int):
     )(pos.astype(jnp.int32), q, k_cache, v_cache)
 
 
-def flash_attention(q, k_cache, v_cache, pos, scale: float, force: bool = False):
+def flash_attention(q, k_cache, v_cache, pos, scale: float, force: bool = False,
+                    s_limit: int | None = None):
     """Flash prefill over the cache, or None if shapes aren't eligible
     (caller keeps the XLA attention path — decode T=1 always falls back).
 
@@ -143,18 +144,20 @@ def flash_attention(q, k_cache, v_cache, pos, scale: float, force: bool = False)
     """
     B, T, H, hd = q.shape
     KV, S = k_cache.shape[1], k_cache.shape[2]
+    s_lim = min(s_limit or S, S)
     if H % KV or hd % 64 or hd > 512:
         return None
-    if T * S < (3 << 19) and not force:  # ~1.5M: XLA wins below this
+    if T * s_lim < (3 << 19) and not force:  # ~1.5M: XLA wins below this
         return None
     bq = 256 if T % 256 == 0 else 128 if T % 128 == 0 else None
-    bk = 256 if S % 256 == 0 else 128 if S % 128 == 0 else None
+    bk = 256 if s_lim % 256 == 0 else 128 if s_lim % 128 == 0 else None
     if bq is None or bk is None:
         return None
     G = H // KV
     qg = q.reshape(B, T, KV, G, hd).transpose(0, 2, 3, 1, 4)  # (B, KV, G, T, hd)
     out = _flash(
-        qg, k_cache.astype(q.dtype), v_cache.astype(q.dtype), pos, scale, bq, bk
+        qg, k_cache.astype(q.dtype), v_cache.astype(q.dtype), pos, scale, bq, bk,
+        s_lim,
     )
     # (B, KV, G, T, hd) -> (B, T, KV, G, hd) -> (B, T, H*hd)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, H * hd)

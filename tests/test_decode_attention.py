@@ -1,0 +1,34 @@
+"""Length-gated decode attention kernel vs the exact XLA path."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from crabml_tpu.models import forward as fwd
+from crabml_tpu.ops.pallas.decode_attention import decode_attention
+
+
+@pytest.mark.parametrize("gqa", [1, 4], ids=["mha", "gqa4"])
+def test_decode_attention_matches_xla(gqa):
+    B, S, KV, hd = 3, 512, 2, 128
+    H = KV * gqa
+    rng = np.random.default_rng(gqa)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    # heterogeneous lengths incl. chunk-boundary cases
+    pos = jnp.asarray([0, 255, 411], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    want = fwd.attention(q, k, v, pos, 1, scale)
+    got = decode_attention(q, k, v, pos, scale)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_fallbacks():
+    q = jnp.zeros((1, 2, 4, 128))  # T=2: not decode
+    k = jnp.zeros((1, 4, 512, 128))
+    assert decode_attention(q, k, k, jnp.zeros(1, jnp.int32), 1.0) is None
+    q = jnp.zeros((1, 1, 4, 64))  # hd 64: ineligible
+    k = jnp.zeros((1, 4, 512, 64))
+    assert decode_attention(q, k, k, jnp.zeros(1, jnp.int32), 1.0) is None
