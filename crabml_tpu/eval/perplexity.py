@@ -82,13 +82,18 @@ def quant_sweep(model_path: str, text: str, schemes: list[str], seq_len: int = 2
     results = {"f32_baseline": perplexity(base, text)}
     base_ppl = results["f32_baseline"]["perplexity"]
 
+    import os
+
     for name in schemes:
         typ = GGMLType[name.upper()]
         with tempfile.NamedTemporaryFile(suffix=f"-{name}.gguf", delete=False) as f:
             tmp = f.name
-        n_req = requantize_gguf(model_path, tmp, typ)
-        r = Runner(tmp, seq_len=seq_len, backend=backend)
-        res = perplexity(r, text)
+        try:
+            n_req = requantize_gguf(model_path, tmp, typ)
+            r = Runner(tmp, seq_len=seq_len, backend=backend)
+            res = perplexity(r, text)
+        finally:
+            os.unlink(tmp)  # a 7B sweep would otherwise strand GBs in /tmp
         res["tensors_requantized"] = n_req
         res["delta_vs_baseline"] = res["perplexity"] - base_ppl
         res["rel_delta"] = (res["perplexity"] - base_ppl) / base_ppl

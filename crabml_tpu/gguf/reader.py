@@ -149,7 +149,9 @@ class _Reader:
         if typ in np_map:
             dt = np.dtype(np_map[typ])
             raw = self.take(n * dt.itemsize)
-            return np.frombuffer(raw, dtype=dt)
+            # copy: metadata is small, and a zero-copy view would pin the
+            # mmap open (BufferError from close()) for the file's lifetime
+            return np.frombuffer(raw, dtype=dt).copy()
         if typ == GGUFValueType.STRING:
             return [self.string() for _ in range(n)]
         if typ == GGUFValueType.BOOL:
@@ -180,8 +182,11 @@ class _Reader:
 class GGUFMetadata:
     """Typed access over the metadata KV map (gguf.rs:427-490)."""
 
-    def __init__(self, kv: dict[str, Any]):
+    def __init__(self, kv: dict[str, Any], kv_types: dict[str, Any] | None = None):
         self._kv = kv
+        # original wire types, preserved so a re-written file keeps typed
+        # keys byte-compatible (strict readers assert gguf_get_val_* types)
+        self._types = kv_types or {}
 
     def as_dict(self) -> dict[str, Any]:
         return self._kv
@@ -201,6 +206,9 @@ class GGUFMetadata:
         v = self._kv.get(key)
         return float(v) if v is not None else default
 
+    def value_type(self, key: str):
+        return self._types.get(key)
+
     def __contains__(self, key: str) -> bool:
         return key in self._kv
 
@@ -219,10 +227,22 @@ class GGUFFile:
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
         if hasattr(self._mm, "madvise"):
             self._mm.madvise(mmap.MADV_WILLNEED)
-        if mlock and hasattr(mmap, "MADV_DONTNEED"):
-            try:  # best-effort analogue of the reference's mlock option
-                self._mm.madvise(mmap.MADV_WILLNEED)
-            except OSError:
+        if mlock:
+            # true mlock(2) on the mapping, like the reference's --mlock
+            # (gguf.rs:795-827); best-effort — EPERM/ENOMEM are expected
+            # without CAP_IPC_LOCK on multi-GB files
+            try:
+                import ctypes
+
+                libc = ctypes.CDLL(None, use_errno=True)
+                view = np.frombuffer(self._mm, np.uint8)  # read-only view
+                addr = view.ctypes.data
+                del view  # release the buffer export before close() can run
+                if libc.mlock(ctypes.c_void_p(addr), ctypes.c_size_t(len(self._mm))) != 0:
+                    import warnings
+
+                    warnings.warn("mlock failed (need CAP_IPC_LOCK?); continuing unlocked")
+            except (OSError, ValueError, AttributeError):
                 pass
         self._parse()
 
@@ -242,11 +262,13 @@ class GGUFFile:
         metadata_kv_count = r.length()
 
         kv: dict[str, Any] = {}
+        kv_types: dict[str, GGUFValueType] = {}
         for _ in range(metadata_kv_count):
             key = r.string()
             typ = GGUFValueType(r.u32())
+            kv_types[key] = typ
             kv[key] = r.value(typ)
-        self.metadata = GGUFMetadata(kv)
+        self.metadata = GGUFMetadata(kv, kv_types)
 
         infos: list[GGUFTensorInfo] = []
         for _ in range(tensor_count):

@@ -197,7 +197,7 @@ def requantize_gguf(src_path: str, dst_path: str, typ: GGMLType) -> int:
     gf = GGUFFile(src_path)
     w = GGUFWriter()
     for key, value in gf.metadata.as_dict().items():
-        w.add_metadata(key, value)
+        w.add_metadata(key, value, gf.metadata.value_type(key))
     blk = GGML_BLOCK_SIZES[typ][0]
     n_requant = 0
     for info in gf.tensor_infos:

@@ -101,15 +101,28 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None):
     KV, S = k_cache.shape[1], k_cache.shape[2]
     G = H // KV
 
-    if T > 1 and probe is None:  # prefill: try the flash kernel
+    if probe is None:
         from ..ops import matmul as _mm
 
         if _mm._BACKEND == "pallas":
-            from ..ops.pallas.flash_attention import flash_attention
+            if T > 1:  # prefill: flash kernel (O(1) score memory)
+                from ..ops.pallas.flash_attention import flash_attention
 
-            out = flash_attention(q, k_cache, v_cache, pos, scale)
-            if out is not None:
-                return out
+                out = flash_attention(q, k_cache, v_cache, pos, scale,
+                                      s_limit=window)
+                if out is not None:
+                    return out
+            else:  # decode: manual-DMA kernel reads only each seq's live prefix
+                from ..ops.pallas.decode_attention import decode_attention
+
+                out = decode_attention(q, k_cache, v_cache, pos, scale)
+                if out is not None:
+                    return out
+
+    if window is not None and window < S:  # XLA path: bounded static slice
+        k_cache = k_cache[:, :, :window]
+        v_cache = v_cache[:, :, :window]
+        S = window
 
     qg = q.reshape(B, T, KV, G, hd)
 

@@ -23,15 +23,9 @@ from ..models.config import ModelConfig, config_from_gguf
 from ..models.forward import KVCache, forward
 from ..models.weights import fuse_weights, load_weights, repack_weights
 from ..tokenizer import Tokenizer, Utf8Buf, tokenizer_from_gguf
+from ..utils import bucket as _bucket
 from ..utils.metrics import Metrics
 from .sampler import Sampler
-
-
-def _bucket(n: int, minimum: int = 8) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
 
 
 class Runner:

@@ -36,13 +36,7 @@ import numpy as np
 from ..models.forward import KVCache, forward
 from ..runtime.sampler import sample_batch
 from ..tokenizer import Utf8Buf
-
-
-def _bucket(n: int, minimum: int = 8) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+from ..utils import bucket as _bucket
 
 
 @partial(
@@ -157,7 +151,6 @@ class ServingEngine:
         self.temp = np.zeros(n_slots, np.float32)
         self.topp = np.ones(n_slots, np.float32)
         self.pending: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
-        self._waiting: list[Request] = []
         self._key = jax.random.PRNGKey(seed)
         self._stop = threading.Event()
         self.steps = 0
@@ -178,15 +171,11 @@ class ServingEngine:
     def _admit(self):
         free = self._free_slots()
         while free:
-            if self._waiting:
-                req = self._waiting.pop(0)
-            else:
-                try:
-                    req = self.pending.get_nowait()
-                except queue.Empty:
-                    break
-            slot = free.pop(0)
-            self._prefill_into(slot, req)
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            self._prefill_into(free.pop(0), req)
 
     def _prefill_into(self, slot: int, req: Request):
         toks = req.prompt_tokens
@@ -297,7 +286,7 @@ class ServingEngine:
         """Step until every queued + active request is finished."""
         n = 0
         while (
-            any(self.slots) or not self.pending.empty() or self._waiting
+            any(self.slots) or not self.pending.empty()
         ) and (max_steps is None or n < max_steps):
             self.step()
             n += 1

@@ -44,7 +44,7 @@ def rms_norm(x, w, eps):
 
 def rope_llama_inplace(v, pos, head_dim, rope_dim):
     # iterative theta, adjacent pairs (rope.rs:47-63)
-    theta_scale = np.float32(10000.0) ** np.float32(-2.0 / head_dim)
+    theta_scale = np.float32(10000.0) ** np.float32(-2.0 / rope_dim)
     for h in range(v.shape[0]):
         theta = np.float32(pos)
         for i in range(0, rope_dim, 2):
@@ -57,7 +57,7 @@ def rope_llama_inplace(v, pos, head_dim, rope_dim):
 
 def rope_neox_inplace(v, pos, head_dim, rope_dim):
     # split halves: pairs (i, i + rope_dim/2) (rope.rs:65-81)
-    theta_scale = np.float32(10000.0) ** np.float32(-2.0 / head_dim)
+    theta_scale = np.float32(10000.0) ** np.float32(-2.0 / rope_dim)
     half = rope_dim // 2
     for h in range(v.shape[0]):
         theta = np.float32(pos)

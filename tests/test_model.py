@@ -236,3 +236,39 @@ def test_int8_kv_cache_close_to_float(stories260k_path):
 
     out_q = "".join(r_q.prefill_and_generate("Lily is a cat", steps=10))
     assert len(out_q) > 0
+
+
+def test_partial_rotary_matches_numpy_reference(tmp_path):
+    """rope_dim < head_dim (real-phi2 shape): ggml pairing/frequencies."""
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import load_weights
+
+    from ref_forward import run_tokens
+
+    cfg = ModelConfig(
+        architecture="phi2", model_name="syn-phi2-partial",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=4,
+        vocab_size=512, seq_len=64, rms_norm_eps=1e-5, rope_dim=8,  # hd=16
+        **ARCH_FEATURES["phi2"],
+    )
+    path = str(tmp_path / "phi2-partial.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=23)
+
+    tokens = [2, 11, 33, 77]
+    want = run_tokens(path, tokens)
+
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    assert lcfg.effective_rope_dim == 8 and lcfg.head_dim == 16
+    w = load_weights(gf, lcfg)
+    cache = KVCache.create(lcfg, 1, 16)
+    logits, _ = forward(
+        w, cache, jnp.asarray([tokens], jnp.int32), jnp.zeros(1, jnp.int32), lcfg
+    )
+    np.testing.assert_allclose(np.asarray(logits[0, -1]), want, rtol=2e-4, atol=2e-4)
