@@ -137,6 +137,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prefill", type=int, default=64)
     ap.add_argument("--backend", default=None, choices=[None, "xla", "pallas"])
+    ap.add_argument("--mode", default="decode", choices=["decode", "serving", "prefill"],
+                    help="decode: B=1 latency (headline); serving: aggregate "
+                         "slot-batch throughput; prefill: prompt tokens/sec")
     args = ap.parse_args()
 
     from crabml_tpu.gguf.constants import GGMLType
@@ -174,6 +177,41 @@ def main():
         lambda w, c, t, p: forward(w, c, t, p, cfg, compute),
         donate_argnames=("c",),
     )
+
+    if args.mode == "serving":
+        B = max(B, 32)
+        cache = KVCache.create(cfg, B, 512, jnp.bfloat16)
+    if args.mode == "prefill":
+        # prefill throughput: time a T-token prompt step, median of 3
+        T = max(args.prefill, 512)
+        tokens = jnp.ones((B, T), jnp.int32)
+        pos0 = jnp.zeros(B, jnp.int32)
+        ts = []
+        for rep in range(4):
+            t0 = time.perf_counter()
+            logits, cache = step(weights, cache, tokens, pos0)
+            _ = np.asarray(logits[:1, :1, :1])
+            ts.append(time.perf_counter() - t0)
+        dt = sorted(ts[1:])[1]  # median of the 3 post-compile reps
+        tok_s = B * T / dt
+        mxu_flops = 2 * 6.7e9 * B * T  # ~2*params FLOPs per token at 7B
+        mxu_peak = 197e12 if "v5 lite" in jax.devices()[0].device_kind else 275e12
+        result = {
+            "metric": f"prefill_tokens_per_sec_{args.model}_{args.quant}",
+            "value": round(tok_s, 1),
+            "unit": "tokens/sec/chip",
+            # fraction of the chip's bf16 MXU peak (prefill is compute-bound)
+            "vs_baseline": round(mxu_flops / dt / mxu_peak, 4),
+            "detail": {
+                "prompt_tokens": T,
+                "batch": B,
+                "step_ms": round(dt * 1e3, 1),
+                "approx_mxu_tflops": round(mxu_flops / dt / 1e12, 1),
+                "device": jax.devices()[0].device_kind,
+            },
+        }
+        print(json.dumps(result))
+        return
 
     # prefill
     tokens = jnp.ones((B, args.prefill), jnp.int32)
@@ -217,12 +255,15 @@ def main():
 
     per_step = max((t2 - t1) / (n2 - n1), 1e-9)
     tok_s = B / per_step
+    metric_name = f"decode_tokens_per_sec_{args.model}_{args.quant}"
+    if args.mode == "serving":
+        metric_name = f"serving_tokens_per_sec_{args.model}_{args.quant}"
     bpt = weight_bytes_per_token(weights)
     bw = measured_bw()
     roofline = bw / bpt
     spec_roofline = spec_bw() / bpt
     result = {
-        "metric": f"decode_tokens_per_sec_{args.model}_{args.quant}",
+        "metric": metric_name,
         "value": round(tok_s, 2),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(tok_s / roofline, 4),

@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--kv-dtype", default=None, choices=[None, "f32", "bf16", "int8"])
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--tp", type=int, default=None, help="tensor parallel degree")
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--seed", type=int, default=0)
     return ap
 

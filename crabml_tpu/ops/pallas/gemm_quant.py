@@ -124,7 +124,7 @@ def _qmm_kernel(*refs, scheme: _Scheme, out_dtype, n_qplanes, tk: int, stacked: 
     o_ref = refs[-1]
     G = tk // scheme.gr
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(2) == 0)  # first k step of this (b, m) tile
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
@@ -311,29 +311,34 @@ def _pad_x(x2, tk):
 def _run(kind: GGMLType, m: int, tk: int, out_dtype, stacked: bool, x2, layer, *planes):
     s = SCHEMES[kind]
     B, kpad = x2.shape
-    grid = (m // TM, kpad // tk)
+    # batch tiling: large prefill batches (B*T rows) must not blow VMEM —
+    # a (2048, tk) x-block + (2048, TM) f32 out-block alone exceed the 16MB
+    # scoped limit. TB rows per grid step; B is padded to a TB multiple by
+    # the caller.
+    TB = min(B, 256)
+    grid = (B // TB, m // TM, kpad // tk)
     G = tk // s.gr
     n_qplanes = len(s.planes)
 
     def vspec(core_shape, core_imap):
         if stacked:
             shape = (1,) + core_shape
-            imap = lambda i, j, l_ref: (l_ref[0],) + core_imap(i, j)
+            imap = lambda b, i, j, l_ref: (l_ref[0],) + core_imap(b, i, j)
         else:
             shape, imap = core_shape, core_imap
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
     def xspec():
         if stacked:
-            return pl.BlockSpec((B, tk), lambda i, j, l_ref: (0, j), memory_space=pltpu.VMEM)
-        return pl.BlockSpec((B, tk), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+            return pl.BlockSpec((TB, tk), lambda b, i, j, l_ref: (b, j), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((TB, tk), lambda b, i, j: (b, j), memory_space=pltpu.VMEM)
 
     in_specs = [xspec()]
     for pbits in s.planes:
         rows = tk if pbits == 8 else tk // (8 // pbits)
-        in_specs.append(vspec((1, rows, TM), lambda i, j: (i, j, 0)))
+        in_specs.append(vspec((1, rows, TM), lambda b, i, j: (i, j, 0)))
     for _ in range(1 + int(s.has_min)):  # dsub (+ msub)
-        in_specs.append(vspec((1, 1, G, TM), lambda i, j: (i, j, 0, 0)))
+        in_specs.append(vspec((1, 1, G, TM), lambda b, i, j: (i, j, 0, 0)))
 
     kernel = functools.partial(
         _qmm_kernel, scheme=s, out_dtype=out_dtype, n_qplanes=n_qplanes,
@@ -344,14 +349,14 @@ def _run(kind: GGMLType, m: int, tk: int, out_dtype, stacked: bool, x2, layer, *
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-            out_specs=pl.BlockSpec((B, TM), lambda i, j, l_ref: (0, i), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((TB, TM), lambda b, i, j, l_ref: (b, i), memory_space=pltpu.VMEM),
         )
         return pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec, interpret=interp)(
             jnp.asarray(layer, jnp.int32)[None], x2, *planes
         )
     return pl.pallas_call(
         kernel, out_shape=out_shape, grid=grid, in_specs=in_specs,
-        out_specs=pl.BlockSpec((B, TM), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TB, TM), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
         interpret=interp,
     )(x2, *planes)
 
@@ -418,7 +423,9 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None):
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(B, k).astype(compute_dtype)
-    Bp = -(-B // B_PAD) * B_PAD
+    # pad rows to the batch tile: B_PAD for decode, 256 for big prefills
+    row_tile = B_PAD if B <= 256 else 256
+    Bp = -(-B // row_tile) * row_tile
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
     x2 = _pad_x(x2, tk)

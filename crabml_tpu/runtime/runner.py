@@ -57,6 +57,8 @@ class Runner:
             from ..ops import matmul as matmul_mod
 
             matmul_mod.set_backend(backend)
+            if backend == "auto":
+                backend = matmul_mod._BACKEND
         with self.metrics.track("load"):
             layout = "kernel" if backend == "pallas" else "planar"
             # bf16 scale planes are LOSSLESS under bf16 compute (the kernel

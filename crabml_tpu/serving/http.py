@@ -149,7 +149,7 @@ def main(argv=None):
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     args = ap.parse_args(argv)
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
