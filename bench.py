@@ -131,7 +131,7 @@ def measured_bw(mb=512, iters=20):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="7b", choices=["7b", "1b", "tiny"])
+    ap.add_argument("--model", default="7b", choices=["7b", "13b", "1b", "tiny"])
     ap.add_argument("--quant", default="q4_k")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
@@ -154,6 +154,11 @@ def main():
     typ = GGMLType[args.quant.upper()]
     if args.model == "7b":
         cfg = llama7b_config()
+    elif args.model == "13b":
+        cfg = llama7b_config(
+            embedding_dim=5120, hidden_dim=13824, n_layers=40, n_heads=40,
+            n_kv_heads=40, vocab_size=32000, model_name="synthetic-13b",
+        )
     elif args.model == "1b":
         cfg = llama7b_config(
             embedding_dim=2048, hidden_dim=5632, n_layers=22, n_heads=32,

@@ -94,6 +94,7 @@ class Request:
     temperature: float = 0.0
     topp: float = 0.9
     stop_token_ids: tuple[int, ...] = ()
+    stop: tuple[str, ...] = ()  # stop strings (merged across token pieces)
     request_id: int = field(default_factory=itertools.count().__next__)
 
     # filled by the engine
@@ -102,6 +103,7 @@ class Request:
     finish_reason: str | None = None
     _stream: "queue.SimpleQueue[str | None] | None" = field(default=None, repr=False)
     _utf8: Utf8Buf = field(default_factory=Utf8Buf, repr=False)
+    _tail: str = field(default="", repr=False)
 
     @property
     def done(self) -> bool:
@@ -254,9 +256,16 @@ class ServingEngine:
             self._finish(slot, "stop")
             return
         req.output_tokens.append(token)
-        if req._stream is not None and self.tokenizer:
+        if (req._stream is not None or req.stop) and self.tokenizer:
             piece = self.tokenizer.decode(token, req._utf8)
-            if piece:
+            if req.stop and piece:
+                # rolling-tail substring match: stop strings may span token
+                # boundaries and sit mid-piece
+                req._tail = (req._tail + piece)[-(max(map(len, req.stop)) + 16):]
+                if any(s in req._tail for s in req.stop):
+                    self._finish(slot, "stop")
+                    return
+            if req._stream is not None and piece:
                 req._stream.put(piece)
         self.cur_tok = self.cur_tok.copy()
         self.cur_tok[slot] = token

@@ -67,6 +67,7 @@ def make_handler(engine: ServingEngine):
                     max_tokens=int(payload.get("max_tokens", 256)),
                     temperature=float(payload.get("temperature", 0.0)),
                     topp=float(payload.get("top_p", 0.9)),
+                    stop=tuple(payload.get("stop", []) or []),
                 )
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})

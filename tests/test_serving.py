@@ -115,3 +115,16 @@ def test_serving_int8_kv(runner):
     assert len(outs[0]) > 0
     engine2 = ServingEngine(runner, n_slots=2, seq_len=96, kv_dtype=jnp.int8)
     assert engine2.generate([PROMPTS[0]], max_tokens=10) == outs
+
+
+def test_stop_strings(runner):
+    """Per-request stop strings end generation mid-stream."""
+    base = _runner_golden(runner, PROMPTS[0], steps=16)
+    # choose a stop string that actually occurs in the golden continuation
+    stop_word = base.strip().split(" ")[2]
+    engine = ServingEngine(runner, n_slots=1, seq_len=96)
+    req = engine.submit(Request(prompt=PROMPTS[0], max_tokens=16, stop=(stop_word,)))
+    engine.drain(max_steps=100)
+    assert req.finish_reason == "stop"
+    got = _detok(engine, req)
+    assert len(got) < len(base)  # ended early, at the stop string
