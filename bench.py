@@ -136,7 +136,7 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prefill", type=int, default=64)
-    ap.add_argument("--backend", default=None, choices=[None, "xla", "pallas"])
+    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--mode", default="decode", choices=["decode", "serving", "prefill"],
                     help="decode: B=1 latency (headline); serving: aggregate "
                          "slot-batch throughput; prefill: prompt tokens/sec")
@@ -148,8 +148,8 @@ def main():
     from crabml_tpu.runtime.generate import decode_loop
     from crabml_tpu.ops import matmul as matmul_mod
 
-    if args.backend:
-        matmul_mod.set_backend(args.backend)
+    matmul_mod.set_backend(args.backend)
+    args.backend = matmul_mod._BACKEND  # resolve "auto"
 
     typ = GGMLType[args.quant.upper()]
     if args.model == "7b":
@@ -168,15 +168,14 @@ def main():
         cfg = tiny_config()
 
     B = args.batch
-    weights = build_weights_fast(cfg, typ, backend=args.backend or "xla")
+    weights = build_weights_fast(cfg, typ, backend=args.backend)
     cache = KVCache.create(cfg, B, 1024, jnp.bfloat16)
     compute = jnp.bfloat16
 
-    def bucket(n, lo=128):
-        b = lo
-        while b < n:
-            b *= 2
-        return min(b, 1024)
+    from crabml_tpu.utils import bucket as _shared_bucket
+
+    def bucket(n):
+        return min(_shared_bucket(n, 128), 1024)
 
     step = jax.jit(
         lambda w, c, t, p: forward(w, c, t, p, cfg, compute),

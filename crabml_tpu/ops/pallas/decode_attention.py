@@ -27,7 +27,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -36,7 +35,7 @@ BK = 128  # tokens per DMA chunk (matches the 128-token window buckets)
 
 
 def _kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
-            k_buf, v_buf, sem_k, sem_v, *, scale: float, s_max: int):
+            k_buf, v_buf, sem_k, sem_v, *, scale: float):
     b = pl.program_id(0)
     kv = pl.program_id(1)
     length = len_ref[b]
@@ -104,7 +103,6 @@ def _kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _run(q, k_cache, v_cache, lengths, scale: float):
     B, KV, G, hd = q.shape
-    S = k_cache.shape[2]
     grid = (B, KV)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -122,7 +120,7 @@ def _run(q, k_cache, v_cache, lengths, scale: float):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_kernel, scale=scale, s_max=S)
+    kernel = functools.partial(_kernel, scale=scale)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),

@@ -59,7 +59,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...gguf.constants import GGMLType
 from ...quant.planar import QTensor
-from ...quant import codecs
 
 TM = 256
 TK_CHOICES = (1024, 512, 256)  # k elements per grid step (k pads up to a multiple)

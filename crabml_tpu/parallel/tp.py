@@ -28,8 +28,6 @@ shards would straddle the q|k|v boundaries).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,8 +172,6 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype):
     `weights` must be UNFUSED (load with fuse=False / skip fuse_weights).
     """
     from jax.experimental.shard_map import shard_map
-
-    from .sharding import cache_sharding, shard_weights
 
     tp = mesh.shape["tp"]
     validate_tp_strict(weights, cfg, tp)

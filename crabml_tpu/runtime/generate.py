@@ -54,14 +54,12 @@ def decode_loop(
         if temperature == 0.0:
             nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
         else:
+            from .sampler import nucleus_filter
+
             key, sub = jax.random.split(key)
             probs = jax.nn.softmax(step_logits / temperature, axis=-1)
             if 0.0 < topp < 1.0:
-                sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
-                csum = jnp.cumsum(sorted_probs, axis=-1)
-                keep = (csum - sorted_probs) < topp
-                cutoff = jnp.where(keep, sorted_probs, 1.0).min(axis=-1, keepdims=True)
-                probs = jnp.where(probs >= cutoff, probs, 0.0)
+                probs = nucleus_filter(probs, topp)
             nxt = jax.random.categorical(sub, jnp.log(probs), axis=-1).astype(jnp.int32)
         return (cache, nxt, pos + 1, key), nxt
 

@@ -28,6 +28,19 @@ class Sampler:
         return _sample_topp(logits, key, self.temperature, self.topp)
 
 
+def nucleus_filter(probs, topp):
+    """Zero out everything outside the smallest prefix of the descending
+    sort with cumulative mass > topp. `topp` may be scalar or (B,)."""
+    topp = jnp.asarray(topp, jnp.float32)
+    t2 = topp if topp.ndim else topp[None]
+    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+    csum = jnp.cumsum(sorted_probs, axis=-1)
+    keep = (csum - sorted_probs) < t2[:, None]
+    cutoff = jnp.where(keep, sorted_probs, 1.0).min(axis=-1, keepdims=True)
+    use = ((t2 > 0.0) & (t2 < 1.0))[:, None]
+    return jnp.where(~use | (probs >= cutoff), probs, 0.0)
+
+
 def sample_batch(logits, key, temperature, topp):
     """Vectorized per-sequence sampling for the serving engine.
 
@@ -40,13 +53,7 @@ def sample_batch(logits, key, temperature, topp):
 
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     probs = jax.nn.softmax(logits / temp, axis=-1)
-
-    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
-    csum = jnp.cumsum(sorted_probs, axis=-1)
-    keep = (csum - sorted_probs) < topp[:, None]
-    cutoff = jnp.where(keep, sorted_probs, 1.0).min(axis=-1, keepdims=True)
-    use_topp = ((topp > 0.0) & (topp < 1.0))[:, None]
-    filtered = jnp.where(~use_topp | (probs >= cutoff), probs, 0.0)
+    filtered = nucleus_filter(probs, topp)
 
     sampled = jax.random.categorical(key, jnp.log(filtered), axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
@@ -57,12 +64,5 @@ def _sample_topp(logits, key, temperature: float, topp: float):
     probs = jax.nn.softmax(logits / jnp.float32(temperature), axis=-1)
     if topp <= 0.0 or topp >= 1.0:
         return jax.random.categorical(key, jnp.log(probs), axis=-1).astype(jnp.int32)
-
-    # nucleus: keep the smallest prefix of the descending sort with mass > topp
-    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
-    csum = jnp.cumsum(sorted_probs, axis=-1)
-    # token i is kept while the cumulative mass *before* it is < topp
-    keep = (csum - sorted_probs) < topp
-    cutoff = jnp.where(keep, sorted_probs, 1.0).min(axis=-1, keepdims=True)
-    filtered = jnp.where(probs >= cutoff, probs, 0.0)
+    filtered = nucleus_filter(probs, topp)
     return jax.random.categorical(key, jnp.log(filtered), axis=-1).astype(jnp.int32)
