@@ -159,6 +159,7 @@ def forward(
     compute_dtype=jnp.float32,
     collect_probes: bool = False,
     tp_axis: str | None = None,
+    tp_overlap: int | None = None,
     attn_window: int | None = None,
 ):
     """Returns (logits (B, T, vocab), updated KVCache[, probes]).
@@ -271,9 +272,17 @@ def forward(
             # full cache + window bound: the pallas kernels gate their own
             # reads (grid bound / per-seq DMA), the XLA path slices
             attn = attention(q, k_l, v_l, pos, T, scale, window=attn_window)
-        attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
-        if tp_axis is not None:  # wo is column-sharded: partial sums over k
-            attn_out = jax.lax.psum(attn_out, tp_axis)
+        if tp_axis is not None and tp_overlap:
+            from ..parallel.overlap import overlapped_psum_matmul
+
+            attn_out = overlapped_psum_matmul(
+                attn.astype(compute_dtype), lw["wo"], compute_dtype,
+                tp_axis, tp_overlap, layer=l,
+            )
+        else:
+            attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
+            if tp_axis is not None:  # wo is column-sharded: partial sums over k
+                attn_out = jax.lax.psum(attn_out, tp_axis)
         if "bo" in lw:
             attn_out = attn_out + arr("bo")
 
@@ -285,28 +294,35 @@ def forward(
             x = x + attn_out
             ffn_in = rms_norm(x, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
 
+        def down_proj(h_act):
+            if tp_axis is not None and tp_overlap:
+                from ..parallel.overlap import overlapped_psum_matmul
+
+                return overlapped_psum_matmul(
+                    h_act, lw["ffn_down"], compute_dtype, tp_axis, tp_overlap,
+                    layer=l,
+                )
+            d = qmatmul(h_act, lw["ffn_down"], compute_dtype, layer=l)
+            if tp_axis is not None:
+                d = jax.lax.psum(d, tp_axis)
+            return d
+
         if cfg.no_ffn_gate:
             up = mm("ffn_up", ffn_in)
             if "ffn_up_b" in lw:
                 up = up + arr("ffn_up_b")
             act = _activation(up, cfg.act)
-            down = qmatmul(act, lw["ffn_down"], compute_dtype, layer=l)
-            if tp_axis is not None:
-                down = jax.lax.psum(down, tp_axis)
+            down = down_proj(act)
             if "ffn_down_b" in lw:
                 down = down + arr("ffn_down_b")
         elif "wgu" in lw:  # load-time fusion: one kernel call for gate|up
             gu = mm("wgu", ffn_in)
             gate, up = gu[..., : cfg.hidden_dim], gu[..., cfg.hidden_dim :]
-            down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"], compute_dtype, layer=l)
-            if tp_axis is not None:
-                down = jax.lax.psum(down, tp_axis)
+            down = down_proj(_activation(gate, cfg.act) * up)
         else:
             gate = mm("ffn_gate", ffn_in)
             up = mm("ffn_up", ffn_in)
-            down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"], compute_dtype, layer=l)
-            if tp_axis is not None:
-                down = jax.lax.psum(down, tp_axis)
+            down = down_proj(_activation(gate, cfg.act) * up)
 
         if cfg.parallel_residual:
             x = x + attn_out + down

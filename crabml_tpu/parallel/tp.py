@@ -156,16 +156,17 @@ def validate_tp_strict(weights: dict, cfg: ModelConfig, tp: int):
 
 
 def _forward_local(weights, cache, tokens, pos, *, cfg, lcfg, compute_dtype,
-                   gather_logits):
+                   gather_logits, tp_overlap=None):
     """Runs on each device inside shard_map."""
     x_logits, new_cache = forward(weights, cache, tokens, pos, lcfg, compute_dtype,
-                                  tp_axis="tp")
+                                  tp_axis="tp", tp_overlap=tp_overlap)
     if gather_logits:
         x_logits = jax.lax.all_gather(x_logits, "tp", axis=2, tiled=True)
     return x_logits, new_cache
 
 
-def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype):
+def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype,
+                    overlap_collectives: bool = False):
     """Returns (fn, sharded_weights): fn(weights, cache, tokens, pos) ->
     (logits, cache), jit-compiled shard_map over `mesh` with donated cache.
 
@@ -234,6 +235,7 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype):
             wl, KVCache(cache.k, cache.v, cache.k_scale, cache.v_scale), tokens, pos,
             cfg=cfg, lcfg=lcfg, compute_dtype=compute_dtype,
             gather_logits=gather_logits,
+            tp_overlap=tp if overlap_collectives else None,
         )
 
     fn = shard_map(

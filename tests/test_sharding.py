@@ -213,3 +213,35 @@ def test_runner_tp_end_to_end(stories260k_path):
     r2 = Runner(stories260k_path, seq_len=64, sharding=mesh)
     got = "".join(r2.prefill_and_generate("Lily is a cat", steps=12))
     assert got == want
+
+
+def test_overlapped_collective_matmul_matches():
+    """Ring-pipelined psum matmul == compute-then-psum, logits-exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.forward import KVCache
+    from crabml_tpu.models.synthetic import make_weights, tiny_config
+    from crabml_tpu.parallel import make_mesh
+    from crabml_tpu.parallel.tp import make_tp_forward
+
+    cfg = tiny_config(
+        embedding_dim=2048, hidden_dim=2048, n_layers=2, n_heads=8, n_kv_heads=4,
+        vocab_size=1024, seq_len=64,
+    )
+    w = make_weights(cfg, GGMLType.Q8_0, seed=8)
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    pos = jnp.zeros(1, jnp.int32)
+    mesh = make_mesh(tp=2, dp=1)
+    csh = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+
+    fn_a, sh_a = make_tp_forward(w, mesh, cfg, jnp.float32)
+    got_a, _ = fn_a(sh_a, jax.device_put(KVCache.create(cfg, 1, 32), csh), tokens, pos)
+
+    fn_b, sh_b = make_tp_forward(w, mesh, cfg, jnp.float32, overlap_collectives=True)
+    got_b, _ = fn_b(sh_b, jax.device_put(KVCache.create(cfg, 1, 32), csh), tokens, pos)
+
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(got_b), rtol=1e-5, atol=1e-5)
