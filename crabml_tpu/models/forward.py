@@ -126,9 +126,14 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None):
 
     qg = q.reshape(B, T, KV, G, hd)
 
+    # bf16 compute keeps the MXU in bf16 (f32 accumulation via
+    # preferred_element_type); "highest" fp32 passes are reserved for the
+    # exact-f32 path (8x slower on the MXU and only needed by golden tests)
+    mm_dt = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    prec = "highest" if mm_dt == jnp.float32 else None
     scores = jnp.einsum(
-        "btkgh,bksh->bkgts", qg.astype(jnp.float32), k_cache.astype(jnp.float32),
-        preferred_element_type=jnp.float32, precision="highest",
+        "btkgh,bksh->bkgts", qg.astype(mm_dt), k_cache.astype(mm_dt),
+        preferred_element_type=jnp.float32, precision=prec,
     ) * scale
 
     # causal/validity mask: token t (absolute pos[b]+t) sees cache cols <= pos[b]+t
@@ -144,8 +149,8 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None):
         probe["attn_probs"] = probs
 
     out = jnp.einsum(
-        "bkgts,bksh->btkgh", probs, v_cache.astype(jnp.float32),
-        preferred_element_type=jnp.float32, precision="highest",
+        "bkgts,bksh->btkgh", probs.astype(mm_dt), v_cache.astype(mm_dt),
+        preferred_element_type=jnp.float32, precision=prec,
     )
     return out.reshape(B, T, H * hd)
 
