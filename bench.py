@@ -188,6 +188,8 @@ def main():
     if args.mode == "prefill":
         # prefill throughput: time a T-token prompt step, median of 3
         T = max(args.prefill, 512)
+        if T > cache.seq_len:
+            cache = KVCache.create(cfg, B, T, jnp.bfloat16)
         tokens = jnp.ones((B, T), jnp.int32)
         pos0 = jnp.zeros(B, jnp.int32)
         ts = []
@@ -198,7 +200,10 @@ def main():
             ts.append(time.perf_counter() - t0)
         dt = sorted(ts[1:])[1]  # median of the 3 post-compile reps
         tok_s = B * T / dt
-        mxu_flops = 2 * 6.7e9 * B * T  # ~2*params FLOPs per token at 7B
+        D, HD, V, L, kv = (cfg.embedding_dim, cfg.hidden_dim, cfg.vocab_size,
+                           cfg.n_layers, cfg.kv_dim)
+        matmul_params = L * (D * (D + 2 * kv) + D * D + 3 * HD * D) + V * D
+        mxu_flops = 2 * matmul_params * B * T
         mxu_peak = 197e12 if "v5 lite" in jax.devices()[0].device_kind else 275e12
         result = {
             "metric": f"prefill_tokens_per_sec_{args.model}_{args.quant}",

@@ -39,12 +39,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .gguf.reader import GGUFFile
-    from .ops import matmul as matmul_mod
     from .runtime.chat import ChatSession
     from .runtime.runner import Runner
     from .runtime.sampler import Sampler
 
-    matmul_mod.set_backend(args.backend)
     dtypes = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8, None: None}
 
     sharding = None
@@ -68,6 +66,7 @@ def main(argv=None):
         sampler=Sampler(temperature=args.temperature, topp=args.probability),
         sharding=sharding,
         seed=args.seed,
+        backend=args.backend,
     )
 
     if args.chat:

@@ -164,7 +164,6 @@ def forward(
     compute_dtype=jnp.float32,
     collect_probes: bool = False,
     tp_axis: str | None = None,
-    tp_overlap: int | None = None,
     attn_window: int | None = None,
 ):
     """Returns (logits (B, T, vocab), updated KVCache[, probes]).
@@ -277,12 +276,14 @@ def forward(
             # full cache + window bound: the pallas kernels gate their own
             # reads (grid bound / per-seq DMA), the XLA path slices
             attn = attention(q, k_l, v_l, pos, T, scale, window=attn_window)
-        if tp_axis is not None and tp_overlap:
+        if tp_axis is not None and "wo_chunks" in lw:
+            # pre-chunked at setup (parallel.overlap): each chunk's psum
+            # overlaps the next chunk's matmul
             from ..parallel.overlap import overlapped_psum_matmul
 
             attn_out = overlapped_psum_matmul(
-                attn.astype(compute_dtype), lw["wo"], compute_dtype,
-                tp_axis, tp_overlap, layer=l,
+                attn.astype(compute_dtype), lw["wo_chunks"], compute_dtype,
+                tp_axis, layer=l,
             )
         else:
             attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
@@ -300,12 +301,11 @@ def forward(
             ffn_in = rms_norm(x, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
 
         def down_proj(h_act):
-            if tp_axis is not None and tp_overlap:
+            if tp_axis is not None and "ffn_down_chunks" in lw:
                 from ..parallel.overlap import overlapped_psum_matmul
 
                 return overlapped_psum_matmul(
-                    h_act, lw["ffn_down"], compute_dtype, tp_axis, tp_overlap,
-                    layer=l,
+                    h_act, lw["ffn_down_chunks"], compute_dtype, tp_axis, layer=l
                 )
             d = qmatmul(h_act, lw["ffn_down"], compute_dtype, layer=l)
             if tp_axis is not None:

@@ -70,6 +70,8 @@ def _plane_spec(qt: QTensor, axis: str | None, plane: str, arr) -> P:
 
 
 def _axis_of(name: str) -> str | None:
+    if name.endswith("_chunks"):
+        name = name[: -len("_chunks")]
     return "row" if name in ROW else ("col" if name in COL else None)
 
 
@@ -90,7 +92,9 @@ def weight_specs(weights: dict) -> dict:
         "layers": {},
     }
     for name, val in weights["layers"].items():
-        if isinstance(val, QTensor):
+        if isinstance(val, tuple):  # pre-chunked (parallel.overlap)
+            out["layers"][name] = tuple(q_specs(q, _axis_of(name)) for q in val)
+        elif isinstance(val, QTensor):
             out["layers"][name] = q_specs(val, _axis_of(name))
         elif name in ROW_BIAS:
             out["layers"][name] = P(None, "tp")
@@ -117,9 +121,12 @@ def _localize(weights: dict, cfg: ModelConfig, tp: int) -> tuple[dict, ModelConf
     )
     layers = {}
     for name, val in weights["layers"].items():
-        layers[name] = (
-            _localize_qt(val, _axis_of(name), tp) if isinstance(val, QTensor) else val
-        )
+        if isinstance(val, tuple):
+            layers[name] = tuple(_localize_qt(q, _axis_of(name), tp) for q in val)
+        elif isinstance(val, QTensor):
+            layers[name] = _localize_qt(val, _axis_of(name), tp)
+        else:
+            layers[name] = val
     out["layers"] = layers
     lcfg = cfg.with_overrides(
         n_heads=cfg.n_heads // tp,
@@ -156,10 +163,10 @@ def validate_tp_strict(weights: dict, cfg: ModelConfig, tp: int):
 
 
 def _forward_local(weights, cache, tokens, pos, *, cfg, lcfg, compute_dtype,
-                   gather_logits, tp_overlap=None):
+                   gather_logits):
     """Runs on each device inside shard_map."""
     x_logits, new_cache = forward(weights, cache, tokens, pos, lcfg, compute_dtype,
-                                  tp_axis="tp", tp_overlap=tp_overlap)
+                                  tp_axis="tp")
     if gather_logits:
         x_logits = jax.lax.all_gather(x_logits, "tp", axis=2, tiled=True)
     return x_logits, new_cache
@@ -177,6 +184,19 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype,
     tp = mesh.shape["tp"]
     validate_tp_strict(weights, cfg, tp)
     assert "wqkv" not in weights["layers"], "disable QKV fusion under TP"
+
+    if overlap_collectives:
+        # pre-chunk the column-sharded weights ONCE so the overlapped psum
+        # never slices planes inside the scan (see parallel.overlap)
+        from .overlap import chunk_qtensor
+
+        weights = dict(weights)
+        weights["layers"] = dict(weights["layers"])
+        for name in ("wo", "ffn_down"):
+            chunks = chunk_qtensor(weights["layers"][name], tp)
+            if chunks is not None:
+                weights["layers"][name + "_chunks"] = chunks
+                del weights["layers"][name]
 
     specs = weight_specs(weights)
     local_template, lcfg = _localize(weights, cfg, tp)
@@ -200,7 +220,12 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype,
         "final_norm_b": put(weights.get("final_norm_b"), specs["final_norm_b"]),
         "output": put(weights.get("output"), specs["output"]),
         "layers": {
-            n: put(v, specs["layers"][n]) for n, v in weights["layers"].items()
+            n: (
+                tuple(put(q, s) for q, s in zip(v, specs["layers"][n]))
+                if isinstance(v, tuple)
+                else put(v, specs["layers"][n])
+            )
+            for n, v in weights["layers"].items()
         },
     }
 
@@ -225,8 +250,14 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype,
             ),
             "layers": {
                 n: (
-                    QTensor(v.kind, local_template["layers"][n].shape, v.planes)
-                    if isinstance(v, QTensor) else v
+                    tuple(
+                        QTensor(q.kind, local_template["layers"][n][i].shape, q.planes)
+                        for i, q in enumerate(v)
+                    )
+                    if isinstance(v, tuple)
+                    else QTensor(v.kind, local_template["layers"][n].shape, v.planes)
+                    if isinstance(v, QTensor)
+                    else v
                 )
                 for n, v in w["layers"].items()
             },
@@ -235,7 +266,6 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype,
             wl, KVCache(cache.k, cache.v, cache.k_scale, cache.v_scale), tokens, pos,
             cfg=cfg, lcfg=lcfg, compute_dtype=compute_dtype,
             gather_logits=gather_logits,
-            tp_overlap=tp if overlap_collectives else None,
         )
 
     fn = shard_map(

@@ -101,9 +101,9 @@ class Request:
     prompt_tokens: list[int] = field(default_factory=list, repr=False)
     output_tokens: list[int] = field(default_factory=list, repr=False)
     finish_reason: str | None = None
+    output_text: str | None = None  # decoded + stop-trimmed (when stop set)
     _stream: "queue.SimpleQueue[str | None] | None" = field(default=None, repr=False)
     _utf8: Utf8Buf = field(default_factory=Utf8Buf, repr=False)
-    _tail: str = field(default="", repr=False)
 
     @property
     def done(self) -> bool:
@@ -164,6 +164,7 @@ class ServingEngine:
         next step() with a free slot."""
         if not req.prompt_tokens:
             req.prompt_tokens = self.tokenizer.encode(req.prompt, bos=True)
+        req.stop = tuple(s for s in req.stop if isinstance(s, str) and s)
         self.pending.put(req)
         return req
 
@@ -259,10 +260,15 @@ class ServingEngine:
         if (req._stream is not None or req.stop) and self.tokenizer:
             piece = self.tokenizer.decode(token, req._utf8)
             if req.stop and piece:
-                # rolling-tail substring match: stop strings may span token
-                # boundaries and sit mid-piece
-                req._tail = (req._tail + piece)[-(max(map(len, req.stop)) + 16):]
-                if any(s in req._tail for s in req.stop):
+                # accumulate decoded text; stop strings may span token
+                # boundaries and sit mid-piece. On a match, output_text is
+                # trimmed AT the stop (OpenAI semantics) even though
+                # output_tokens necessarily includes the matching token.
+                req.output_text = (req.output_text or "") + piece
+                hits = [req.output_text.find(s) for s in req.stop]
+                hits = [h for h in hits if h >= 0]
+                if hits:
+                    req.output_text = req.output_text[: min(hits)]
                     self._finish(slot, "stop")
                     return
             if req._stream is not None and piece:
@@ -306,6 +312,9 @@ class ServingEngine:
         self.drain()
         outs = []
         for r in reqs:
+            if r.output_text is not None:
+                outs.append(r.output_text)
+                continue
             buf = Utf8Buf()
             outs.append("".join(self.tokenizer.decode(t, buf) for t in r.output_tokens))
         return outs

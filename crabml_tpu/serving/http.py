@@ -62,12 +62,17 @@ def make_handler(engine: ServingEngine):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                stop = payload.get("stop") or []
+                if isinstance(stop, str):  # OpenAI allows a bare string
+                    stop = [stop]
+                if not all(isinstance(s, str) for s in stop):
+                    raise ValueError("stop must be a string or list of strings")
                 req = Request(
                     prompt=payload.get("prompt", ""),
                     max_tokens=int(payload.get("max_tokens", 256)),
                     temperature=float(payload.get("temperature", 0.0)),
                     topp=float(payload.get("top_p", 0.9)),
-                    stop=tuple(payload.get("stop", []) or []),
+                    stop=tuple(s for s in stop if s),
                 )
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
