@@ -267,11 +267,22 @@ def forward(
 
         scale = float(1.0 / np.sqrt(hd))
         if quantized_kv:
-            # dequantize only the windowed view, then attend over it
-            win = attn_window if attn_window is not None else k_l.shape[2]
-            k_att = k_l[:, :, :win].astype(jnp.float32) * ks_l[:, :, :win]
-            v_att = v_l[:, :, :win].astype(jnp.float32) * vs_l[:, :, :win]
-            attn = attention(q, k_att, v_att, pos, T, scale)
+            from ..ops import matmul as _mm
+
+            attn = None
+            if T == 1 and _mm._BACKEND == "pallas":
+                # decode kernel reads the int8 cache + scales directly:
+                # half the bytes of bf16, and only the live prefix
+                from ..ops.pallas.decode_attention import decode_attention
+
+                attn = decode_attention(q, k_l, v_l, pos, scale,
+                                        k_scale=ks_l, v_scale=vs_l)
+            if attn is None:
+                # dequantize only the windowed view, then attend over it
+                win = attn_window if attn_window is not None else k_l.shape[2]
+                k_att = k_l[:, :, :win].astype(jnp.float32) * ks_l[:, :, :win]
+                v_att = v_l[:, :, :win].astype(jnp.float32) * vs_l[:, :, :win]
+                attn = attention(q, k_att, v_att, pos, T, scale)
         else:
             # full cache + window bound: the pallas kernels gate their own
             # reads (grid bound / per-seq DMA), the XLA path slices

@@ -34,22 +34,33 @@ NEG_INF = -1e30
 BK = 128  # tokens per DMA chunk (matches the 128-token window buckets)
 
 
-def _kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
-            k_buf, v_buf, sem_k, sem_v, *, scale: float):
+def _kernel(*refs, scale: float, quantized: bool):
+    if quantized:
+        (len_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+         k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks, sem_vs) = refs
+    else:
+        (len_ref, q_ref, k_hbm, v_hbm, o_ref,
+         k_buf, v_buf, sem_k, sem_v) = refs
+        ks_buf = vs_buf = None
     b = pl.program_id(0)
     kv = pl.program_id(1)
     length = len_ref[b]
     n_chunks = jax.lax.div(length + BK - 1, BK)
 
     def copy_in(i, slot):
-        ck = pltpu.make_async_copy(
+        pltpu.make_async_copy(
             k_hbm.at[b, kv, pl.ds(i * BK, BK)], k_buf.at[slot], sem_k.at[slot]
-        )
-        cv = pltpu.make_async_copy(
+        ).start()
+        pltpu.make_async_copy(
             v_hbm.at[b, kv, pl.ds(i * BK, BK)], v_buf.at[slot], sem_v.at[slot]
-        )
-        ck.start()
-        cv.start()
+        ).start()
+        if quantized:  # scales are (B, KV, 1, S): (1, BK) lane-major tiles
+            pltpu.make_async_copy(
+                ks_hbm.at[b, kv, :, pl.ds(i * BK, BK)], ks_buf.at[slot], sem_ks.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                vs_hbm.at[b, kv, :, pl.ds(i * BK, BK)], vs_buf.at[slot], sem_vs.at[slot]
+            ).start()
 
     @pl.when(n_chunks > 0)
     def _run():
@@ -74,10 +85,30 @@ def _kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
 
             k = k_buf[slot]  # (BK, hd)
             v = v_buf[slot]
+            if quantized:
+                pltpu.make_async_copy(
+                    ks_hbm.at[b, kv, :, pl.ds(0, BK)], ks_buf.at[slot], sem_ks.at[slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_hbm.at[b, kv, :, pl.ds(0, BK)], vs_buf.at[slot], sem_vs.at[slot]
+                ).wait()
+            # f32 operands need an explicit multi-pass MXU precision — the
+            # TPU default is single-pass bf16 even for f32 inputs
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if k_buf.dtype == jnp.float32 or quantized
+                else None
+            )
             s = jax.lax.dot_general(
                 q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )  # (G, BK)
+            if quantized:
+                # int8 cache: per-token scales fold into the score COLUMNS
+                # (s = q . k_i8 * ks[col]) — a lane-dim broadcast, so the
+                # int8 payload feeds the dot untouched and no (BK, 1)
+                # sublane tile or transpose is ever needed
+                s = s * ks_buf[slot]  # (1, BK) broadcast over G
             col = i * BK + jax.lax.broadcasted_iota(jnp.int32, (G, BK), 1)
             s = jnp.where(col < length, s, NEG_INF)
 
@@ -86,9 +117,11 @@ def _kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
             p = jnp.exp(s - m_new)
             p = jnp.where(col < length, p, 0.0)
             l = l * alpha + p.sum(axis=1, keepdims=True)
+            if quantized:  # fold V's per-token scale into the probs
+                p = p * vs_buf[slot]
             acc = acc * alpha + jax.lax.dot_general(
                 p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=prec,
             )
             return jnp.broadcast_to(m_new, m.shape), l, acc
 
@@ -101,26 +134,44 @@ def _kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def _run(q, k_cache, v_cache, lengths, scale: float):
+def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None):
     B, KV, G, hd = q.shape
+    quantized = k_scale is not None
     grid = (B, KV)
+    in_specs = [
+        pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
+    ]
+    scratch = [
+        pltpu.VMEM((2, BK, hd), k_cache.dtype),
+        pltpu.VMEM((2, BK, hd), v_cache.dtype),
+    ]
+    args = [lengths.astype(jnp.int32), q, k_cache, v_cache]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k scales (B, KV, S, 1)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # v scales
+        ]
+        scratch += [
+            pltpu.VMEM((2, 1, BK), jnp.float32),
+            pltpu.VMEM((2, 1, BK), jnp.float32),
+        ]
+        # (B, KV, S, 1) -> (B, KV, 1, S): identical element order (free
+        # reshape), but the chunk slice becomes a lane-major (1, BK) tile
+        args += [
+            k_scale.reshape(k_scale.shape[:2] + (1, -1)),
+            v_scale.reshape(v_scale.shape[:2] + (1, -1)),
+        ]
+    scratch += [pltpu.SemaphoreType.DMA((2,))] * (4 if quantized else 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, BK, hd), k_cache.dtype),
-            pltpu.VMEM((2, BK, hd), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(_kernel, scale=scale)
+    kernel = functools.partial(_kernel, scale=scale, quantized=quantized)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
@@ -129,15 +180,19 @@ def _run(q, k_cache, v_cache, lengths, scale: float):
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(lengths.astype(jnp.int32), q, k_cache, v_cache)
+    )(*args)
 
 
-def decode_attention(q, k_cache, v_cache, pos, scale: float):
+def decode_attention(q, k_cache, v_cache, pos, scale: float,
+                     k_scale=None, v_scale=None):
     """q (B, 1, H, hd), cache (B, KV, S, hd), pos (B,) -> (B, 1, H*hd) or
     None when shapes aren't eligible (caller keeps the XLA path).
 
     Reads exactly ceil((pos_b+1)/BK) chunks per sequence/head via in-kernel
     double-buffered DMA — per-sequence length gating with no recompiles.
+    With k_scale/v_scale (B, KV, S, 1), the cache is int8 and chunks
+    dequantize in-register — long-context int8 decode reads half the
+    bytes of a bf16 cache AND only the live prefix.
     """
     B, T, H, hd = q.shape
     if T != 1:
@@ -147,5 +202,5 @@ def decode_attention(q, k_cache, v_cache, pos, scale: float):
         return None
     G = H // KV
     qg = q.reshape(B, KV, G, hd)
-    out = _run(qg, k_cache, v_cache, pos + 1, scale)
+    out = _run(qg, k_cache, v_cache, pos + 1, scale, k_scale, v_scale)
     return out.reshape(B, 1, H * hd)

@@ -64,8 +64,12 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (G*BQ, hd)
         k = k_ref[0, 0]  # (BK, hd)
         v = v_ref[0, 0]
+        prec = (
+            jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+        )
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
         ) * scale
         s = jnp.where(col <= row, s, NEG_INF)
 
@@ -80,7 +84,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_new = l_ref[:, :1] * alpha + p.sum(axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)

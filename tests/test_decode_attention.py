@@ -32,3 +32,33 @@ def test_decode_attention_fallbacks():
     q = jnp.zeros((1, 1, 4, 64))  # hd 64: ineligible
     k = jnp.zeros((1, 4, 512, 64))
     assert decode_attention(q, k, k, jnp.zeros(1, jnp.int32), 1.0) is None
+
+
+def test_decode_attention_int8_cache():
+    """int8-cache variant dequantizes chunks in-register; matches the
+    dequantize-then-attend reference path."""
+    import jax
+
+    B, S, KV, G, hd = 2, 256, 2, 2, 128
+    H = KV * G
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    kf = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    vf = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    ks = (np.abs(kf).max(axis=-1, keepdims=True) / 127.0).astype(np.float32)
+    vs = (np.abs(vf).max(axis=-1, keepdims=True) / 127.0).astype(np.float32)
+    k8 = np.clip(np.round(kf / ks), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs), -127, 127).astype(np.int8)
+    pos = jnp.asarray([100, 255], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    want = fwd.attention(
+        q, jnp.asarray(k8.astype(np.float32) * ks), jnp.asarray(v8.astype(np.float32) * vs),
+        pos, 1, scale,
+    )
+    got = decode_attention(
+        q, jnp.asarray(k8), jnp.asarray(v8), pos, scale,
+        k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs),
+    )
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
