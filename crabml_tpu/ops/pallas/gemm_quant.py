@@ -153,8 +153,12 @@ def _qmm_kernel(*refs, scheme: _Scheme, out_dtype, n_qplanes, tk: int, stacked: 
     if msub_ref is not None:
         w3 = w3 + _sq2(msub_ref).astype(cd)[:, None, :]
     w = w3.reshape(tk, TM).astype(out_dtype)
+    # f32 operands need explicit multi-pass MXU precision (TPU default is
+    # single-pass bf16 even for f32 dots); bf16 keeps the fast path
+    prec = jax.lax.Precision.HIGHEST if out_dtype == jnp.float32 else None
     o_ref[:] += jax.lax.dot_general(
-        x_ref[:], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
     )
 
 
