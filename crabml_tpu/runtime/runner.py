@@ -123,9 +123,28 @@ class Runner:
         self.pos = np.zeros(self.batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
 
+    MAX_PREFILL_CHUNK = 512  # bounds compile buckets AND activation memory
+
     def _forward_tokens(self, token_ids: list[int]):
         """Run `token_ids` through the model at the current position; returns
-        last-token logits (1, V)."""
+        last-token logits (1, V).
+
+        Long prompts prefill in MAX_PREFILL_CHUNK pieces (chunked prefill):
+        compile buckets stay bounded and a 32k prompt never materializes a
+        32k-row activation. Prompts that exceed the cache keep their TAIL
+        (sliding-window convention, matching the serving engine)."""
+        limit = self.seq_len - 1 - int(self.pos[0])
+        if len(token_ids) > limit:
+            token_ids = token_ids[-limit:]
+        while len(token_ids) > self.MAX_PREFILL_CHUNK:
+            head, token_ids = (
+                token_ids[: self.MAX_PREFILL_CHUNK],
+                token_ids[self.MAX_PREFILL_CHUNK :],
+            )
+            self._forward_chunk(head)
+        return self._forward_chunk(token_ids)
+
+    def _forward_chunk(self, token_ids: list[int]):
         n = len(token_ids)
         t_pad = _bucket(n)
         padded = np.zeros((self.batch_size, t_pad), dtype=np.int32)

@@ -99,3 +99,28 @@ def test_session_save_restore(stories260k_path, tmp_path):
     assert r3.kv_cache_len() == r2.kv_cache_len()
     out_restored = "".join(r3.generate(tok, steps=12))
     assert out_restored == out_full
+
+
+def test_chunked_prefill_matches_single_shot(stories260k_path):
+    """A prompt longer than MAX_PREFILL_CHUNK prefills in pieces and yields
+    the same next token + continuation as one-shot prefill."""
+    r1 = Runner(stories260k_path, seq_len=96)
+    prompt = "Lily is a cat. " * 4
+    _, _, tok1 = r1.prefill(prompt, bos=True)
+    out1 = "".join(r1.generate(tok1, steps=8))
+
+    r2 = Runner(stories260k_path, seq_len=96)
+    r2.MAX_PREFILL_CHUNK = 8  # force many chunks
+    _, _, tok2 = r2.prefill(prompt, bos=True)
+    assert tok2 == tok1
+    out2 = "".join(r2.generate(tok2, steps=8))
+    assert out2 == out1
+
+
+def test_overlong_prompt_keeps_tail(stories260k_path):
+    r = Runner(stories260k_path, seq_len=32)
+    long_prompt = "cat dog " * 40  # way beyond 32 tokens
+    pos, _, tok = r.prefill(long_prompt, bos=True)
+    assert pos <= 31
+    out = "".join(r.generate(tok, steps=4))
+    assert isinstance(out, str)
