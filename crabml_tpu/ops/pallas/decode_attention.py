@@ -34,8 +34,14 @@ NEG_INF = -1e30
 BK = 128  # tokens per DMA chunk (matches the 128-token window buckets)
 
 
-def _kernel(*refs, scale: float, quantized: bool):
-    if quantized:
+def _kernel(*refs, scale: float, quantized: bool, paged: bool):
+    if paged:
+        # page-table indirection: chunk i of sequence b lives in physical
+        # page table[b, i] of a (n_pages, KV, BK, hd) pool
+        (len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
+         k_buf, v_buf, sem_k, sem_v) = refs
+        ks_buf = vs_buf = None
+    elif quantized:
         (len_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
          k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks, sem_vs) = refs
     else:
@@ -48,6 +54,15 @@ def _kernel(*refs, scale: float, quantized: bool):
     n_chunks = jax.lax.div(length + BK - 1, BK)
 
     def copy_in(i, slot):
+        if paged:
+            page = table_ref[b, i]
+            pltpu.make_async_copy(
+                k_hbm.at[page, kv], k_buf.at[slot], sem_k.at[slot]
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[page, kv], v_buf.at[slot], sem_v.at[slot]
+            ).start()
+            return
         pltpu.make_async_copy(
             k_hbm.at[b, kv, pl.ds(i * BK, BK)], k_buf.at[slot], sem_k.at[slot]
         ).start()
@@ -76,12 +91,20 @@ def _kernel(*refs, scale: float, quantized: bool):
             def _prefetch():
                 copy_in(i + 1, jax.lax.rem(i + 1, 2))
 
-            pltpu.make_async_copy(
-                k_hbm.at[b, kv, pl.ds(0, BK)], k_buf.at[slot], sem_k.at[slot]
-            ).wait()
-            pltpu.make_async_copy(
-                v_hbm.at[b, kv, pl.ds(0, BK)], v_buf.at[slot], sem_v.at[slot]
-            ).wait()
+            if paged:
+                pltpu.make_async_copy(
+                    k_hbm.at[0, kv], k_buf.at[slot], sem_k.at[slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[0, kv], v_buf.at[slot], sem_v.at[slot]
+                ).wait()
+            else:
+                pltpu.make_async_copy(
+                    k_hbm.at[b, kv, pl.ds(0, BK)], k_buf.at[slot], sem_k.at[slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[b, kv, pl.ds(0, BK)], v_buf.at[slot], sem_v.at[slot]
+                ).wait()
 
             k = k_buf[slot]  # (BK, hd)
             v = v_buf[slot]
@@ -171,7 +194,8 @@ def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None)
         out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
         scratch_shapes=scratch,
     )
-    kernel = functools.partial(_kernel, scale=scale, quantized=quantized)
+    kernel = functools.partial(_kernel, scale=scale, quantized=quantized,
+                               paged=False)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
@@ -181,6 +205,57 @@ def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None)
         ),
         interpret=jax.default_backend() != "tpu",
     )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float):
+    B, KV, G, hd = q.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # lengths + page table
+        grid=(B, KV),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, BK, hd), k_pages.dtype),
+            pltpu.VMEM((2, BK, hd), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, scale=scale, quantized=False, paged=True)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q, k_pages, v_pages)
+
+
+def paged_decode_attention(q, k_pages, v_pages, page_table, lengths, scale: float):
+    """Decode attention over a PAGED cache pool (vLLM-style block tables).
+
+    q (B, 1, H, hd); k_pages/v_pages (n_pages, KV, BK, hd); page_table
+    (B, max_pages) int32 physical page per logical chunk; lengths (B,).
+    The engine-side page-pool allocator is future work (ROADMAP #1); the
+    serving slot pool uses the contiguous variant with an identity layout.
+    """
+    B, T, H, hd = q.shape
+    if T != 1:
+        return None
+    KV = k_pages.shape[1]
+    if H % KV or hd % 128 or k_pages.shape[2] != BK:
+        return None
+    G = H // KV
+    out = _run_paged(q.reshape(B, KV, G, hd), k_pages, v_pages, page_table,
+                     lengths, scale)
+    return out.reshape(B, 1, H * hd)
 
 
 def decode_attention(q, k_cache, v_cache, pos, scale: float,

@@ -62,3 +62,40 @@ def test_decode_attention_int8_cache():
     )
     assert got is not None
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_attention():
+    """Block-table variant: shuffled physical pages == contiguous cache."""
+    from crabml_tpu.ops.pallas.decode_attention import BK, paged_decode_attention
+
+    B, KV, G, hd = 2, 2, 2, 128
+    H = KV * G
+    max_pages = 4
+    S = max_pages * BK
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    dense_k = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    dense_v = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    lengths = np.asarray([300, 512], np.int32)
+
+    # scatter each sequence's chunks into shuffled physical pages
+    n_pages = B * max_pages
+    perm = rng.permutation(n_pages)
+    k_pages = np.zeros((n_pages, KV, BK, hd), np.float32)
+    v_pages = np.zeros((n_pages, KV, BK, hd), np.float32)
+    table = np.zeros((B, max_pages), np.int32)
+    for b in range(B):
+        for c in range(max_pages):
+            p = perm[b * max_pages + c]
+            table[b, c] = p
+            k_pages[p] = dense_k[b, :, c * BK : (c + 1) * BK].transpose(0, 1, 2)
+            v_pages[p] = dense_v[b, :, c * BK : (c + 1) * BK]
+
+    scale = 1.0 / np.sqrt(hd)
+    got = paged_decode_attention(
+        q, jnp.asarray(k_pages), jnp.asarray(v_pages), jnp.asarray(table),
+        jnp.asarray(lengths), scale,
+    )
+    want = fwd.attention(q, jnp.asarray(dense_k), jnp.asarray(dense_v),
+                         jnp.asarray(lengths - 1), 1, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
