@@ -30,6 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--tp", type=int, default=None, help="tensor parallel degree")
     ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mlock", action="store_true",
+                    help="mlock(2) the weight mmap (reference --mlock parity)")
     return ap
 
 
@@ -51,7 +53,7 @@ def main(argv=None):
 
         sharding = make_mesh(tp=args.tp, dp=1)
 
-    gf = GGUFFile(args.model)
+    gf = GGUFFile(args.model, mlock=args.mlock)
     if args.verbose:
         print("== metadata ==", file=sys.stderr)
         for k, v in gf.metadata.as_dict().items():

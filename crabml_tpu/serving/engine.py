@@ -320,11 +320,24 @@ class ServingEngine:
         return outs
 
     def run_forever(self, idle_sleep: float = 0.005):
-        """Engine loop for a serving thread; `enqueue` from other threads."""
+        """Engine loop for a serving thread; `enqueue` from other threads.
+
+        A failing request must not kill the loop (handler threads block on
+        their stream queues forever if it dies): the offending slots are
+        failed and freed, and the loop continues."""
         import time
+        import traceback
 
         while not self._stop.is_set():
-            if self.step() == 0 and self.pending.empty():
+            try:
+                busy = self.step()
+            except Exception:
+                traceback.print_exc()
+                for i, r in enumerate(self.slots):
+                    if r is not None:
+                        self._finish(i, "error")
+                continue
+            if busy == 0 and self.pending.empty():
                 time.sleep(idle_sleep)
 
     def enqueue_streaming(self, req: Request) -> "queue.SimpleQueue[str | None]":
