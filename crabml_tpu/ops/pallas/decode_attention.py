@@ -116,10 +116,14 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool):
                     vs_hbm.at[b, kv, :, pl.ds(0, BK)], vs_buf.at[slot], sem_vs.at[slot]
                 ).wait()
             # f32 operands need an explicit multi-pass MXU precision — the
-            # TPU default is single-pass bf16 even for f32 inputs
+            # TPU default is single-pass bf16 even for f32 inputs. Key on
+            # the ACTUAL dot operand dtypes: q is cast to f32 above, so any
+            # f32 q/cache (or the int8 dequant, also f32) needs HIGHEST.
             prec = (
                 jax.lax.Precision.HIGHEST
-                if k_buf.dtype == jnp.float32 or quantized
+                if q_ref.dtype == jnp.float32
+                or k_buf.dtype == jnp.float32
+                or quantized
                 else None
             )
             s = jax.lax.dot_general(
@@ -163,8 +167,8 @@ def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None)
     grid = (B, KV)
     in_specs = [
         pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
-        pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
     ]
     scratch = [
         pltpu.VMEM((2, BK, hd), k_cache.dtype),
@@ -173,8 +177,8 @@ def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None)
     args = [lengths.astype(jnp.int32), q, k_cache, v_cache]
     if quantized:
         in_specs += [
-            pl.BlockSpec(memory_space=pltpu.ANY),  # k scales (B, KV, S, 1)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # v scales
+            pl.BlockSpec(memory_space=pl.ANY),  # k scales (B, KV, S, 1)
+            pl.BlockSpec(memory_space=pl.ANY),  # v scales
         ]
         scratch += [
             pltpu.VMEM((2, 1, BK), jnp.float32),
@@ -215,8 +219,8 @@ def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float):
         grid=(B, KV),
         in_specs=[
             pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
         scratch_shapes=[

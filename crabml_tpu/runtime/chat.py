@@ -123,18 +123,33 @@ class ChatSession:
                 cfg.model_name, cfg.architecture, cfg.chat_template
             )
 
-    def reply(self, prompt: str):
-        """Yields reply text pieces; stops at the template stop mark or EOS."""
+    def reply(self, prompt: str, max_tokens: int | None = None):
+        """Yields reply text pieces; stops at the template stop mark, EOS,
+        or `max_tokens`.
+
+        Context overflow policy: when the KV cache can't fit the new turn,
+        the session restarts — cache reset, system prompt re-applied, and
+        the new turn prefilled fresh (earlier turns are dropped). The
+        reference silently overflows instead (its grow-by-concat cache
+        errors at seq_len, chat.rs has no handling); an explicit restart
+        keeps long-running REPLs alive."""
+        fresh = self.runner.kv_cache_len() == 0
         templated = self.template.apply(
             prompt,
-            self.system_prompt if self.runner.kv_cache_len() == 0 else None,
+            self.system_prompt if fresh else None,
             append_assistant_prefix=True,
         )
-        bos = self.runner.kv_cache_len() == 0
-        _, _, token = self.runner.prefill(templated, bos=bos)
+        try:
+            _, _, token = self.runner.prefill(templated, bos=fresh)
+        except ValueError:  # cache full: restart the session with this turn
+            self.runner.reset()
+            templated = self.template.apply(
+                prompt, self.system_prompt, append_assistant_prefix=True
+            )
+            _, _, token = self.runner.prefill(templated, bos=True)
         matcher = MarkMatcher([self.template.stop_mark])
         self._has_stop_mark = False
-        for piece in self.runner.generate(token):
+        for piece in self.runner.generate(token, steps=max_tokens):
             merged = matcher.push(piece)
             if merged is None:
                 continue
@@ -147,4 +162,7 @@ class ChatSession:
         """Append the stop mark to the cache if the model never emitted it
         (chat.rs:51-58), keeping the transcript well-formed for next turn."""
         if not self._has_stop_mark:
-            self.runner.prefill(self.template.stop_mark, bos=False)
+            try:
+                self.runner.prefill(self.template.stop_mark, bos=False)
+            except ValueError:
+                pass  # cache full — next reply() restarts the session anyway

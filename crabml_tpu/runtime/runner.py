@@ -134,6 +134,11 @@ class Runner:
         32k-row activation. Prompts that exceed the cache keep their TAIL
         (sliding-window convention, matching the serving engine)."""
         limit = self.seq_len - 1 - int(self.pos[0])
+        if limit <= 0:
+            raise ValueError(
+                f"KV cache full (pos={int(self.pos[0])}, seq_len={self.seq_len}); "
+                "reset() or raise seq_len"
+            )
         if len(token_ids) > limit:
             token_ids = token_ids[-limit:]
         while len(token_ids) > self.MAX_PREFILL_CHUNK:
@@ -147,6 +152,10 @@ class Runner:
     def _forward_chunk(self, token_ids: list[int]):
         n = len(token_ids)
         t_pad = _bucket(n)
+        if int(self.pos[0]) + t_pad > self.seq_len:
+            # bucket would overrun the cache (non-power-of-two seq_len or a
+            # near-full cache): fall back to the exact remaining width
+            t_pad = self.seq_len - int(self.pos[0])
         padded = np.zeros((self.batch_size, t_pad), dtype=np.int32)
         padded[0, :n] = token_ids
         if self._windowed:

@@ -188,6 +188,9 @@ class ServingEngine:
         t_pad = _bucket(len(toks))
         padded = np.zeros((1, t_pad), np.int32)
         padded[0, : len(toks)] = toks
+        # claim the slot BEFORE device work: if prefill raises, run_forever's
+        # recovery finds the request in self.slots and closes its stream
+        self.slots[slot] = req
         logits, self.cache = _prefill_slot(
             self.weights,
             self.cache,
@@ -204,7 +207,6 @@ class ServingEngine:
             jnp.asarray([req.temperature], jnp.float32),
             jnp.asarray([req.topp], jnp.float32),
         )
-        self.slots[slot] = req
         self.pos = self.pos.copy()
         self.cur_tok = self.cur_tok.copy()
         self.temp = self.temp.copy()
@@ -322,9 +324,12 @@ class ServingEngine:
     def run_forever(self, idle_sleep: float = 0.005):
         """Engine loop for a serving thread; `enqueue` from other threads.
 
-        A failing request must not kill the loop (handler threads block on
-        their stream queues forever if it dies): the offending slots are
-        failed and freed, and the loop continues."""
+        A failing step must not kill the loop (handler threads block on
+        their stream queues forever if it dies). Recovery: every in-flight
+        request is failed with reason "error" and its stream closed (one
+        compiled step advances all slots, so blame can't be attributed to
+        one), the possibly-donated-and-dead KV cache is rebuilt, and the
+        loop backs off before continuing."""
         import time
         import traceback
 
@@ -336,6 +341,14 @@ class ServingEngine:
                 for i, r in enumerate(self.slots):
                     if r is not None:
                         self._finish(i, "error")
+                # the failed step may have consumed (donated) the cache
+                # buffer before dying — rebuild device state from scratch
+                self.cache = KVCache.create(
+                    self.cfg, self.n_slots, self.seq_len, self.kv_dtype
+                )
+                self.pos = np.zeros(self.n_slots, np.int32)
+                self.cur_tok = np.zeros(self.n_slots, np.int32)
+                time.sleep(idle_sleep)
                 continue
             if busy == 0 and self.pending.empty():
                 time.sleep(idle_sleep)

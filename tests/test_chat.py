@@ -46,11 +46,23 @@ def test_mark_matcher_false_start():
 def test_chat_session_multiturn(stories260k_path):
     r = Runner(stories260k_path, seq_len=256)
     s = ChatSession(r, template=ChatTemplate.LLAMA2)
-    out1 = "".join(s.reply("Tell me about Lily"))
+    out1 = "".join(s.reply("Tell me about Lily", max_tokens=40))
     s.finish()
     pos1 = r.kv_cache_len()
     assert pos1 > 0
-    out2 = "".join(s.reply("What happened next?"))
+    out2 = "".join(s.reply("What happened next?", max_tokens=40))
     pos2 = r.kv_cache_len()
     assert pos2 > pos1  # cache persisted across turns
     assert isinstance(out1, str) and isinstance(out2, str)
+
+
+def test_chat_session_context_overflow_restarts(stories260k_path):
+    """A turn that can't fit restarts the session instead of corrupting the
+    cache (the pre-fix behavior) or crashing the REPL."""
+    r = Runner(stories260k_path, seq_len=64)
+    s = ChatSession(r, template=ChatTemplate.LLAMA2)
+    "".join(s.reply("Tell me a very long story about Lily"))  # fills cache
+    assert r.kv_cache_len() >= 62
+    out = "".join(s.reply("And then?", max_tokens=8))  # overflow -> restart
+    assert r.kv_cache_len() < 62  # fresh session
+    assert isinstance(out, str)
