@@ -8,5 +8,6 @@ OpenAI-style completions endpoint. Run directly:
 """
 
 from .engine import Request, ServingEngine
+from .paged import PagedServingEngine
 
-__all__ = ["Request", "ServingEngine"]
+__all__ = ["Request", "ServingEngine", "PagedServingEngine"]

@@ -144,7 +144,7 @@ class ServingEngine:
         self.compute_dtype = compute_dtype
         self.kv_dtype = kv_dtype or compute_dtype
 
-        self.cache = KVCache.create(cfg, n_slots, self.seq_len, self.kv_dtype)
+        self.cache = self._make_cache()
         self.slots: list[Request | None] = [None] * n_slots
         # host-side per-slot state (device copies made fresh each step; see
         # runner.py's note on async-transfer races)
@@ -156,6 +156,11 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(seed)
         self._stop = threading.Event()
         self.steps = 0
+
+    def _make_cache(self):
+        """Cache-construction hook (PagedServingEngine overrides: the slot
+        pool's dense n_slots x seq_len allocation must never happen there)."""
+        return KVCache.create(self.cfg, self.n_slots, self.seq_len, self.kv_dtype)
 
     # -- admission ----------------------------------------------------------
 

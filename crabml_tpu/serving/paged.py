@@ -1,0 +1,335 @@
+"""Paged KV cache: vLLM-style block-pool serving memory.
+
+The slot-pool engine reserves seq_len cache slots per sequence — fine for
+uniform workloads, wasteful when lengths vary (a 64-slot 7B pool at 4k
+context reserves 34 GB whether or not anyone uses it). This module
+allocates KV memory in PAGE-token blocks from a shared pool instead:
+
+- `PagedKVCache`: pages (L, n_pages, KV, PAGE, hd) ×2 + a host-side free
+  list; each sequence owns a list of pages recorded in a (B, max_pages)
+  block table. Memory scales with TOKENS IN FLIGHT, not slots × seq_len.
+- `paged_decode_step`: single jitted decode tick — per layer, the new
+  K/V vectors scatter into each sequence's current page
+  (pages.at[table[b, pos//PAGE], :, pos%PAGE]) and attention runs through
+  the block table (ops.pallas.decode_attention.paged_decode_attention on
+  TPU; an XLA gather fallback elsewhere/for small heads).
+- `PagedServingEngine`: the continuous-batching engine over the pool.
+  Admission allocates pages for the prompt, each decode tick allocates a
+  page when a sequence crosses a boundary, and _finish returns pages to
+  the free list. Prefill runs through a small DENSE scratch cache (one
+  bucket) and the jitted `_scatter_prefill` copies it page-by-page into
+  the pool — the dense foward is reused unchanged.
+
+PAGE == the decode kernel's chunk size (128), so kernel DMA chunks and
+pages coincide.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.forward import KVCache, forward
+from ..ops.pallas.decode_attention import BK as PAGE
+from ..ops.pallas.decode_attention import paged_decode_attention
+from ..ops.matmul import qmatmul
+from ..ops.norm import rms_norm
+from ..ops.rope import apply_rope
+from ..runtime.sampler import sample_batch
+from ..utils import bucket as _bucket
+from .engine import Request, ServingEngine
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "table"],
+    meta_fields=[],
+)
+@dataclass
+class PagedKVCache:
+    """k, v: (L, n_pages, KV, PAGE, hd); table: (B, max_pages) int32
+    (physical page of each sequence's logical chunk; unused entries 0)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    table: jnp.ndarray
+
+    @staticmethod
+    def create(cfg, n_pages: int, n_slots: int, max_pages: int, dtype=jnp.bfloat16):
+        shape = (cfg.n_layers, n_pages, cfg.n_kv_heads, PAGE, cfg.head_dim)
+        return PagedKVCache(
+            jnp.zeros(shape, dtype),
+            jnp.zeros(shape, dtype),
+            jnp.zeros((n_slots, max_pages), jnp.int32),
+        )
+
+
+def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale):
+    """XLA path: gather each sequence's pages dense, then mask-attend.
+    Used off-TPU and for head dims the kernel can't take."""
+    B, T, H, hd = q.shape
+    KV = k_pages.shape[1]
+    max_pages = table.shape[1]
+    # (B, max_pages, KV, PAGE, hd) -> (B, KV, S, hd)
+    kg = k_pages[table].transpose(0, 2, 1, 3, 4).reshape(B, KV, max_pages * PAGE, hd)
+    vg = v_pages[table].transpose(0, 2, 1, 3, 4).reshape(B, KV, max_pages * PAGE, hd)
+    from ..models.forward import attention
+
+    return attention(q, kg, vg, lengths - 1, T, scale)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype"),
+    donate_argnames=("cache",),
+)
+def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
+                      cfg, compute_dtype):
+    """One decode tick over the page pool. tokens/pos: (B,)."""
+    from ..models.forward import _activation
+    from ..ops.matmul import embedding_lookup
+
+    B = tokens.shape[0]
+    D, H, KV, hd = cfg.embedding_dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    scale = float(1.0 / np.sqrt(hd))
+    lw = weights["layers"]
+    L = cfg.n_layers
+
+    page_of = cache.table[jnp.arange(B), pos // PAGE]  # (B,) physical page
+    off = pos % PAGE
+
+    x = embedding_lookup(weights["token_embed"], tokens[:, None], compute_dtype)
+    if cfg.scale_embedding:
+        x = x * jnp.sqrt(jnp.float32(D)).astype(compute_dtype)
+    positions = pos[:, None]
+
+    def layer_step(x, per_layer):
+        l, k_pages, v_pages = per_layer
+        h = rms_norm(x, jnp.asarray(lw["attn_norm"])[l], cfg.rms_norm_eps,
+                     jnp.asarray(lw["attn_norm_b"])[l] if "attn_norm_b" in lw else None)
+        if "wqkv" in lw:
+            qkv = qmatmul(h, lw["wqkv"], compute_dtype, layer=l)
+            if "bqkv" in lw:
+                qkv = qkv + jnp.asarray(lw["bqkv"])[l].astype(compute_dtype)
+            kvd = KV * hd
+            q, k, v = qkv[..., :D], qkv[..., D : D + kvd], qkv[..., D + kvd :]
+        else:
+            q = qmatmul(h, lw["wq"], compute_dtype, layer=l)
+            k = qmatmul(h, lw["wk"], compute_dtype, layer=l)
+            v = qmatmul(h, lw["wv"], compute_dtype, layer=l)
+            if "bq" in lw:
+                q = q + jnp.asarray(lw["bq"])[l].astype(compute_dtype)
+                k = k + jnp.asarray(lw["bk"])[l].astype(compute_dtype)
+                v = v + jnp.asarray(lw["bv"])[l].astype(compute_dtype)
+        q = q.reshape(B, 1, H, hd)
+        k = k.reshape(B, 1, KV, hd)
+        v = v.reshape(B, 1, KV, hd)
+        q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode, cfg.rope_base)
+        k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode, cfg.rope_base)
+
+        # scatter this token's K/V into each sequence's current page
+        kt = k[:, 0].astype(k_pages.dtype)  # (B, KV, hd)
+        vt = v[:, 0].astype(v_pages.dtype)
+        k_pages = k_pages.at[page_of, :, off].set(kt)
+        v_pages = v_pages.at[page_of, :, off].set(vt)
+
+        out = None
+        if jax.default_backend() == "tpu" and hd % 128 == 0:
+            out = paged_decode_attention(q, k_pages, v_pages, cache.table,
+                                         pos + 1, scale)
+        if out is None:
+            out = _paged_attention_fallback(q, k_pages, v_pages, cache.table,
+                                            pos + 1, scale)
+        attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
+        if "bo" in lw:
+            attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
+
+        if cfg.parallel_residual:
+            ffn_in = h
+        else:
+            x2 = x + attn_out
+            ffn_in = rms_norm(x2, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
+
+        if cfg.no_ffn_gate:
+            up = qmatmul(ffn_in, lw["ffn_up"], compute_dtype, layer=l)
+            if "ffn_up_b" in lw:
+                up = up + jnp.asarray(lw["ffn_up_b"])[l].astype(compute_dtype)
+            down = qmatmul(_activation(up, cfg.act), lw["ffn_down"], compute_dtype, layer=l)
+            if "ffn_down_b" in lw:
+                down = down + jnp.asarray(lw["ffn_down_b"])[l].astype(compute_dtype)
+        elif "wgu" in lw:
+            gu = qmatmul(ffn_in, lw["wgu"], compute_dtype, layer=l)
+            gate, up = gu[..., : cfg.hidden_dim], gu[..., cfg.hidden_dim :]
+            down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"],
+                           compute_dtype, layer=l)
+        else:
+            gate = qmatmul(ffn_in, lw["ffn_gate"], compute_dtype, layer=l)
+            up = qmatmul(ffn_in, lw["ffn_up"], compute_dtype, layer=l)
+            down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"],
+                           compute_dtype, layer=l)
+
+        if cfg.parallel_residual:
+            x_out = x + attn_out + down
+        else:
+            x_out = x2 + down
+        return x_out, (k_pages, v_pages)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer_step, x, (jnp.arange(L, dtype=jnp.int32), cache.k, cache.v)
+    )
+    x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
+    out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
+    logits = qmatmul(x, out_w, compute_dtype)[:, 0].astype(jnp.float32)
+    nxt = sample_batch(logits, key, temp, topp)
+    return nxt, PagedKVCache(k_new, v_new, cache.table)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_prompt_pages",),
+    donate_argnames=("cache",),
+)
+def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages, slot,
+                     n_prompt_pages: int):
+    """Copy a dense (L, 1, KV, t_pad, hd) prefill cache into pool pages and
+    record them in the slot's table row. `pages`: (n_prompt_pages,) int32."""
+    k, v = cache.k, cache.v
+    for c in range(n_prompt_pages):
+        # (L, KV, PAGE, hd) chunk of the dense scratch
+        kc = jax.lax.dynamic_slice_in_dim(dense.k[:, 0], c * PAGE, PAGE, axis=2)
+        vc = jax.lax.dynamic_slice_in_dim(dense.v[:, 0], c * PAGE, PAGE, axis=2)
+        k = k.at[:, pages[c]].set(kc.astype(k.dtype))
+        v = v.at[:, pages[c]].set(vc.astype(v.dtype))
+    table = jax.lax.dynamic_update_slice(
+        cache.table, pages[None].astype(jnp.int32), (slot, 0)
+    )
+    return PagedKVCache(k, v, table)
+
+
+class PagedServingEngine(ServingEngine):
+    """Continuous batching over a paged KV pool.
+
+    Same request lifecycle as ServingEngine; memory is allocated in PAGE
+    blocks on demand (admission: prompt pages; decode: one page at each
+    boundary crossing) and returned on completion. `n_pages` bounds total
+    in-flight tokens instead of slots × seq_len.
+    """
+
+    def __init__(self, runner=None, *, n_pages: int = 256, **kw):
+        kw.setdefault("kv_dtype", jnp.bfloat16)
+        assert kw["kv_dtype"] != jnp.int8, "paged pool: int8 KV not wired yet"
+        self._n_pages_cfg = n_pages
+        super().__init__(runner, **kw)
+        # page 0 is a scratch page shared by empty slots; never allocated
+        self._free = list(range(1, n_pages))
+        self._owned: list[list[int]] = [[] for _ in range(self.n_slots)]
+
+    def _make_cache(self):
+        self.max_pages = -(-self.seq_len // PAGE)
+        self.n_pages = self._n_pages_cfg
+        return PagedKVCache.create(
+            self.cfg, self.n_pages, self.n_slots, self.max_pages, self.kv_dtype
+        )
+
+    def pages_free(self) -> int:
+        return len(self._free)
+
+    def _alloc(self, n: int) -> list[int] | None:
+        if len(self._free) < n:
+            return None
+        out = [self._free.pop() for _ in range(n)]
+        return out
+
+    def _prefill_into(self, slot: int, req: Request):
+        toks = req.prompt_tokens
+        limit = self.seq_len - 1
+        if len(toks) > limit:
+            toks = toks[-limit:]
+        t_pad = _bucket(len(toks), PAGE)
+        n_prompt_pages = t_pad // PAGE
+        pages = self._alloc(n_prompt_pages)
+        if pages is None:  # pool exhausted: leave queued for a later tick
+            self.pending.put(req)
+            return
+        self._owned[slot] = pages
+        self.slots[slot] = req
+
+        # dense prefill on a scratch cache, then scatter into the pool
+        padded = np.zeros((1, t_pad), np.int32)
+        padded[0, : len(toks)] = toks
+        dense = KVCache.create(self.cfg, 1, t_pad, self.kv_dtype)
+        logits, dense = forward(
+            self.weights, dense, jnp.asarray(padded), jnp.zeros(1, jnp.int32),
+            self.cfg, self.compute_dtype,
+        )
+        pages_arr = np.zeros(self.max_pages, np.int32)
+        pages_arr[:n_prompt_pages] = pages
+        self.cache = _scatter_prefill(
+            self.cache, dense, jnp.asarray(pages_arr[:n_prompt_pages]),
+            jnp.int32(slot), n_prompt_pages,
+        )
+        self._key, sub = jax.random.split(self._key)
+        first = sample_batch(
+            logits[:, len(toks) - 1], sub,
+            jnp.asarray([req.temperature], jnp.float32),
+            jnp.asarray([req.topp], jnp.float32),
+        )
+        self.pos = self.pos.copy()
+        self.cur_tok = self.cur_tok.copy()
+        self.temp = self.temp.copy()
+        self.topp = self.topp.copy()
+        self.pos[slot] = len(toks)
+        self.temp[slot] = req.temperature
+        self.topp[slot] = req.topp
+        self._deliver(slot, int(first[0]))
+
+    def step(self) -> int:
+        self._admit()
+        active = [i for i, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return 0
+        # allocate a fresh page for any sequence about to cross a boundary
+        table_host = np.asarray(self.cache.table).copy()
+        dirty = False
+        for i in active:
+            p = int(self.pos[i])
+            if p % PAGE == 0 and p // PAGE >= len(self._owned[i]):
+                new = self._alloc(1)
+                if new is None:
+                    self._finish(i, "error")  # pool exhausted mid-flight
+                    active.remove(i)
+                    continue
+                self._owned[i].extend(new)
+                table_host[i, p // PAGE] = new[0]
+                dirty = True
+        if dirty:
+            self.cache = PagedKVCache(self.cache.k, self.cache.v,
+                                      jnp.asarray(table_host))
+        if not active:
+            return sum(r is not None for r in self.slots)
+
+        self._key, sub = jax.random.split(self._key)
+        nxt, self.cache = paged_decode_step(
+            self.weights, self.cache,
+            jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
+            jnp.asarray(self.temp), jnp.asarray(self.topp),
+            self.cfg, self.compute_dtype,
+        )
+        nxt = np.asarray(nxt)
+        self.pos = self.pos + np.asarray(
+            [1 if self.slots[i] is not None else 0 for i in range(self.n_slots)],
+            np.int32,
+        )
+        self.steps += 1
+        for i in active:
+            self._deliver(i, int(nxt[i]))
+        return sum(r is not None for r in self.slots)
+
+    def _finish(self, slot: int, reason: str):
+        self._free.extend(self._owned[slot])
+        self._owned[slot] = []
+        super()._finish(slot, reason)

@@ -1,0 +1,63 @@
+"""Paged KV pool engine: outputs must match the slot-pool engine (greedy),
+pages must recycle, pool exhaustion must queue rather than crash."""
+
+import numpy as np
+import pytest
+
+from crabml_tpu.runtime.runner import Runner
+from crabml_tpu.serving import Request, ServingEngine
+from crabml_tpu.serving.paged import PAGE, PagedServingEngine
+from crabml_tpu.tokenizer import Utf8Buf
+
+PROMPTS = ["Lily is a cat", "Once upon a time", "Tom and Jane went"]
+
+
+@pytest.fixture(scope="module")
+def runner(stories260k_path):
+    return Runner(stories260k_path, seq_len=256)
+
+
+def _detok(engine, req):
+    buf = Utf8Buf()
+    return "".join(engine.tokenizer.decode(t, buf) for t in req.output_tokens)
+
+
+def test_paged_matches_slot_pool(runner):
+    dense = ServingEngine(runner, n_slots=2, seq_len=256)
+    want = dense.generate([PROMPTS[0]], max_tokens=12)[0]
+
+    paged = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16)
+    got = paged.generate([PROMPTS[0]], max_tokens=12)[0]
+    assert got == want
+
+
+def test_paged_page_recycling(runner):
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16)
+    free0 = eng.pages_free()
+    reqs = [eng.submit(Request(prompt=p, max_tokens=10)) for p in PROMPTS]
+    eng.drain(max_steps=300)
+    assert all(r.done for r in reqs)
+    assert eng.pages_free() == free0  # everything returned to the pool
+
+
+def test_paged_page_boundary_crossing(runner):
+    """Generate across a PAGE boundary: on-demand page allocation."""
+    eng = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=16)
+    # prompt ~6 tokens pads to 1 page (128); generate past offset 128
+    req = eng.submit(Request(prompt=PROMPTS[0], max_tokens=PAGE + 20))
+    eng.drain(max_steps=400)
+    assert req.done
+    assert len(req.output_tokens) > PAGE  # crossed into an allocated page
+
+    # same output as the dense engine, across the boundary
+    dense = ServingEngine(runner, n_slots=1, seq_len=256)
+    want = dense.generate([PROMPTS[0]], max_tokens=PAGE + 20)[0]
+    assert _detok(eng, req) == want
+
+
+def test_paged_pool_exhaustion_queues(runner):
+    """With pages for only one request at a time, requests serialize."""
+    eng = PagedServingEngine(runner, n_slots=3, seq_len=256, n_pages=3)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=6)) for p in PROMPTS]
+    eng.drain(max_steps=600)
+    assert all(r.done and r.finish_reason != "error" for r in reqs)
