@@ -156,13 +156,23 @@ def main(argv=None):
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--paged", action="store_true",
+                    help="paged KV pool (memory scales with tokens in flight)")
+    ap.add_argument("--pages", type=int, default=256, help="pool size with --paged")
     args = ap.parse_args(argv)
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     runner = Runner(
         args.model, seq_len=args.seq_len, compute_dtype=dt, backend=args.backend
     )
-    engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len)
+    if args.paged:
+        from .paged import PagedServingEngine
+
+        engine = PagedServingEngine(
+            runner, n_slots=args.slots, seq_len=args.seq_len, n_pages=args.pages
+        )
+    else:
+        engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len)
     print(f"serving {engine.cfg.model_name} on {args.host}:{args.port} "
           f"({args.slots} slots, seq_len={engine.seq_len})")
     serve(engine, args.host, args.port)
