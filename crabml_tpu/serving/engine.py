@@ -157,6 +157,14 @@ class ServingEngine:
         self._stop = threading.Event()
         self.steps = 0
 
+    def _reset_device_state(self):
+        """Crash-recovery hook: rebuild the (possibly donated-and-dead)
+        cache and per-slot device inputs. Subclasses owning extra state
+        (page pools) must override and reset it too."""
+        self.cache = self._make_cache()
+        self.pos = np.zeros(self.n_slots, np.int32)
+        self.cur_tok = np.zeros(self.n_slots, np.int32)
+
     def _make_cache(self):
         """Cache-construction hook (PagedServingEngine overrides: the slot
         pool's dense n_slots x seq_len allocation must never happen there)."""
@@ -348,11 +356,7 @@ class ServingEngine:
                         self._finish(i, "error")
                 # the failed step may have consumed (donated) the cache
                 # buffer before dying — rebuild device state from scratch
-                self.cache = KVCache.create(
-                    self.cfg, self.n_slots, self.seq_len, self.kv_dtype
-                )
-                self.pos = np.zeros(self.n_slots, np.int32)
-                self.cur_tok = np.zeros(self.n_slots, np.int32)
+                self._reset_device_state()
                 time.sleep(idle_sleep)
                 continue
             if busy == 0 and self.pending.empty():

@@ -193,10 +193,11 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     static_argnames=("n_prompt_pages",),
     donate_argnames=("cache",),
 )
-def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages, slot,
+def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages,
                      n_prompt_pages: int):
-    """Copy a dense (L, 1, KV, t_pad, hd) prefill cache into pool pages and
-    record them in the slot's table row. `pages`: (n_prompt_pages,) int32."""
+    """Copy a dense (L, 1, KV, t_pad, hd) prefill cache into pool pages.
+    `pages`: (n_prompt_pages,) int32. The block table is host-owned and
+    pushed separately (the engine's _push_table)."""
     k, v = cache.k, cache.v
     for c in range(n_prompt_pages):
         # (L, KV, PAGE, hd) chunk of the dense scratch
@@ -204,36 +205,47 @@ def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages, slot,
         vc = jax.lax.dynamic_slice_in_dim(dense.v[:, 0], c * PAGE, PAGE, axis=2)
         k = k.at[:, pages[c]].set(kc.astype(k.dtype))
         v = v.at[:, pages[c]].set(vc.astype(v.dtype))
-    table = jax.lax.dynamic_update_slice(
-        cache.table, pages[None].astype(jnp.int32), (slot, 0)
-    )
-    return PagedKVCache(k, v, table)
+    return PagedKVCache(k, v, cache.table)
 
 
 class PagedServingEngine(ServingEngine):
     """Continuous batching over a paged KV pool.
 
     Same request lifecycle as ServingEngine; memory is allocated in PAGE
-    blocks on demand (admission: prompt pages; decode: one page at each
-    boundary crossing) and returned on completion. `n_pages` bounds total
-    in-flight tokens instead of slots × seq_len.
+    blocks on demand (admission: ceil(prompt/PAGE) pages; decode: one page
+    at each boundary crossing) and returned on completion. `n_pages`
+    bounds total in-flight tokens instead of slots × seq_len.
+
+    The block table's source of truth is the HOST mirror `self._table`
+    (pages are only ever assigned host-side); it is pushed to the device
+    cache when it changes. Freed slots' rows reset to the scratch page so
+    an idle slot can never scatter into a reallocated page.
     """
 
     def __init__(self, runner=None, *, n_pages: int = 256, **kw):
         kw.setdefault("kv_dtype", jnp.bfloat16)
-        assert kw["kv_dtype"] != jnp.int8, "paged pool: int8 KV not wired yet"
         self._n_pages_cfg = n_pages
         super().__init__(runner, **kw)
-        # page 0 is a scratch page shared by empty slots; never allocated
-        self._free = list(range(1, n_pages))
-        self._owned: list[list[int]] = [[] for _ in range(self.n_slots)]
 
     def _make_cache(self):
+        if self.kv_dtype == jnp.int8:
+            raise ValueError("paged pool: int8 KV pages not wired yet (ROADMAP)")
         self.max_pages = -(-self.seq_len // PAGE)
         self.n_pages = self._n_pages_cfg
+        # page 0 is a scratch page shared by empty slots; never allocated
+        self._free = list(range(1, self.n_pages))
+        self._owned = [[] for _ in range(self.n_slots)]
+        self._table = np.zeros((self.n_slots, self.max_pages), np.int32)
+        self._prefill_jit = jax.jit(
+            partial(forward, cfg=self.cfg, compute_dtype=self.compute_dtype),
+            donate_argnames=("cache",),
+        )
         return PagedKVCache.create(
             self.cfg, self.n_pages, self.n_slots, self.max_pages, self.kv_dtype
         )
+
+    def _reset_device_state(self):
+        super()._reset_device_state()  # calls _make_cache: pool state rebuilt
 
     def pages_free(self) -> int:
         return len(self._free)
@@ -241,37 +253,46 @@ class PagedServingEngine(ServingEngine):
     def _alloc(self, n: int) -> list[int] | None:
         if len(self._free) < n:
             return None
-        out = [self._free.pop() for _ in range(n)]
-        return out
+        return [self._free.pop() for _ in range(n)]
+
+    def _push_table(self):
+        self.cache = PagedKVCache(self.cache.k, self.cache.v,
+                                  jnp.asarray(self._table))
 
     def _prefill_into(self, slot: int, req: Request):
         toks = req.prompt_tokens
-        limit = self.seq_len - 1
+        limit = min(self.seq_len - 1, self.max_pages * PAGE - 1)
         if len(toks) > limit:
             toks = toks[-limit:]
-        t_pad = _bucket(len(toks), PAGE)
-        n_prompt_pages = t_pad // PAGE
+        n_prompt_pages = -(-len(toks) // PAGE)  # ceil: only live pages
+        if n_prompt_pages > self.n_pages - 1:
+            # can NEVER fit this pool: fail instead of requeueing forever
+            self.slots[slot] = req
+            self._finish(slot, "error")
+            return
         pages = self._alloc(n_prompt_pages)
-        if pages is None:  # pool exhausted: leave queued for a later tick
+        if pages is None:  # pool busy: leave queued for a later tick
             self.pending.put(req)
             return
         self._owned[slot] = pages
-        self.slots[slot] = req
+        self.slots[slot] = req  # claimed before device work (crash recovery)
 
-        # dense prefill on a scratch cache, then scatter into the pool
+        # dense prefill on a scratch cache (jitted), then scatter the live
+        # pages into the pool
+        t_pad = _bucket(len(toks), PAGE)
         padded = np.zeros((1, t_pad), np.int32)
         padded[0, : len(toks)] = toks
         dense = KVCache.create(self.cfg, 1, t_pad, self.kv_dtype)
-        logits, dense = forward(
-            self.weights, dense, jnp.asarray(padded), jnp.zeros(1, jnp.int32),
-            self.cfg, self.compute_dtype,
+        logits, dense = self._prefill_jit(
+            self.weights, dense, jnp.asarray(padded), jnp.zeros(1, jnp.int32)
         )
-        pages_arr = np.zeros(self.max_pages, np.int32)
-        pages_arr[:n_prompt_pages] = pages
+        self._table[slot, :] = 0
+        self._table[slot, :n_prompt_pages] = pages
         self.cache = _scatter_prefill(
-            self.cache, dense, jnp.asarray(pages_arr[:n_prompt_pages]),
-            jnp.int32(slot), n_prompt_pages,
+            self.cache, dense, jnp.asarray(np.asarray(pages, np.int32)),
+            n_prompt_pages,
         )
+        self._push_table()
         self._key, sub = jax.random.split(self._key)
         first = sample_batch(
             logits[:, len(toks) - 1], sub,
@@ -293,9 +314,8 @@ class PagedServingEngine(ServingEngine):
         if not active:
             return 0
         # allocate a fresh page for any sequence about to cross a boundary
-        table_host = np.asarray(self.cache.table).copy()
         dirty = False
-        for i in active:
+        for i in list(active):  # copy: _finish below mutates membership
             p = int(self.pos[i])
             if p % PAGE == 0 and p // PAGE >= len(self._owned[i]):
                 new = self._alloc(1)
@@ -304,11 +324,10 @@ class PagedServingEngine(ServingEngine):
                     active.remove(i)
                     continue
                 self._owned[i].extend(new)
-                table_host[i, p // PAGE] = new[0]
+                self._table[i, p // PAGE] = new[0]
                 dirty = True
         if dirty:
-            self.cache = PagedKVCache(self.cache.k, self.cache.v,
-                                      jnp.asarray(table_host))
+            self._push_table()
         if not active:
             return sum(r is not None for r in self.slots)
 
@@ -332,4 +351,8 @@ class PagedServingEngine(ServingEngine):
     def _finish(self, slot: int, reason: str):
         self._free.extend(self._owned[slot])
         self._owned[slot] = []
+        # reset the row to the scratch page: the idle slot keeps stepping
+        # and must never scatter into a page that gets reallocated
+        self._table[slot, :] = 0
+        self._push_table()
         super()._finish(slot, reason)

@@ -61,3 +61,33 @@ def test_paged_pool_exhaustion_queues(runner):
     reqs = [eng.submit(Request(prompt=p, max_tokens=6)) for p in PROMPTS]
     eng.drain(max_steps=600)
     assert all(r.done and r.finish_reason != "error" for r in reqs)
+
+
+def test_freed_pages_never_corrupt_live_requests(runner):
+    """Regression (review finding): after a slot finishes, its table row must
+    point at the scratch page — otherwise the idle slot keeps scattering
+    into freed pages that get reallocated to live requests."""
+    # solo reference: long request alone
+    solo = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=8)
+    want = solo.generate([PROMPTS[1]], max_tokens=40)[0]
+
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=8)
+    long_req = eng.submit(Request(prompt=PROMPTS[1], max_tokens=40))
+    short = eng.submit(Request(prompt=PROMPTS[0], max_tokens=4))
+    for _ in range(8):
+        eng.step()
+    assert short.done  # finished: its pages return to the pool
+    # a new request grabs the freed pages while long_req keeps decoding
+    eng.submit(Request(prompt=PROMPTS[2], max_tokens=30))
+    eng.drain(max_steps=300)
+    assert long_req.done
+    assert _detok(eng, long_req) == want
+
+
+def test_impossible_prompt_fails_not_hangs(runner):
+    eng = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=2)
+    # one usable page = 128 tokens; a 140-token prompt can never fit
+    req = eng.submit(Request(prompt="cat ", prompt_tokens=list(range(3, 143)),
+                             max_tokens=4))
+    eng.drain(max_steps=50)
+    assert req.finish_reason == "error"
