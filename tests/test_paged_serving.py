@@ -91,3 +91,40 @@ def test_impossible_prompt_fails_not_hangs(runner):
                              max_tokens=4))
     eng.drain(max_steps=50)
     assert req.finish_reason == "error"
+
+
+@pytest.mark.parametrize("arch", ["qwen2", "gemma", "phi2"])
+def test_paged_matches_dense_all_archs(arch, tmp_path):
+    """paged_decode_step duplicates forward()'s per-arch branches; pin each
+    against the dense engine on synthetic models."""
+    import jax
+    import jax.numpy as jnp
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import fuse_weights, load_weights
+
+    cfg = ModelConfig(
+        architecture=arch, model_name=f"syn-{arch}",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=256, rms_norm_eps=1e-5,
+        **ARCH_FEATURES[arch],
+    )
+    path = str(tmp_path / f"{arch}.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=31)
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    w = jax.tree.map(jax.device_put, fuse_weights(load_weights(gf, lcfg), lcfg))
+
+    toks = [1, 9, 33]
+    dense = ServingEngine(weights=w, cfg=lcfg, tokenizer=None, n_slots=1, seq_len=256)
+    r1 = dense.submit(Request(prompt="", prompt_tokens=toks, max_tokens=8))
+    dense.drain(max_steps=40)
+
+    paged = PagedServingEngine(weights=w, cfg=lcfg, tokenizer=None, n_slots=1,
+                               seq_len=256, n_pages=6, kv_dtype=None)
+    r2 = paged.submit(Request(prompt="", prompt_tokens=toks, max_tokens=8))
+    paged.drain(max_steps=40)
+    assert r2.output_tokens == r1.output_tokens
