@@ -91,6 +91,67 @@ def _activation(x, kind: str):
     raise ValueError(kind)
 
 
+def layer_norm_in(lw, l, x, cfg):
+    """Pre-attention norm of layer l (shared by the dense and paged steps)."""
+    return rms_norm(
+        x, jnp.asarray(lw["attn_norm"])[l], cfg.rms_norm_eps,
+        jnp.asarray(lw["attn_norm_b"])[l] if "attn_norm_b" in lw else None,
+    )
+
+
+def project_qkv(lw, l, h, cfg, compute_dtype):
+    """QKV projection of layer l: handles the fused wqkv layout and the
+    qwen2/phi2 biases. Returns flat (…, D), (…, kv_dim), (…, kv_dim)."""
+    D = cfg.embedding_dim
+    kvd = cfg.n_kv_heads * cfg.head_dim
+
+    def arr(name):
+        return jnp.asarray(lw[name])[l].astype(compute_dtype)
+
+    if "wqkv" in lw:  # load-time fusion: one kernel call for q|k|v
+        qkv = qmatmul(h, lw["wqkv"], compute_dtype, layer=l)
+        if "bqkv" in lw:
+            qkv = qkv + arr("bqkv")
+        return qkv[..., :D], qkv[..., D : D + kvd], qkv[..., D + kvd :]
+    q = qmatmul(h, lw["wq"], compute_dtype, layer=l)
+    k = qmatmul(h, lw["wk"], compute_dtype, layer=l)
+    v = qmatmul(h, lw["wv"], compute_dtype, layer=l)
+    if "bq" in lw:
+        q = q + arr("bq")
+        k = k + arr("bk")
+        v = v + arr("bv")
+    return q, k, v
+
+
+def project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=None):
+    """FFN of layer l: gated (llama/gemma/qwen2), fused gate|up, or the
+    phi2 gateless+bias variant. `down_proj` overrides the down matmul
+    (the TP path injects its psum/overlap there); default is plain."""
+
+    def arr(name):
+        return jnp.asarray(lw[name])[l].astype(compute_dtype)
+
+    if down_proj is None:
+        def down_proj(h_act):
+            return qmatmul(h_act, lw["ffn_down"], compute_dtype, layer=l)
+
+    if cfg.no_ffn_gate:
+        up = qmatmul(ffn_in, lw["ffn_up"], compute_dtype, layer=l)
+        if "ffn_up_b" in lw:
+            up = up + arr("ffn_up_b")
+        down = down_proj(_activation(up, cfg.act))
+        if "ffn_down_b" in lw:
+            down = down + arr("ffn_down_b")
+        return down
+    if "wgu" in lw:  # load-time fusion: one kernel call for gate|up
+        gu = qmatmul(ffn_in, lw["wgu"], compute_dtype, layer=l)
+        gate, up = gu[..., : cfg.hidden_dim], gu[..., cfg.hidden_dim :]
+    else:
+        gate = qmatmul(ffn_in, lw["ffn_gate"], compute_dtype, layer=l)
+        up = qmatmul(ffn_in, lw["ffn_up"], compute_dtype, layer=l)
+    return down_proj(_activation(gate, cfg.act) * up)
+
+
 def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None):
     """Masked GQA attention over the full cache.
 
@@ -211,30 +272,8 @@ def forward(
         def arr(name):  # (L, d) stacked plain array, layer-indexed
             return jnp.asarray(lw[name])[l].astype(compute_dtype)
 
-        def mm(name, h):  # stacked QTensor matmul at layer l
-            return qmatmul(h, lw[name], compute_dtype, layer=l)
-
-        h = rms_norm(
-            x, jnp.asarray(lw["attn_norm"])[l], cfg.rms_norm_eps,
-            jnp.asarray(lw["attn_norm_b"])[l] if "attn_norm_b" in lw else None,
-        )
-
-        if "wqkv" in lw:  # load-time fusion: one kernel call for q|k|v
-            qkv = mm("wqkv", h)
-            if "bqkv" in lw:
-                qkv = qkv + arr("bqkv")
-            kvd = KV * hd
-            q = qkv[..., :D]
-            k = qkv[..., D : D + kvd]
-            v = qkv[..., D + kvd :]
-        else:
-            q = mm("wq", h)
-            k = mm("wk", h)
-            v = mm("wv", h)
-            if "bq" in lw:
-                q = q + arr("bq")
-                k = k + arr("bk")
-                v = v + arr("bv")
+        h = layer_norm_in(lw, l, x, cfg)
+        q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
 
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, KV, hd)
@@ -323,22 +362,7 @@ def forward(
                 d = jax.lax.psum(d, tp_axis)
             return d
 
-        if cfg.no_ffn_gate:
-            up = mm("ffn_up", ffn_in)
-            if "ffn_up_b" in lw:
-                up = up + arr("ffn_up_b")
-            act = _activation(up, cfg.act)
-            down = down_proj(act)
-            if "ffn_down_b" in lw:
-                down = down + arr("ffn_down_b")
-        elif "wgu" in lw:  # load-time fusion: one kernel call for gate|up
-            gu = mm("wgu", ffn_in)
-            gate, up = gu[..., : cfg.hidden_dim], gu[..., cfg.hidden_dim :]
-            down = down_proj(_activation(gate, cfg.act) * up)
-        else:
-            gate = mm("ffn_gate", ffn_in)
-            up = mm("ffn_up", ffn_in)
-            down = down_proj(_activation(gate, cfg.act) * up)
+        down = project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=down_proj)
 
         if cfg.parallel_residual:
             x = x + attn_out + down

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.forward import KVCache, forward
+from ..models.forward import (KVCache, forward, layer_norm_in, project_ffn,
+                              project_qkv)
 from ..ops.pallas.decode_attention import BK as PAGE
 from ..ops.pallas.decode_attention import paged_decode_attention
 from ..ops.matmul import qmatmul
@@ -90,7 +91,6 @@ def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale):
 def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
                       cfg, compute_dtype):
     """One decode tick over the page pool. tokens/pos: (B,)."""
-    from ..models.forward import _activation
     from ..ops.matmul import embedding_lookup
 
     B = tokens.shape[0]
@@ -109,22 +109,8 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
 
     def layer_step(x, per_layer):
         l, k_pages, v_pages = per_layer
-        h = rms_norm(x, jnp.asarray(lw["attn_norm"])[l], cfg.rms_norm_eps,
-                     jnp.asarray(lw["attn_norm_b"])[l] if "attn_norm_b" in lw else None)
-        if "wqkv" in lw:
-            qkv = qmatmul(h, lw["wqkv"], compute_dtype, layer=l)
-            if "bqkv" in lw:
-                qkv = qkv + jnp.asarray(lw["bqkv"])[l].astype(compute_dtype)
-            kvd = KV * hd
-            q, k, v = qkv[..., :D], qkv[..., D : D + kvd], qkv[..., D + kvd :]
-        else:
-            q = qmatmul(h, lw["wq"], compute_dtype, layer=l)
-            k = qmatmul(h, lw["wk"], compute_dtype, layer=l)
-            v = qmatmul(h, lw["wv"], compute_dtype, layer=l)
-            if "bq" in lw:
-                q = q + jnp.asarray(lw["bq"])[l].astype(compute_dtype)
-                k = k + jnp.asarray(lw["bk"])[l].astype(compute_dtype)
-                v = v + jnp.asarray(lw["bv"])[l].astype(compute_dtype)
+        h = layer_norm_in(lw, l, x, cfg)
+        q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
         q = q.reshape(B, 1, H, hd)
         k = k.reshape(B, 1, KV, hd)
         v = v.reshape(B, 1, KV, hd)
@@ -154,23 +140,7 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
             x2 = x + attn_out
             ffn_in = rms_norm(x2, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
 
-        if cfg.no_ffn_gate:
-            up = qmatmul(ffn_in, lw["ffn_up"], compute_dtype, layer=l)
-            if "ffn_up_b" in lw:
-                up = up + jnp.asarray(lw["ffn_up_b"])[l].astype(compute_dtype)
-            down = qmatmul(_activation(up, cfg.act), lw["ffn_down"], compute_dtype, layer=l)
-            if "ffn_down_b" in lw:
-                down = down + jnp.asarray(lw["ffn_down_b"])[l].astype(compute_dtype)
-        elif "wgu" in lw:
-            gu = qmatmul(ffn_in, lw["wgu"], compute_dtype, layer=l)
-            gate, up = gu[..., : cfg.hidden_dim], gu[..., cfg.hidden_dim :]
-            down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"],
-                           compute_dtype, layer=l)
-        else:
-            gate = qmatmul(ffn_in, lw["ffn_gate"], compute_dtype, layer=l)
-            up = qmatmul(ffn_in, lw["ffn_up"], compute_dtype, layer=l)
-            down = qmatmul(_activation(gate, cfg.act) * up, lw["ffn_down"],
-                           compute_dtype, layer=l)
+        down = project_ffn(lw, l, ffn_in, cfg, compute_dtype)
 
         if cfg.parallel_residual:
             x_out = x + attn_out + down
