@@ -244,7 +244,14 @@ class GGUFFile:
                     warnings.warn("mlock failed (need CAP_IPC_LOCK?); continuing unlocked")
             except (OSError, ValueError, AttributeError):
                 pass
-        self._parse()
+        try:
+            self._parse()
+        except GGUFError:
+            raise
+        except (struct.error, ValueError, OverflowError, MemoryError, IndexError) as e:
+            # corrupt/truncated containers must fail typed, never leak the
+            # parser's internal exception zoo
+            raise GGUFError(f"malformed GGUF file {self.path!r}: {e}") from e
 
     # -- container parsing ----------------------------------------------------
     def _parse(self):

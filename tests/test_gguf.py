@@ -114,3 +114,68 @@ def test_alignment_respected(tmp_path):
     np.testing.assert_array_equal(
         dequantize(GGMLType.F32, bytes(gf.get_tensor_info("y").data)), x.reshape(-1)
     )
+
+
+class TestMalformedFiles:
+    """Fuzz-lite: corrupt containers must raise GGUFError, never crash or
+    silently misparse (ROADMAP #9; the reference has no such tests)."""
+
+    def _write(self, tmp_path, data: bytes) -> str:
+        p = tmp_path / "bad.gguf"
+        p.write_bytes(data)
+        return str(p)
+
+    def test_bad_magic(self, tmp_path):
+        import pytest
+
+        from crabml_tpu.gguf.reader import GGUFError, GGUFFile
+
+        path = self._write(tmp_path, b"NOPE" + b"\x00" * 60)
+        with pytest.raises(GGUFError):
+            GGUFFile(path)
+
+    def test_bad_version(self, tmp_path):
+        import struct
+
+        import pytest
+
+        from crabml_tpu.gguf.constants import GGUF_MAGIC
+        from crabml_tpu.gguf.reader import GGUFError, GGUFFile
+
+        path = self._write(tmp_path, struct.pack("<II", GGUF_MAGIC, 99) + b"\x00" * 32)
+        with pytest.raises(GGUFError):
+            GGUFFile(path)
+
+    def test_truncated_header(self, tmp_path, stories260k_path):
+        import pytest
+
+        from crabml_tpu.gguf.reader import GGUFError, GGUFFile
+
+        blob = open(stories260k_path, "rb").read()[:100]
+        path = self._write(tmp_path, blob)
+        with pytest.raises(GGUFError):
+            GGUFFile(path)
+
+    def test_truncated_tensor_data(self, tmp_path, stories260k_path):
+        import pytest
+
+        from crabml_tpu.gguf.reader import GGUFError, GGUFFile
+
+        blob = open(stories260k_path, "rb").read()
+        path = self._write(tmp_path, blob[: len(blob) // 2])
+        with pytest.raises(GGUFError):
+            GGUFFile(path)
+
+    def test_insane_kv_count(self, tmp_path):
+        import struct
+
+        import pytest
+
+        from crabml_tpu.gguf.constants import GGUF_MAGIC
+        from crabml_tpu.gguf.reader import GGUFError, GGUFFile
+
+        # v3 header claiming 2^60 metadata keys
+        hdr = struct.pack("<IIQQ", GGUF_MAGIC, 3, 0, 1 << 60)
+        path = self._write(tmp_path, hdr + b"\x00" * 64)
+        with pytest.raises(GGUFError):
+            GGUFFile(path)
