@@ -156,6 +156,8 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(seed)
         self._stop = threading.Event()
         self.steps = 0
+        self.tokens_generated = 0
+        self._started = None  # first-step timestamp (serving uptime)
 
     def _reset_device_state(self):
         """Crash-recovery hook: rebuild the (possibly donated-and-dead)
@@ -259,6 +261,11 @@ class ServingEngine:
             np.int32,
         )
         self.steps += 1
+        self.tokens_generated += len(active)
+        if self._started is None:
+            import time
+
+            self._started = time.monotonic()
         for i in active:
             self._deliver(i, int(nxt[i]))
         return sum(r is not None for r in self.slots)

@@ -42,16 +42,25 @@ def make_handler(engine: ServingEngine):
 
         def do_GET(self):
             if self.path == "/health":
-                self._json(
-                    200,
-                    {
-                        "status": "ok",
-                        "model": engine.cfg.model_name,
-                        "slots_total": engine.n_slots,
-                        "slots_busy": sum(r is not None for r in engine.slots),
-                        "steps": engine.steps,
-                    },
+                import time
+
+                uptime = (
+                    time.monotonic() - engine._started if engine._started else 0.0
                 )
+                body = {
+                    "status": "ok",
+                    "model": engine.cfg.model_name,
+                    "slots_total": engine.n_slots,
+                    "slots_busy": sum(r is not None for r in engine.slots),
+                    "steps": engine.steps,
+                    "tokens_generated": engine.tokens_generated,
+                    "tokens_per_sec": round(engine.tokens_generated / uptime, 2)
+                    if uptime > 0
+                    else 0.0,
+                }
+                if hasattr(engine, "pages_free"):
+                    body["pages_free"] = engine.pages_free()
+                self._json(200, body)
             else:
                 self._json(404, {"error": "not found"})
 

@@ -314,6 +314,11 @@ class PagedServingEngine(ServingEngine):
             np.int32,
         )
         self.steps += 1
+        self.tokens_generated += len(active)
+        if self._started is None:
+            import time
+
+            self._started = time.monotonic()
         for i in active:
             self._deliver(i, int(nxt[i]))
         return sum(r is not None for r in self.slots)
