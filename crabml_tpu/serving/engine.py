@@ -87,6 +87,33 @@ def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp, cfg,
     return nxt, cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=("steps", "cfg", "compute_dtype", "attn_window"),
+    donate_argnames=("cache",),
+)
+def _decode_scan(weights, cache, tokens, pos, key, temp, topp, steps, cfg,
+                 compute_dtype, attn_window=None):
+    """`steps` decode ticks fused in one executable (multi-token ticks):
+    on high-RTT links the per-dispatch round trip dominates single-token
+    ticks, so batching ticks multiplies serving throughput. EOS/max_tokens
+    are handled by the host afterwards (a slot that finishes mid-scan just
+    wastes its remaining lanes; its cache is overwritten on reuse)."""
+
+    def body(carry, _):
+        cache, tok, p, key = carry
+        key, sub = jax.random.split(key)
+        logits, cache = forward(weights, cache, tok[:, None], p, cfg,
+                                compute_dtype, attn_window=attn_window)
+        nxt = sample_batch(logits[:, 0], sub, temp, topp)
+        return (cache, nxt, p + 1, key), nxt
+
+    (cache, _, _, _), toks = jax.lax.scan(
+        body, (cache, tokens, pos, key), length=steps
+    )
+    return toks.T, cache  # (B, steps)
+
+
 @dataclass
 class Request:
     prompt: str
@@ -130,6 +157,7 @@ class ServingEngine:
         compute_dtype=jnp.float32,
         kv_dtype=None,
         seed: int = 0,
+        tick_tokens: int = 1,
     ):
         if runner is not None:
             weights, cfg, tokenizer = runner.weights, runner.cfg, runner.tokenizer
@@ -156,6 +184,9 @@ class ServingEngine:
         self._key = jax.random.PRNGKey(seed)
         self._stop = threading.Event()
         self.steps = 0
+        # >1: run_forever fuses this many decode steps per dispatch while
+        # the admission queue is empty (multi-token ticks; see _decode_scan)
+        self.tick_tokens = max(1, tick_tokens)
         self.tokens_generated = 0
         self._started = None  # first-step timestamp (serving uptime)
 
@@ -233,41 +264,48 @@ class ServingEngine:
 
     # -- the tick -----------------------------------------------------------
 
-    def step(self) -> int:
-        """Admit pending requests, run one decode tick. Returns the number
-        of active slots after the tick."""
+    def step(self, multi: int = 1) -> int:
+        """Admit pending requests, run `multi` fused decode ticks. Returns
+        the number of active slots afterwards."""
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return 0
+        snapshot = list(self.slots)  # which request owned each slot at scan time
 
         self._key, sub = jax.random.split(self._key)
-        win = min(_bucket(int(self.pos.max()) + 1, 128), self.seq_len)
-        nxt, self.cache = _decode_step(
-            self.weights,
-            self.cache,
-            jnp.asarray(self.cur_tok),
-            jnp.asarray(self.pos),
-            sub,
-            jnp.asarray(self.temp),
-            jnp.asarray(self.topp),
-            self.cfg,
-            self.compute_dtype,
-            attn_window=win,
-        )
-        nxt = np.asarray(nxt)
+        win = min(_bucket(int(self.pos.max()) + multi, 128), self.seq_len)
+        if multi == 1:
+            nxt, self.cache = _decode_step(
+                self.weights, self.cache,
+                jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
+                jnp.asarray(self.temp), jnp.asarray(self.topp),
+                self.cfg, self.compute_dtype, attn_window=win,
+            )
+            toks = np.asarray(nxt)[:, None]
+        else:
+            toks, self.cache = _decode_scan(
+                self.weights, self.cache,
+                jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
+                jnp.asarray(self.temp), jnp.asarray(self.topp),
+                multi, self.cfg, self.compute_dtype, attn_window=win,
+            )
+            toks = np.asarray(toks)
         self.pos = self.pos + np.asarray(
-            [1 if self.slots[i] is not None else 0 for i in range(self.n_slots)],
+            [multi if self.slots[i] is not None else 0 for i in range(self.n_slots)],
             np.int32,
         )
-        self.steps += 1
-        self.tokens_generated += len(active)
+        self.steps += multi
+        self.tokens_generated += len(active) * multi
         if self._started is None:
             import time
 
             self._started = time.monotonic()
-        for i in active:
-            self._deliver(i, int(nxt[i]))
+        for j in range(multi):
+            for i in active:
+                if self.slots[i] is not snapshot[i]:
+                    continue  # finished (or replaced) earlier in this tick
+                self._deliver(i, int(toks[i, j]))
         return sum(r is not None for r in self.slots)
 
     def _deliver(self, slot: int, token: int):
@@ -355,7 +393,8 @@ class ServingEngine:
 
         while not self._stop.is_set():
             try:
-                busy = self.step()
+                multi = self.tick_tokens if self.pending.empty() else 1
+                busy = self.step(multi)
             except Exception:
                 traceback.print_exc()
                 for i, r in enumerate(self.slots):

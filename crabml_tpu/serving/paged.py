@@ -278,7 +278,10 @@ class PagedServingEngine(ServingEngine):
         self.topp[slot] = req.topp
         self._deliver(slot, int(first[0]))
 
-    def step(self) -> int:
+    def step(self, multi: int = 1) -> int:
+        # multi-token ticks need page-boundary allocation *inside* the scan;
+        # until pages pre-allocate ahead (ROADMAP), paged ticks stay single
+        del multi
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:

@@ -128,3 +128,19 @@ def test_stop_strings(runner):
     assert req.finish_reason == "stop"
     got = _detok(engine, req)
     assert len(got) < len(base)  # ended early, at the stop string
+
+
+def test_multi_token_ticks_match_single(runner):
+    """step(multi=4) produces identical greedy output to single ticks,
+    including EOS/max_tokens that land mid-tick."""
+    want = {p: _runner_golden(runner, p, steps=11) for p in PROMPTS[:2]}
+
+    engine = ServingEngine(runner, n_slots=2, seq_len=96)
+    reqs = [engine.submit(Request(prompt=p, max_tokens=11)) for p in PROMPTS[:2]]
+    n = 0
+    while any(engine.slots) or not engine.pending.empty():
+        engine.step(multi=4)
+        n += 1
+        assert n < 50
+    for p, r in zip(PROMPTS[:2], reqs):
+        assert _detok(engine, r) == want[p]
