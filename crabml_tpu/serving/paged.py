@@ -178,6 +178,31 @@ def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages,
     return PagedKVCache(k, v, cache.table)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("steps", "cfg", "compute_dtype"),
+    donate_argnames=("cache",),
+)
+def paged_decode_scan(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
+                      steps, cfg, compute_dtype):
+    """`steps` paged decode ticks fused in one executable (multi-token
+    ticks). The engine pre-allocates every page the scan can touch
+    (ceil((pos+steps)/PAGE) per slot) before dispatch, so the in-scan
+    table lookups always hit owned pages."""
+
+    def body(carry, _):
+        cache, tok, p, key = carry
+        key, sub = jax.random.split(key)
+        nxt, cache = paged_decode_step(weights, cache, tok, p, sub, temp, topp,
+                                       cfg, compute_dtype)
+        return (cache, nxt, p + 1, key), nxt
+
+    (cache, _, _, _), toks = jax.lax.scan(
+        body, (cache, tokens, pos, key), length=steps
+    )
+    return toks.T, cache
+
+
 class PagedServingEngine(ServingEngine):
     """Continuous batching over a paged KV pool.
 
@@ -279,25 +304,25 @@ class PagedServingEngine(ServingEngine):
         self._deliver(slot, int(first[0]))
 
     def step(self, multi: int = 1) -> int:
-        # multi-token ticks need page-boundary allocation *inside* the scan;
-        # until pages pre-allocate ahead (ROADMAP), paged ticks stay single
-        del multi
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
             return 0
-        # allocate a fresh page for any sequence about to cross a boundary
+        snapshot = list(self.slots)
+        # pre-allocate every page the next `multi` positions can touch
         dirty = False
         for i in list(active):  # copy: _finish below mutates membership
-            p = int(self.pos[i])
-            if p % PAGE == 0 and p // PAGE >= len(self._owned[i]):
+            # clamp at the table width: a slot at the seq_len edge finishes
+            # via _deliver's length check before touching pages beyond it
+            need = min((int(self.pos[i]) + multi - 1) // PAGE + 1, self.max_pages)
+            while len(self._owned[i]) < need:
                 new = self._alloc(1)
                 if new is None:
                     self._finish(i, "error")  # pool exhausted mid-flight
                     active.remove(i)
-                    continue
+                    break
+                self._table[i, len(self._owned[i])] = new[0]
                 self._owned[i].extend(new)
-                self._table[i, p // PAGE] = new[0]
                 dirty = True
         if dirty:
             self._push_table()
@@ -305,25 +330,36 @@ class PagedServingEngine(ServingEngine):
             return sum(r is not None for r in self.slots)
 
         self._key, sub = jax.random.split(self._key)
-        nxt, self.cache = paged_decode_step(
+        args = (
             self.weights, self.cache,
             jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
             jnp.asarray(self.temp), jnp.asarray(self.topp),
-            self.cfg, self.compute_dtype,
         )
-        nxt = np.asarray(nxt)
+        if multi == 1:
+            nxt, self.cache = paged_decode_step(
+                *args, self.cfg, self.compute_dtype
+            )
+            toks = np.asarray(nxt)[:, None]
+        else:
+            toks, self.cache = paged_decode_scan(
+                *args, multi, self.cfg, self.compute_dtype
+            )
+            toks = np.asarray(toks)
         self.pos = self.pos + np.asarray(
-            [1 if self.slots[i] is not None else 0 for i in range(self.n_slots)],
+            [multi if self.slots[i] is not None else 0 for i in range(self.n_slots)],
             np.int32,
         )
-        self.steps += 1
-        self.tokens_generated += len(active)
+        self.steps += multi
+        self.tokens_generated += len(active) * multi
         if self._started is None:
             import time
 
             self._started = time.monotonic()
-        for i in active:
-            self._deliver(i, int(nxt[i]))
+        for j in range(multi):
+            for i in active:
+                if self.slots[i] is not snapshot[i]:
+                    continue
+                self._deliver(i, int(toks[i, j]))
         return sum(r is not None for r in self.slots)
 
     def _finish(self, slot: int, reason: str):

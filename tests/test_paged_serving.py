@@ -128,3 +128,31 @@ def test_paged_matches_dense_all_archs(arch, tmp_path):
     r2 = paged.submit(Request(prompt="", prompt_tokens=toks, max_tokens=8))
     paged.drain(max_steps=40)
     assert r2.output_tokens == r1.output_tokens
+
+
+def test_paged_multi_token_ticks(runner):
+    """Paged multi-tick output == single-tick, crossing page boundaries."""
+    single = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16)
+    want = single.generate([PROMPTS[0]], max_tokens=PAGE + 10)[0]
+
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16)
+    req = eng.submit(Request(prompt=PROMPTS[0], max_tokens=PAGE + 10))
+    n = 0
+    while any(eng.slots) or not eng.pending.empty():
+        eng.step(multi=8)
+        n += 1
+        assert n < 100
+    assert _detok(eng, req) == want
+
+
+def test_paged_multi_tick_at_seq_len_edge(runner):
+    """multi ticks near seq_len: page pre-allocation clamps at the table
+    width and the request finishes with reason 'length'."""
+    eng = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=8)
+    req = eng.submit(Request(prompt=PROMPTS[0], max_tokens=10_000))
+    n = 0
+    while any(eng.slots) or not eng.pending.empty():
+        eng.step(multi=8)
+        n += 1
+        assert n < 200
+    assert req.done and req.finish_reason == "length"
