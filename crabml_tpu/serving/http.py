@@ -168,6 +168,8 @@ def main(argv=None):
     ap.add_argument("--paged", action="store_true",
                     help="paged KV pool (memory scales with tokens in flight)")
     ap.add_argument("--pages", type=int, default=256, help="pool size with --paged")
+    ap.add_argument("--tick-tokens", type=int, default=1,
+                    help="fused decode steps per dispatch (raise on high-RTT links)")
     args = ap.parse_args(argv)
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -178,10 +180,12 @@ def main(argv=None):
         from .paged import PagedServingEngine
 
         engine = PagedServingEngine(
-            runner, n_slots=args.slots, seq_len=args.seq_len, n_pages=args.pages
+            runner, n_slots=args.slots, seq_len=args.seq_len, n_pages=args.pages,
+            tick_tokens=args.tick_tokens,
         )
     else:
-        engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len)
+        engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len,
+                               tick_tokens=args.tick_tokens)
     print(f"serving {engine.cfg.model_name} on {args.host}:{args.port} "
           f"({args.slots} slots, seq_len={engine.seq_len})")
     serve(engine, args.host, args.port)
