@@ -14,6 +14,7 @@ one streaming pass per m-tile, threaded when cores are available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import pathlib
 import subprocess
@@ -23,9 +24,14 @@ import numpy as np
 _DIR = pathlib.Path(__file__).resolve().parent
 _SO = _DIR / "libcrabml_native.so"
 _SRC = _DIR / "crabml_native.cpp"
+_HASH = _DIR / "libcrabml_native.so.srchash"
 
 _lib = None
 _tried = False
+
+
+def _src_hash() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
 
 
 def _build() -> bool:
@@ -35,9 +41,25 @@ def _build() -> bool:
              "-o", str(_SO), str(_SRC)],
             check=True, capture_output=True, timeout=120,
         )
+        _HASH.write_text(_src_hash())
         return True
     except (OSError, subprocess.SubprocessError):
         return False
+
+
+def _stale() -> bool:
+    """True unless the cached .so was built from EXACTLY this source.
+
+    Gate on a content hash of the source, not mtimes: git does not preserve
+    mtimes, and the .so sits on the weight-correctness path (repack/dequant)
+    — a stale or foreign binary must never be silently loaded.
+    """
+    if not _SO.exists() or not _HASH.exists():
+        return True
+    try:
+        return _HASH.read_text().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 def _load():
@@ -45,7 +67,7 @@ def _load():
     if _tried:
         return _lib
     _tried = True
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    if _stale():
         if not _build():
             return None
     try:
@@ -68,6 +90,16 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.crabml_quantize.restype = ctypes.c_int
+    lib.crabml_quantize.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int,
+    ]
+    lib.crabml_synth_quantize.restype = ctypes.c_int
+    lib.crabml_synth_quantize.argtypes = [
+        ctypes.c_int, ctypes.c_uint64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_void_p, ctypes.c_int,
     ]
     _lib = lib
     return _lib
@@ -154,6 +186,48 @@ def dequant(typ, raw: np.ndarray, m: int, k: int):
     out = np.empty((m, k), np.float32)
     rc = lib.crabml_dequant(int(typ), _ptr(raw), m, k, _ptr(out))
     return out if rc == 0 else None
+
+
+def _block_geometry(typ: int):
+    from ..gguf.constants import GGMLType, GGML_BLOCK_SIZES
+
+    gt = GGMLType(int(typ))
+    return GGML_BLOCK_SIZES[gt]
+
+
+def quantize(typ, x: np.ndarray) -> bytes | None:
+    """Fast ggml block encode (all quant schemes incl. K-quants), or None
+    if the native lib is unavailable. Same semantics as codecs.quantize
+    (reference encoders: buf_*.rs quantize + util.rs scale searches) but
+    ~100x faster — Python's per-element greedy K-quant refinement makes
+    requantizing a 7B take hours; this does it in minutes on one core."""
+    lib = _load()
+    if lib is None:
+        return None
+    belems, bbytes = _block_geometry(typ)
+    x = np.ascontiguousarray(np.asarray(x, np.float32).reshape(-1))
+    if x.size % belems:
+        return None
+    out = np.empty((x.size // belems) * bbytes, np.uint8)
+    rc = lib.crabml_quantize(int(typ), _ptr(x), x.size, _ptr(out),
+                             os.cpu_count() or 1)
+    return out.tobytes() if rc == 0 else None
+
+
+def synth_quantize(typ, seed: int, n: int, sigma: float) -> bytes | None:
+    """Deterministic pseudo-random weights quantized straight to ggml
+    blocks (no host f32 materialization) — used to construct full-size
+    synthetic GGUF files for load/cold-start benchmarks."""
+    lib = _load()
+    if lib is None:
+        return None
+    belems, bbytes = _block_geometry(typ)
+    if n % belems:
+        return None
+    out = np.empty((n // belems) * bbytes, np.uint8)
+    rc = lib.crabml_synth_quantize(int(typ), seed & (2**64 - 1), n,
+                                   float(sigma), _ptr(out), os.cpu_count() or 1)
+    return out.tobytes() if rc == 0 else None
 
 
 def gguf_probe(buf) -> tuple[int, int, int] | None:

@@ -231,7 +231,10 @@ class ServingEngine:
         limit = self.seq_len - 1
         if len(toks) > limit:
             toks = toks[-limit:]  # keep the tail, like a sliding window
-        t_pad = _bucket(len(toks))
+        # clamp like Runner._forward_chunk: with a non-power-of-two seq_len
+        # the bucket can exceed the cache, and forward's dynamic_update_slice
+        # would then fail at trace time (update larger than operand)
+        t_pad = min(_bucket(len(toks)), self.seq_len)
         padded = np.zeros((1, t_pad), np.int32)
         padded[0, : len(toks)] = toks
         # claim the slot BEFORE device work: if prefill raises, run_forever's
@@ -272,6 +275,13 @@ class ServingEngine:
         if not active:
             return 0
         snapshot = list(self.slots)  # which request owned each slot at scan time
+        pos0 = self.pos  # positions at scan start (per-token length checks)
+        # cap the scan so no active slot's in-scan writes pass seq_len-1
+        # (an uncapped scan would scatter into clamped/last positions,
+        # corrupting live KV mid-scan — the tokens LOOK discarded host-side
+        # but the cache damage would be real)
+        pmax = int(max(pos0[i] for i in active))
+        multi = max(1, min(multi, self.seq_len - 1 - pmax))
 
         self._key, sub = jax.random.split(self._key)
         win = min(_bucket(int(self.pos.max()) + multi, 128), self.seq_len)
@@ -305,11 +315,16 @@ class ServingEngine:
             for i in active:
                 if self.slots[i] is not snapshot[i]:
                     continue  # finished (or replaced) earlier in this tick
-                self._deliver(i, int(toks[i, j]))
+                self._deliver(i, int(toks[i, j]), pos_after=int(pos0[i]) + j + 1)
         return sum(r is not None for r in self.slots)
 
-    def _deliver(self, slot: int, token: int):
-        """Record a sampled token for slot; finish/free on EOS/limits."""
+    def _deliver(self, slot: int, token: int, pos_after: int | None = None):
+        """Record a sampled token for slot; finish/free on EOS/limits.
+
+        `pos_after`: the slot's cache position after this token (defaults to
+        the current host position — correct for prefill/single ticks). The
+        multi-tick delivery loop passes the PER-TOKEN position so output at
+        the seq_len edge doesn't depend on the tick_tokens setting."""
         req = self.slots[slot]
         eos = self.tokenizer.eos_token if self.tokenizer else -1
         stop = req.stop_token_ids
@@ -335,9 +350,11 @@ class ServingEngine:
                 req._stream.put(piece)
         self.cur_tok = self.cur_tok.copy()
         self.cur_tok[slot] = token
+        if pos_after is None:
+            pos_after = int(self.pos[slot])
         if len(req.output_tokens) >= req.max_tokens:
             self._finish(slot, "length")
-        elif int(self.pos[slot]) >= self.seq_len - 1:
+        elif pos_after >= self.seq_len - 1:
             self._finish(slot, "length")
 
     def _finish(self, slot: int, reason: str):

@@ -309,6 +309,12 @@ class PagedServingEngine(ServingEngine):
         if not active:
             return 0
         snapshot = list(self.slots)
+        pos0 = self.pos
+        # cap the scan at the seq_len edge (see ServingEngine.step): an
+        # in-scan position past max_pages*PAGE would clamp to the slot's
+        # LAST page and overwrite its live KV history mid-scan
+        pmax = int(max(pos0[i] for i in active))
+        multi = max(1, min(multi, self.seq_len - 1 - pmax))
         # pre-allocate every page the next `multi` positions can touch
         dirty = False
         for i in list(active):  # copy: _finish below mutates membership
@@ -359,7 +365,7 @@ class PagedServingEngine(ServingEngine):
             for i in active:
                 if self.slots[i] is not snapshot[i]:
                     continue
-                self._deliver(i, int(toks[i, j]))
+                self._deliver(i, int(toks[i, j]), pos_after=int(pos0[i]) + j + 1)
         return sum(r is not None for r in self.slots)
 
     def _finish(self, slot: int, reason: str):
