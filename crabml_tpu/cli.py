@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mlock", action="store_true",
                     help="mlock(2) the weight mmap (reference --mlock parity)")
+    ap.add_argument("--profile", action="store_true",
+                    help="after generating, capture a profiler trace of 8 "
+                         "decode steps and print the per-phase cost table "
+                         "(the reference's --verbose metrics table, "
+                         "main.rs:188-205, rebuilt from an XLA trace)")
     return ap
 
 
@@ -44,6 +49,9 @@ def main(argv=None):
     from .runtime.chat import ChatSession
     from .runtime.runner import Runner
     from .runtime.sampler import Sampler
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()  # warm restarts skip XLA recompiles
 
     dtypes = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8, None: None}
 
@@ -103,6 +111,12 @@ def main(argv=None):
     )
     if args.verbose:
         print(m.table(), file=sys.stderr)
+    if args.profile:
+        from .utils.profiling import profile_decode_step
+
+        _, table, trace = profile_decode_step(runner)
+        print(f"\n== decode phase breakdown (trace: {trace}) ==", file=sys.stderr)
+        print(table, file=sys.stderr)
     return 0
 
 

@@ -189,10 +189,20 @@ def requantize_gguf(src_path: str, dst_path: str, typ: GGMLType) -> int:
     `quantize` tool's role). Norm vectors and any tensor whose row length
     doesn't divide the target block size keep their original encoding;
     metadata is copied verbatim. Returns the number of requantized
-    tensors (0 means the sweep was a no-op, e.g. K-quants on rows < 256)."""
-    from ..quant.codecs import dequantize, quantize
+    tensors (0 means the sweep was a no-op, e.g. K-quants on rows < 256).
+
+    Uses the native C++ encoders when available (quant/codecs.py's K-quant
+    scale searches are Python-per-element: hours at 7B; native does
+    ~70 Melem/s/core), falling back to the numpy oracle."""
+    from .. import native
+    from ..quant.codecs import dequantize
+    from ..quant.codecs import quantize as _py_quantize
     from .constants import GGML_BLOCK_SIZES
     from .reader import GGUFFile
+
+    def quantize(t, x):
+        out = native.quantize(t, x)
+        return out if out is not None else _py_quantize(t, x)
 
     gf = GGUFFile(src_path)
     w = GGUFWriter()

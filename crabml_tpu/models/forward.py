@@ -253,7 +253,8 @@ def forward(
     rope_dim = cfg.effective_rope_dim
     positions = pos[:, None] + jnp.arange(T, dtype=pos.dtype)[None, :]  # (B, T)
 
-    x = embedding_lookup(weights["token_embed"], tokens, compute_dtype)  # (B,T,D)
+    with jax.named_scope("embed"):
+        x = embedding_lookup(weights["token_embed"], tokens, compute_dtype)  # (B,T,D)
     if cfg.scale_embedding:  # gemma (llama2.rs:464-466)
         x = x * jnp.sqrt(jnp.float32(D)).astype(compute_dtype)
 
@@ -272,14 +273,17 @@ def forward(
         def arr(name):  # (L, d) stacked plain array, layer-indexed
             return jnp.asarray(lw[name])[l].astype(compute_dtype)
 
-        h = layer_norm_in(lw, l, x, cfg)
-        q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
+        with jax.named_scope("attn_norm"):
+            h = layer_norm_in(lw, l, x, cfg)
+        with jax.named_scope("qkv_proj"):
+            q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
 
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, KV, hd)
         v = v.reshape(B, T, KV, hd)
-        q = apply_rope(q, positions, rope_dim, cfg.rope_mode, cfg.rope_base)
-        k = apply_rope(k, positions, rope_dim, cfg.rope_mode, cfg.rope_base)
+        with jax.named_scope("rope"):
+            q = apply_rope(q, positions, rope_dim, cfg.rope_mode, cfg.rope_base)
+            k = apply_rope(k, positions, rope_dim, cfg.rope_mode, cfg.rope_base)
 
         # write new k/v into the cache at each sequence's own offset
         def upd(cache_b, new_b, p):  # cache_b (KV, S, hd); new_b (KV, T, hd)
@@ -287,6 +291,8 @@ def forward(
 
         k_t = k.transpose(0, 2, 1, 3)  # (B, KV, T, hd)
         v_t = v.transpose(0, 2, 1, 3)
+        _cache_scope = jax.named_scope("cache_update")
+        _cache_scope.__enter__()
         if quantized_kv:
             def q8(a):  # symmetric per-(head, token) int8
                 s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
@@ -303,8 +309,11 @@ def forward(
         else:
             k_l = jax.vmap(upd)(k_l, k_t.astype(k_l.dtype), pos)
             v_l = jax.vmap(upd)(v_l, v_t.astype(v_l.dtype), pos)
+        _cache_scope.__exit__(None, None, None)
 
         scale = float(1.0 / np.sqrt(hd))
+        _attn_scope = jax.named_scope("attention")
+        _attn_scope.__enter__()
         if quantized_kv:
             from ..ops import matmul as _mm
 
@@ -326,6 +335,9 @@ def forward(
             # full cache + window bound: the pallas kernels gate their own
             # reads (grid bound / per-seq DMA), the XLA path slices
             attn = attention(q, k_l, v_l, pos, T, scale, window=attn_window)
+        _attn_scope.__exit__(None, None, None)
+        _wo_scope = jax.named_scope("wo_proj")
+        _wo_scope.__enter__()
         if tp_axis is not None and "wo_chunks" in lw:
             # pre-chunked at setup (parallel.overlap): each chunk's psum
             # overlaps the next chunk's matmul
@@ -341,14 +353,16 @@ def forward(
                 attn_out = jax.lax.psum(attn_out, tp_axis)
         if "bo" in lw:
             attn_out = attn_out + arr("bo")
+        _wo_scope.__exit__(None, None, None)
 
         if cfg.parallel_residual:
             # phi2: ffn reads the *attention-normed* input; both add to residual
             # (llama2.rs:420-436)
             ffn_in = h
         else:
-            x = x + attn_out
-            ffn_in = rms_norm(x, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
+            with jax.named_scope("ffn_norm"):
+                x = x + attn_out
+                ffn_in = rms_norm(x, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
 
         def down_proj(h_act):
             if tp_axis is not None and "ffn_down_chunks" in lw:
@@ -362,7 +376,8 @@ def forward(
                 d = jax.lax.psum(d, tp_axis)
             return d
 
-        down = project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=down_proj)
+        with jax.named_scope("ffn"):
+            down = project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=down_proj)
 
         if cfg.parallel_residual:
             x = x + attn_out + down
@@ -389,10 +404,12 @@ def forward(
         )
         ks_new = vs_new = None
 
-    x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
+    with jax.named_scope("final_norm"):
+        x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
 
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
-    logits = qmatmul(x, out_w, compute_dtype)  # (B, T, vocab)
+    with jax.named_scope("lm_head"):
+        logits = qmatmul(x, out_w, compute_dtype)  # (B, T, vocab)
     if collect_probes:
         probes = {"embed": x0, "final_rmsnorm": x, **layer_probes}
         return logits.astype(jnp.float32), KVCache(k_new, v_new, ks_new, vs_new), probes

@@ -67,22 +67,26 @@ class Runner:
             if scale_dtype is None:
                 scale_dtype = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
             sdt = "bf16" if scale_dtype in ("bf16", jnp.bfloat16) else np.float32
-            host_weights = load_weights(gf, self.cfg, layout, sdt)
-            if sharding is None:
-                # QKV/gate-up fusion is single-device only (fused rows would
-                # straddle the q|k|v boundaries under row sharding)
-                host_weights = fuse_weights(host_weights, self.cfg)
-            if backend == "pallas":
-                host_weights = repack_weights(host_weights)  # stragglers only
+            with self.metrics.track("load.repack"):
+                host_weights = load_weights(gf, self.cfg, layout, sdt)
+                if sharding is None:
+                    # QKV/gate-up fusion is single-device only (fused rows
+                    # would straddle q|k|v boundaries under row sharding)
+                    host_weights = fuse_weights(host_weights, self.cfg)
+                if backend == "pallas":
+                    host_weights = repack_weights(host_weights)  # stragglers
             if sharding is not None:
                 from ..parallel.tp import make_tp_forward
 
-                self._tp_step, self.weights = make_tp_forward(
-                    host_weights, sharding, self.cfg, compute_dtype
-                )
+                with self.metrics.track("load.device_put"):
+                    self._tp_step, self.weights = make_tp_forward(
+                        host_weights, sharding, self.cfg, compute_dtype
+                    )
             else:
                 self._tp_step = None
-                self.weights = jax.tree.map(jax.device_put, host_weights)
+                with self.metrics.track("load.device_put"):
+                    self.weights = jax.tree.map(jax.device_put, host_weights)
+                    jax.block_until_ready(self.weights)
         self._sharding = sharding
 
         self.cache = KVCache.create(self.cfg, batch_size, self.seq_len, self.kv_dtype)

@@ -158,6 +158,7 @@ class ServingEngine:
         kv_dtype=None,
         seed: int = 0,
         tick_tokens: int = 1,
+        prefill_chunk: int | None = 256,
     ):
         if runner is not None:
             weights, cfg, tokenizer = runner.weights, runner.cfg, runner.tokenizer
@@ -187,6 +188,14 @@ class ServingEngine:
         # >1: run_forever fuses this many decode steps per dispatch while
         # the admission queue is empty (multi-token ticks; see _decode_scan)
         self.tick_tokens = max(1, tick_tokens)
+        # chunked-prefill admission: each step() forwards at most this many
+        # prompt tokens of ONE admitting request before the decode tick, so
+        # admission never head-of-line-blocks running requests for longer
+        # than a chunk. None = legacy synchronous (whole prompt at admit).
+        self.prefill_chunk = prefill_chunk
+        # slot -> (remaining_tokens, n_filled) for mid-prefill requests;
+        # such slots are claimed (self.slots[slot] set) but NOT decoded
+        self._prefilling: dict[int, tuple[list[int], int]] = {}
         self.tokens_generated = 0
         self._started = None  # first-step timestamp (serving uptime)
 
@@ -197,6 +206,7 @@ class ServingEngine:
         self.cache = self._make_cache()
         self.pos = np.zeros(self.n_slots, np.int32)
         self.cur_tok = np.zeros(self.n_slots, np.int32)
+        self._prefilling = {}
 
     def _make_cache(self):
         """Cache-construction hook (PagedServingEngine overrides: the slot
@@ -224,13 +234,90 @@ class ServingEngine:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 break
-            self._prefill_into(free.pop(0), req)
+            slot = free.pop(0)
+            if self.prefill_chunk is None:
+                self._prefill_into(slot, req)
+            else:
+                self._claim_for_prefill(slot, req)
 
-    def _prefill_into(self, slot: int, req: Request):
+    def _trim_prompt(self, req: Request) -> list[int]:
         toks = req.prompt_tokens
         limit = self.seq_len - 1
         if len(toks) > limit:
             toks = toks[-limit:]  # keep the tail, like a sliding window
+        return toks
+
+    # -- chunked admission (default): prompt forwards in bounded chunks
+    #    interleaved with decode ticks, so a long admission never stalls
+    #    running requests for more than one chunk's latency ---------------
+
+    def _claim_for_prefill(self, slot: int, req: Request):
+        """Claim the slot host-side only; chunks run in later step()s.
+        While mid-prefill, pos[slot] == n_filled: the decode tick still
+        steps the slot (the batch is the whole pool) and writes garbage KV
+        at that position — which the NEXT chunk (whose window starts there)
+        or the first real decode token overwrites before any attention can
+        read it (attention only reads cols <= the reader's own position)."""
+        self.slots[slot] = req
+        self._prefilling[slot] = (self._trim_prompt(req), 0)
+        self.pos = self.pos.copy()
+        self.pos[slot] = 0
+
+    def _prefill_tick(self):
+        """Forward ONE chunk of the oldest mid-prefill request."""
+        if not self._prefilling:
+            return
+        slot = next(iter(self._prefilling))
+        toks, filled = self._prefilling[slot]
+        chunk = toks[filled : filled + self.prefill_chunk]
+        logits = self._prefill_chunk_device(slot, chunk, filled)
+        filled += len(chunk)
+        self.pos = self.pos.copy()
+        self.pos[slot] = filled
+        if filled < len(toks):
+            self._prefilling[slot] = (toks, filled)
+            return
+        del self._prefilling[slot]
+        self._prefill_complete(slot)
+        req = self.slots[slot]
+        self._key, sub = jax.random.split(self._key)
+        first = sample_batch(
+            logits[:, len(chunk) - 1],
+            sub,
+            jnp.asarray([req.temperature], jnp.float32),
+            jnp.asarray([req.topp], jnp.float32),
+        )
+        self.temp = self.temp.copy()
+        self.topp = self.topp.copy()
+        self.temp[slot] = req.temperature
+        self.topp[slot] = req.topp
+        self._deliver(slot, int(first[0]))
+
+    def _prefill_chunk_device(self, slot: int, chunk: list[int], filled: int):
+        """Forward `chunk` into the slot's cache at position `filled`;
+        returns logits (1, t_pad, V). Hook for PagedServingEngine."""
+        t_pad = min(_bucket(len(chunk)), self.seq_len - filled)
+        padded = np.zeros((1, t_pad), np.int32)
+        padded[0, : len(chunk)] = chunk
+        logits, self.cache = _prefill_slot(
+            self.weights,
+            self.cache,
+            jnp.asarray(padded),
+            jnp.int32(slot),
+            jnp.int32(filled),
+            self.cfg,
+            self.compute_dtype,
+        )
+        return logits
+
+    def _prefill_complete(self, slot: int):
+        """Called once a slot's whole prompt is in cache (before its first
+        sample). Hook for PagedServingEngine's page scatter."""
+
+    # -- legacy synchronous admission (prefill_chunk=None) -----------------
+
+    def _prefill_into(self, slot: int, req: Request):
+        toks = self._trim_prompt(req)
         # clamp like Runner._forward_chunk: with a non-power-of-two seq_len
         # the bucket can exceed the cache, and forward's dynamic_update_slice
         # would then fail at trace time (update larger than operand)
@@ -268,12 +355,17 @@ class ServingEngine:
     # -- the tick -----------------------------------------------------------
 
     def step(self, multi: int = 1) -> int:
-        """Admit pending requests, run `multi` fused decode ticks. Returns
-        the number of active slots afterwards."""
+        """Admit pending requests, run one prefill chunk (if any request is
+        mid-admission), run `multi` fused decode ticks. Returns the number
+        of occupied slots afterwards."""
         self._admit()
-        active = [i for i, r in enumerate(self.slots) if r is not None]
+        self._prefill_tick()
+        active = [
+            i for i, r in enumerate(self.slots)
+            if r is not None and i not in self._prefilling
+        ]
         if not active:
-            return 0
+            return sum(r is not None for r in self.slots)
         snapshot = list(self.slots)  # which request owned each slot at scan time
         pos0 = self.pos  # positions at scan start (per-token length checks)
         # cap the scan so no active slot's in-scan writes pass seq_len-1
@@ -301,8 +393,9 @@ class ServingEngine:
                 multi, self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(toks)
+        active_set = set(active)
         self.pos = self.pos + np.asarray(
-            [multi if self.slots[i] is not None else 0 for i in range(self.n_slots)],
+            [multi if i in active_set else 0 for i in range(self.n_slots)],
             np.int32,
         )
         self.steps += multi
@@ -360,6 +453,7 @@ class ServingEngine:
     def _finish(self, slot: int, reason: str):
         req = self.slots[slot]
         req.finish_reason = reason
+        self._prefilling.pop(slot, None)
         if req._stream is not None:
             req._stream.put(None)  # sentinel: stream closed
         self.slots[slot] = None
@@ -410,7 +504,8 @@ class ServingEngine:
 
         while not self._stop.is_set():
             try:
-                multi = self.tick_tokens if self.pending.empty() else 1
+                idle_admission = self.pending.empty() and not self._prefilling
+                multi = self.tick_tokens if idle_admission else 1
                 busy = self.step(multi)
             except Exception:
                 traceback.print_exc()

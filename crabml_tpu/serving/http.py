@@ -156,6 +156,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..runtime.runner import Runner
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     ap = argparse.ArgumentParser(prog="crabml-tpu-serve")
     ap.add_argument("model", help="path to GGUF model file")

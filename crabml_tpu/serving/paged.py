@@ -231,6 +231,7 @@ class PagedServingEngine(ServingEngine):
         self._free = list(range(1, self.n_pages))
         self._owned = [[] for _ in range(self.n_slots)]
         self._table = np.zeros((self.n_slots, self.max_pages), np.int32)
+        self._scratch = {}  # slot -> dense KVCache accumulating prefill chunks
         self._prefill_jit = jax.jit(
             partial(forward, cfg=self.cfg, compute_dtype=self.compute_dtype),
             donate_argnames=("cache",),
@@ -254,23 +255,75 @@ class PagedServingEngine(ServingEngine):
         self.cache = PagedKVCache(self.cache.k, self.cache.v,
                                   jnp.asarray(self._table))
 
-    def _prefill_into(self, slot: int, req: Request):
+    def _trim_prompt(self, req: Request) -> list[int]:
         toks = req.prompt_tokens
         limit = min(self.seq_len - 1, self.max_pages * PAGE - 1)
         if len(toks) > limit:
             toks = toks[-limit:]
+        return toks
+
+    def _claim_pages(self, slot: int, req: Request, toks: list[int]) -> bool:
+        """Allocate the prompt's pages up front; False leaves it queued."""
         n_prompt_pages = -(-len(toks) // PAGE)  # ceil: only live pages
         if n_prompt_pages > self.n_pages - 1:
             # can NEVER fit this pool: fail instead of requeueing forever
             self.slots[slot] = req
             self._finish(slot, "error")
-            return
+            return False
         pages = self._alloc(n_prompt_pages)
         if pages is None:  # pool busy: leave queued for a later tick
             self.pending.put(req)
-            return
+            return False
         self._owned[slot] = pages
         self.slots[slot] = req  # claimed before device work (crash recovery)
+        return True
+
+    # -- chunked admission: chunks accumulate into a per-slot dense scratch
+    #    cache (attention inside a chunk must see the earlier chunks' KV),
+    #    which scatters into the page pool once the whole prompt is in ------
+
+    def _claim_for_prefill(self, slot: int, req: Request):
+        toks = self._trim_prompt(req)
+        if not self._claim_pages(slot, req, toks):
+            return
+        self._prefilling[slot] = (toks, 0)
+        self._scratch[slot] = KVCache.create(
+            self.cfg, 1, _bucket(len(toks), PAGE), self.kv_dtype
+        )
+        self.pos = self.pos.copy()
+        self.pos[slot] = 0  # table row stays 0: garbage decode writes land
+        # on the shared scratch page, never on owned pages
+
+    def _prefill_chunk_device(self, slot: int, chunk: list[int], filled: int):
+        scratch = self._scratch[slot]
+        t_pad = min(_bucket(len(chunk)), scratch.seq_len - filled)
+        padded = np.zeros((1, t_pad), np.int32)
+        padded[0, : len(chunk)] = chunk
+        logits, self._scratch[slot] = self._prefill_jit(
+            self.weights, scratch, jnp.asarray(padded),
+            jnp.asarray([filled], jnp.int32),
+        )
+        return logits
+
+    def _prefill_complete(self, slot: int):
+        dense = self._scratch.pop(slot)
+        pages = self._owned[slot]
+        self._table[slot, :] = 0
+        self._table[slot, : len(pages)] = pages
+        self.cache = _scatter_prefill(
+            self.cache, dense, jnp.asarray(np.asarray(pages, np.int32)),
+            len(pages),
+        )
+        self._push_table()
+
+    # -- legacy synchronous admission --------------------------------------
+
+    def _prefill_into(self, slot: int, req: Request):
+        toks = self._trim_prompt(req)
+        if not self._claim_pages(slot, req, toks):
+            return
+        pages = self._owned[slot]
+        n_prompt_pages = len(pages)
 
         # dense prefill on a scratch cache (jitted), then scatter the live
         # pages into the pool
@@ -305,9 +358,13 @@ class PagedServingEngine(ServingEngine):
 
     def step(self, multi: int = 1) -> int:
         self._admit()
-        active = [i for i, r in enumerate(self.slots) if r is not None]
+        self._prefill_tick()
+        active = [
+            i for i, r in enumerate(self.slots)
+            if r is not None and i not in self._prefilling
+        ]
         if not active:
-            return 0
+            return sum(r is not None for r in self.slots)
         snapshot = list(self.slots)
         pos0 = self.pos
         # cap the scan at the seq_len edge (see ServingEngine.step): an
@@ -351,8 +408,9 @@ class PagedServingEngine(ServingEngine):
                 *args, multi, self.cfg, self.compute_dtype
             )
             toks = np.asarray(toks)
+        active_set = set(active)
         self.pos = self.pos + np.asarray(
-            [multi if self.slots[i] is not None else 0 for i in range(self.n_slots)],
+            [multi if i in active_set else 0 for i in range(self.n_slots)],
             np.int32,
         )
         self.steps += multi
@@ -371,6 +429,7 @@ class PagedServingEngine(ServingEngine):
     def _finish(self, slot: int, reason: str):
         self._free.extend(self._owned[slot])
         self._owned[slot] = []
+        self._scratch.pop(slot, None)
         # reset the row to the scratch page: the idle slot keeps stepping
         # and must never scatter into a page that gets reallocated
         self._table[slot, :] = 0

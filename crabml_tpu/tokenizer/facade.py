@@ -74,8 +74,31 @@ class Tokenizer:
         return cls(LlamaTokenizer(tokens, scores, bos_token, eos_token), tokens, eos_token)
 
     @classmethod
-    def new_gpt2(cls, tokens, merges, bos_token: int, eos_token: int) -> "Tokenizer":
-        return cls(Gpt2Tokenizer(tokens, merges, bos_token, eos_token), tokens, eos_token)
+    def new_gpt2(
+        cls, tokens, merges, bos_token: int, eos_token: int, special_tokens=None
+    ) -> "Tokenizer":
+        return cls(
+            Gpt2Tokenizer(tokens, merges, bos_token, eos_token, special_tokens),
+            tokens,
+            eos_token,
+        )
+
+
+def special_tokens_from_metadata(metadata, tokens) -> list[str] | None:
+    """Added-special tokens from `tokenizer.ggml.token_type` (CONTROL=3 and
+    USER_DEFINED=4 entries) — the metadata-driven replacement for the
+    reference's hardcoded list (tokenizer_gpt2.rs:101-118). Returns None
+    when the key is absent so callers fall back to the heuristic list."""
+    from .gpt2_bpe import TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED
+
+    types = metadata.get("tokenizer.ggml.token_type")
+    if types is None:
+        return None
+    return [
+        tokens[i]
+        for i, t in enumerate(types)
+        if int(t) in (TOKEN_TYPE_CONTROL, TOKEN_TYPE_USER_DEFINED) and i < len(tokens)
+    ]
 
 
 def tokenizer_from_gguf(metadata) -> Tokenizer:
@@ -89,5 +112,6 @@ def tokenizer_from_gguf(metadata) -> Tokenizer:
         return Tokenizer.new_llama(tokens, scores, bos, eos)
     if kind == "gpt2":
         merges = list(metadata.get("tokenizer.ggml.merges"))
-        return Tokenizer.new_gpt2(tokens, merges, bos, eos)
+        specials = special_tokens_from_metadata(metadata, tokens)
+        return Tokenizer.new_gpt2(tokens, merges, bos, eos, specials)
     raise ValueError(f"unsupported tokenizer model {kind!r}")

@@ -25,6 +25,10 @@ def build_byte_encode_map() -> dict[int, str]:
     return m
 
 
+# FALLBACK ONLY, for GGUFs missing tokenizer.ggml.token_type metadata.
+# The reference hardcodes this list (tokenizer_gpt2.rs:101-118), which
+# silently mis-tokenizes any model with other added specials (qwen2.5 tool
+# tokens, llama3.1 extras); we read the metadata when present.
 SPECIAL_TOKENS = [
     # qwen2
     "<|im_start|>",
@@ -43,6 +47,14 @@ SPECIAL_TOKENS = [
     "<|eot_id|>",
 ]
 
+# tokenizer.ggml.token_type values (llama.cpp llama_token_type)
+TOKEN_TYPE_NORMAL = 1
+TOKEN_TYPE_UNKNOWN = 2
+TOKEN_TYPE_CONTROL = 3
+TOKEN_TYPE_USER_DEFINED = 4
+TOKEN_TYPE_UNUSED = 5
+TOKEN_TYPE_BYTE = 6
+
 
 class Gpt2Tokenizer:
     def __init__(
@@ -51,6 +63,7 @@ class Gpt2Tokenizer:
         merges: list[str],
         bos_token: int,
         eos_token: int,
+        special_tokens: list[str] | None = None,
     ):
         self.tokens = tokens
         self.token_ids = {t: i for i, t in enumerate(tokens)}
@@ -62,8 +75,15 @@ class Gpt2Tokenizer:
         self.byte_decodes = {c: b for b, c in self.byte_encodes.items()}
         self.bos_token = bos_token
         self.eos_token = eos_token
-        self._special_re = re.compile(
-            "(" + "|".join(re.escape(k) for k in SPECIAL_TOKENS) + ")"
+        if special_tokens is None:  # no metadata: reference-parity fallback
+            special_tokens = [t for t in SPECIAL_TOKENS if t in self.token_ids]
+        # longest-first so overlapping specials match maximally
+        self.special_tokens = sorted(set(special_tokens), key=len, reverse=True)
+        self._special_set = set(self.special_tokens)
+        self._special_re = (
+            re.compile("(" + "|".join(re.escape(k) for k in self.special_tokens) + ")")
+            if self.special_tokens
+            else None
         )
 
     def decode(self, token_id: int) -> bytes:
@@ -83,10 +103,11 @@ class Gpt2Tokenizer:
         if add_prefix_space:
             text = " " + text
         out: list[int] = []
-        for part in self._special_re.split(text):
+        parts = self._special_re.split(text) if self._special_re else [text]
+        for part in parts:
             if not part:
                 continue
-            if part in SPECIAL_TOKENS:
+            if part in self._special_set:
                 tok = self.token_ids.get(part)
                 if tok is not None:
                     out.append(tok)

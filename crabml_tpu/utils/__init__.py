@@ -7,3 +7,27 @@ def bucket(n: int, minimum: int = 8) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA compilation cache: kills the cold-start recompile.
+
+    The reference starts in milliseconds because it runs no compiler
+    (mmap + madvise, gguf.rs:795-827); a jitted 7B decode step costs
+    minutes of XLA time on first compile. Caching the compiled
+    executables on disk makes every restart after the first warm.
+    Default location: <repo>/.cache/jax (override with $CRABML_JAX_CACHE).
+    """
+    import os
+
+    import jax
+
+    path = path or os.environ.get("CRABML_JAX_CACHE")
+    if path is None:
+        path = os.path.join(os.path.dirname(__file__), "..", "..", ".cache", "jax")
+    path = os.path.abspath(os.path.expanduser(path))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

@@ -107,3 +107,65 @@ def test_gpt2_special_tokens_not_split():
     assert toks[0] == "<|im_start|>"
     assert toks[-1] == "<|im_end|>"
     assert "".join(toks[1:-1]) == "hi"
+
+
+def test_gpt2_specials_from_metadata_roundtrip(tmp_path):
+    """tokenizer.ggml.token_type CONTROL/USER_DEFINED entries become the
+    special set — a qwen2.5-style added special ABSENT from the reference's
+    hardcoded list (tokenizer_gpt2.rs:101-118) must still round-trip."""
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.gguf.writer import GGUFWriter
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.quant.codecs import quantize
+    from crabml_tpu.tokenizer.gpt2_bpe import build_byte_encode_map
+    import numpy as np
+
+    bem = build_byte_encode_map()
+    chars = [bem[b] for b in range(33, 127)]
+    vocab = sorted(set(chars)) + ["<tool_call>", "</tool_call>", "<|im_end|>"]
+    n = len(vocab)
+    # token_type: specials are CONTROL(3); everything else NORMAL(1)
+    types = [1] * (n - 3) + [3, 3, 3]
+
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", "llama")
+    w.add_metadata("llama.context_length", 64)
+    w.add_metadata("llama.embedding_length", 32)
+    w.add_metadata("llama.feed_forward_length", 64)
+    w.add_metadata("llama.block_count", 1)
+    w.add_metadata("llama.attention.head_count", 2)
+    w.add_metadata("llama.attention.head_count_kv", 2)
+    w.add_metadata("llama.rope.dimension_count", 16)
+    w.add_metadata("tokenizer.ggml.model", "gpt2")
+    w.add_metadata("tokenizer.ggml.tokens", vocab)
+    w.add_metadata("tokenizer.ggml.merges", [])
+    w.add_metadata("tokenizer.ggml.token_type", types)
+    w.add_metadata("tokenizer.ggml.bos_token_id", 0)
+    w.add_metadata("tokenizer.ggml.eos_token_id", 1)
+    path = str(tmp_path / "specials.gguf")
+    w.write(path)
+
+    tk = tokenizer_from_gguf(GGUFFile(path).metadata)
+    ids = tk._inner.encode("<tool_call>hi</tool_call>", bos=False, eos=False,
+                           add_prefix_space=False)
+    toks = [tk.tokens[i] for i in ids]
+    assert toks[0] == "<tool_call>"
+    assert toks[-1] == "</tool_call>"
+    assert "".join(toks[1:-1]) == "hi"
+    # the hardcoded-list fallback would NOT know <tool_call>
+    tk_fallback = Gpt2Tokenizer(vocab, [], bos_token=0, eos_token=1)
+    ids_fb = tk_fallback.encode("<tool_call>hi", bos=False, eos=False,
+                                add_prefix_space=False)
+    assert tk_fallback.tokens[ids_fb[0]] != "<tool_call>"
+
+
+def test_gpt2_metadata_specials_longest_match():
+    """Overlapping specials must match longest-first."""
+    from crabml_tpu.tokenizer.gpt2_bpe import build_byte_encode_map
+
+    bem = build_byte_encode_map()
+    chars = [bem[b] for b in range(33, 127)]
+    vocab = sorted(set(chars)) + ["<|a|>", "<|a|>x"]
+    tk = Gpt2Tokenizer(vocab, [], 0, 1, special_tokens=["<|a|>", "<|a|>x"])
+    ids = tk.encode("<|a|>x", bos=False, eos=False, add_prefix_space=False)
+    assert [tk.tokens[i] for i in ids] == ["<|a|>x"]
