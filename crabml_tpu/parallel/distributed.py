@@ -73,26 +73,32 @@ def global_mesh(tp: int | None = None, dp: int | None = None) -> Mesh:
 
 
 def shard_weights_local(weights, mesh: Mesh, cfg):
-    """Host-local weight sharding for multi-host meshes.
+    """Weight sharding for multi-host meshes, from a HOST-MATERIALIZED
+    pytree: make_array_from_callback keeps device HBM per process bounded
+    to its own shards, but every process still holds the full host copy —
+    fine for 7B-class models where host RAM >> model size.
 
-    Uses jax.make_array_from_callback so each process materializes only the
-    shards its local devices own — the GGUF mmap supplies bytes on demand,
-    nothing crosses DCN. On single-host meshes this is exactly
-    parallel.sharding.shard_weights.
+    For models that do NOT fit per-host RAM (70B), load from the GGUF
+    instead with `shard_weights_from_gguf` (parallel.lazy_load): it slices
+    each shard's bytes straight out of the mmap, so per-process host
+    memory is bounded by (weights / tp).
     """
     from .sharding import shard_weights
 
     if jax.process_count() == 1:
         return shard_weights(weights, mesh, cfg)
 
-    from ..quant.planar import QTensor
-    from .sharding import _q_sharding  # same PartitionSpecs as single-host
-
     def put(arr, sharding):
         a = np.asarray(arr)
         return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
 
-    # reuse the single-host spec assignment by monkey-free reconstruction:
-    # shard on a CPU-backed pass is wasteful at 70B, so walk the same logic.
-    sharded = shard_weights(weights, mesh, cfg, _put=put)  # type: ignore[call-arg]
+    sharded = shard_weights(weights, mesh, cfg, _put=put)
     return sharded
+
+
+def shard_weights_from_gguf(gf, cfg, mesh: Mesh):
+    """GGUF -> sharded pytree with per-process host memory bounded by the
+    process's own shards (lazy mmap slicing; parallel.lazy_load)."""
+    from .lazy_load import load_weights_sharded
+
+    return load_weights_sharded(gf, cfg, mesh)
