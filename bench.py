@@ -178,7 +178,7 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prefill", type=int, default=64)
-    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "w4a8"])
     ap.add_argument("--mode", default="decode",
                     choices=["decode", "serving", "prefill", "coldstart"],
                     help="decode: B=1 latency (headline); serving: aggregate "

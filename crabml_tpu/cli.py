@@ -28,7 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--kv-dtype", default=None, choices=[None, "f32", "bf16", "int8"])
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--tp", type=int, default=None, help="tensor parallel degree")
-    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"])
+    ap.add_argument("--sp", type=int, default=None,
+                    help="sequence parallel degree: shards the KV cache's "
+                         "sequence axis over N devices (ring-attention "
+                         "prefill), for contexts beyond one chip's HBM")
+    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "w4a8"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mlock", action="store_true",
                     help="mlock(2) the weight mmap (reference --mlock parity)")
@@ -60,6 +64,23 @@ def main(argv=None):
         from .parallel import make_mesh
 
         sharding = make_mesh(tp=args.tp, dp=1)
+
+    if args.sp and args.sp > 1:
+        from .parallel.sp import SequenceParallelRunner
+
+        sp_runner = SequenceParallelRunner(
+            args.model, sp=args.sp, seq_len=args.seq_len,
+            compute_dtype=dtypes[args.dtype],
+        )
+        t0 = time.perf_counter()
+        print(args.prompt, end="", flush=True)
+        n = 0
+        for piece in sp_runner.prefill_and_generate(args.prompt, args.steps):
+            print(piece, end="", flush=True)
+            n += 1
+        print(f"\n\n{n} tokens, {n / (time.perf_counter() - t0):.2f} tokens/s "
+              f"(sp={args.sp})", file=sys.stderr)
+        return 0
 
     gf = GGUFFile(args.model, mlock=args.mlock)
     if args.verbose:

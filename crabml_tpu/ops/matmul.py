@@ -22,20 +22,23 @@ from ..gguf.constants import GGMLType
 from ..quant.jnp_dequant import dequant_jnp
 from ..quant.planar import QTensor
 
-# set by runtime config; "pallas" routes eligible shapes to fused kernels
+# set by runtime config; "pallas" routes eligible shapes to fused kernels,
+# "w4a8" additionally int8-quantizes activations per group (int8 MXU dots)
 _BACKEND = "xla"
+_ACT_QUANT = False
 
 
 def set_backend(name: str):
-    global _BACKEND
-    assert name in ("xla", "pallas", "auto")
+    global _BACKEND, _ACT_QUANT
+    assert name in ("xla", "pallas", "auto", "w4a8")
     if name == "auto":
         import jax
 
         # fused kernels are strictly faster on real TPUs (3.5x decode at
         # 7B); on CPU they run in interpret mode, where XLA dequant wins
         name = "pallas" if jax.default_backend() == "tpu" else "xla"
-    _BACKEND = name
+    _ACT_QUANT = name == "w4a8"
+    _BACKEND = "pallas" if name == "w4a8" else name
 
 
 def qmatmul(x, qt: QTensor, compute_dtype=jnp.float32, layer=None):
@@ -48,7 +51,8 @@ def qmatmul(x, qt: QTensor, compute_dtype=jnp.float32, layer=None):
     if _BACKEND == "pallas":
         from .pallas import gemm_quant
 
-        out = gemm_quant.qmatmul_pallas(x, qt, compute_dtype, layer=layer)
+        out = gemm_quant.qmatmul_pallas(x, qt, compute_dtype, layer=layer,
+                                        act_quant=_ACT_QUANT)
         if out is not None:
             return out
     if layer is not None:

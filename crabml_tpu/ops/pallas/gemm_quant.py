@@ -163,6 +163,102 @@ def _qmm_kernel(*refs, scheme: _Scheme, out_dtype, n_qplanes, tk: int, stacked: 
 
 
 # ---------------------------------------------------------------------------
+# W4A8 variant: int8 activations x int-unpacked weights on the MXU
+# ---------------------------------------------------------------------------
+#
+# The TPU translation of the reference's central activation-quantization
+# trick (matmul_vec.rs:37-40: quantize the activation once per matmul, then
+# integer-dot against packed weights; Q8_K carries per-group bsums for the
+# K-quant min terms, buf_q8_k.rs:8-11). Math per scale group g (gr elems):
+#
+#   x·w|g = d_g * dx_bg * (xq_bg · q_g)_int32            [int8 MXU dot]
+#         - d_g * off * sx_bg                            [offset correction]
+#         + m_g * sx_bg                                  [min correction]
+#
+# where xq = per-(row, group) int8 activation, dx its scale, and
+# sx_bg = dx_bg * sum(xq_bg) ≈ sum(x_g) — the bsums idea. The per-element
+# bf16 dequant multiply of the baseline kernel (TK*TM VPU ops per step)
+# becomes G int8 MXU dots + O(G*B*TM) scalar corrections.
+
+
+def _qmm_w4a8_kernel(*refs, scheme: _Scheme, n_qplanes, tk: int, stacked: bool):
+    refs = refs[1:] if stacked else refs
+    xq_ref = refs[0]  # (B, tk) int8
+    dx_ref = refs[1]  # (B, G) f32 activation scales for this k step
+    sx_ref = refs[2]  # (B, G) f32 dx * sum(xq) per group
+    qrefs = refs[3 : 3 + n_qplanes]
+    dsub_ref = refs[3 + n_qplanes]
+    msub_ref = refs[4 + n_qplanes] if scheme.has_min else None
+    o_ref = refs[-1]
+    G = tk // scheme.gr
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    val = None
+    bit_base = 0
+    for pbits, qref in zip(scheme.planes, qrefs):
+        q2 = _sq2(qref)
+        if pbits == 8:
+            v = q2.astype(jnp.int32)
+        else:
+            P = 8 // pbits
+            TKp = tk // P
+            t = pltpu.repeat(q2, P, axis=0)
+            shift = (
+                jax.lax.broadcasted_iota(jnp.int32, (tk, TM), 0) // TKp
+            ) * pbits
+            v = (t.astype(jnp.int32) >> shift) & ((1 << pbits) - 1)
+        val = v if val is None else val | (v << bit_base)
+        bit_base += pbits
+    # weights stay INTEGER; offset folds into the sx correction below.
+    # Unsigned packed vals (0..2^bits-1) center by 128 to fit int8; the
+    # signed i8 plane (Q8_0/Q8_1) is already in range.
+    if scheme.planes == (8,):
+        w_i8 = val.astype(jnp.int8)
+        base = -float(scheme.off)
+    else:
+        w_i8 = (val - 128).astype(jnp.int8)
+        base = 128.0 - float(scheme.off)  # val = w_i8 + 128; w = (val-off)*d
+
+    xq = xq_ref[:].astype(jnp.int8)
+    dsub = _sq2(dsub_ref).astype(jnp.float32)  # (G, TM)
+    msub = _sq2(msub_ref).astype(jnp.float32) if msub_ref is not None else None
+    dx = dx_ref[:]  # (B, G)
+    sx = sx_ref[:]  # (B, G)
+
+    acc = o_ref[:]
+    for g in range(G):
+        sl = slice(g * scheme.gr, (g + 1) * scheme.gr)
+        ig = jax.lax.dot_general(
+            xq[:, sl], w_i8[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B, TM) int8 MXU dot
+        d_g = dsub[g][None, :]  # (1, TM)
+        term = ig.astype(jnp.float32) * dx[:, g][:, None] * d_g
+        # + base * sum(x_g) * d_g  (un-centers w_i8 and applies -off)
+        term = term + sx[:, g][:, None] * (d_g * base)
+        if msub is not None:
+            term = term + sx[:, g][:, None] * msub[g][None, :]
+        acc = acc + term
+    o_ref[:] = acc
+
+
+def quantize_activation(x2, gr: int):
+    """Per-(row, gr-group) symmetric int8 activation quantization.
+    x2: (B, K) -> (xq int8 (B, K), dx f32 (B, K/gr), sx f32 (B, K/gr))."""
+    B, K = x2.shape
+    xg = x2.astype(jnp.float32).reshape(B, K // gr, gr)
+    amax = jnp.max(jnp.abs(xg), axis=-1)
+    dx = amax / 127.0
+    inv = jnp.where(dx > 0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+    xq = jnp.clip(jnp.round(xg * inv[..., None]), -127, 127).astype(jnp.int8)
+    sx = dx * xq.astype(jnp.float32).sum(-1)  # ≈ sum(x) per group (bsums)
+    return xq.reshape(B, K), dx, sx
+
+
+# ---------------------------------------------------------------------------
 # host-side repack (one-time, at weight load)
 # ---------------------------------------------------------------------------
 
@@ -364,6 +460,62 @@ def _run(kind: GGMLType, m: int, tk: int, out_dtype, stacked: bool, x2, layer, *
     )(x2, *planes)
 
 
+@functools.partial(jax.jit, static_argnames=("kind", "m", "tk", "stacked"))
+def _run_w4a8(kind: GGMLType, m: int, tk: int, stacked: bool, xq, dx, sx,
+              layer, *planes):
+    s = SCHEMES[kind]
+    B, kpad = xq.shape
+    TB = min(B, 256)
+    grid = (B // TB, m // TM, kpad // tk)
+    G = tk // s.gr
+    n_qplanes = len(s.planes)
+
+    def vspec(core_shape, core_imap):
+        if stacked:
+            shape = (1,) + core_shape
+            imap = lambda b, i, j, l_ref: (l_ref[0],) + core_imap(b, i, j)
+        else:
+            shape, imap = core_shape, core_imap
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    def flat(core_shape, core_imap):
+        if stacked:
+            imap = lambda b, i, j, l_ref: core_imap(b, i, j)
+        else:
+            imap = core_imap
+        return pl.BlockSpec(core_shape, imap, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        flat((TB, tk), lambda b, i, j: (b, j)),       # xq
+        flat((TB, G), lambda b, i, j: (b, j)),        # dx
+        flat((TB, G), lambda b, i, j: (b, j)),        # sx
+    ]
+    for pbits in s.planes:
+        rows = tk if pbits == 8 else tk // (8 // pbits)
+        in_specs.append(vspec((1, rows, TM), lambda b, i, j: (i, j, 0)))
+    for _ in range(1 + int(s.has_min)):
+        in_specs.append(vspec((1, 1, G, TM), lambda b, i, j: (i, j, 0, 0)))
+
+    kernel = functools.partial(
+        _qmm_w4a8_kernel, scheme=s, n_qplanes=n_qplanes, tk=tk, stacked=stacked,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, m), jnp.float32)
+    out_spec_flat = pl.BlockSpec((TB, TM), lambda b, i, j: (b, i), memory_space=pltpu.VMEM)
+    interp = jax.default_backend() != "tpu"
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((TB, TM), lambda b, i, j, l_ref: (b, i), memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec, interpret=interp)(
+            jnp.asarray(layer, jnp.int32)[None], xq, dx, sx, *planes
+        )
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, grid=grid, in_specs=in_specs,
+        out_specs=out_spec_flat, interpret=interp,
+    )(xq, dx, sx, *planes)
+
+
 def is_repacked(qt: QTensor) -> bool:
     return "dsub" in qt.planes
 
@@ -402,13 +554,18 @@ def random_repacked(kind: GGMLType, shape, rng=None, scale_dtype=np.float32) -> 
     return QTensor(kind, (m, k), planes)
 
 
-def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None):
+def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None,
+                   act_quant: bool = False):
     """x: (..., k) @ qt(m, k)^T -> (..., m), or None if `qt` has no kernel
     layout (caller falls back to the XLA dequant path).
 
     With `layer`, qt's planes carry a leading layer axis and the kernel
     selects the layer via scalar prefetch — pass the full stacked QTensor
     inside a lax.scan body instead of slicing it (slicing copies planes).
+
+    `act_quant=True` routes through the W4A8 kernel: activations quantize
+    to per-group int8 once, weights stay integer, the MXU dots int8×int8
+    (the reference's activation-quantization design, matmul_vec.rs:37-40).
     """
     kind = qt.kind
     if kind not in SCHEMES or not is_repacked(qt):
@@ -436,8 +593,13 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None):
     p = qt.planes
     qplanes = [p[f"q{i}"] for i in range(len(s.planes))]
     splanes = [p["dsub"]] + ([p["msub"]] if s.has_min else [])
-    out = _run(kind, m, tk, compute_dtype, stacked, x2, layer if stacked else 0,
-               *qplanes, *splanes)
+    if act_quant:
+        xq, dx, sx = quantize_activation(x2, s.gr)
+        out = _run_w4a8(kind, m, tk, stacked, xq, dx, sx,
+                        layer if stacked else 0, *qplanes, *splanes)
+    else:
+        out = _run(kind, m, tk, compute_dtype, stacked, x2,
+                   layer if stacked else 0, *qplanes, *splanes)
 
     if Bp != B:
         out = out[:B]

@@ -60,7 +60,7 @@ class Runner:
             if backend == "auto":
                 backend = matmul_mod._BACKEND
         with self.metrics.track("load"):
-            layout = "kernel" if backend == "pallas" else "planar"
+            layout = "kernel" if backend in ("pallas", "w4a8") else "planar"
             # bf16 scale planes are LOSSLESS under bf16 compute (the kernel
             # rounds scales to the compute dtype in-register either way) and
             # cut Q4_K weight bytes ~15%; f32 compute keeps f32 scales exact.
@@ -73,7 +73,7 @@ class Runner:
                     # QKV/gate-up fusion is single-device only (fused rows
                     # would straddle q|k|v boundaries under row sharding)
                     host_weights = fuse_weights(host_weights, self.cfg)
-                if backend == "pallas":
+                if backend in ("pallas", "w4a8"):
                     host_weights = repack_weights(host_weights)  # stragglers
             if sharding is not None:
                 from ..parallel.tp import make_tp_forward
@@ -155,7 +155,10 @@ class Runner:
 
     def _forward_chunk(self, token_ids: list[int]):
         n = len(token_ids)
-        t_pad = _bucket(n)
+        # single-token decode must stay T=1: padding to the minimum prefill
+        # bucket (8) would 8x the activation work AND route attention through
+        # the prefill path instead of the T=1 decode kernel
+        t_pad = 1 if n == 1 else _bucket(n)
         if int(self.pos[0]) + t_pad > self.seq_len:
             # bucket would overrun the cache (non-power-of-two seq_len or a
             # near-full cache): fall back to the exact remaining width

@@ -94,3 +94,46 @@ def test_runner_pallas_backend_matches_xla(stories260k_path, tmp_path):
     out_pl = "".join(r2.prefill_and_generate("hello", steps=6))
     mm.set_backend("xla")
     assert out_xla == out_pl
+
+
+@pytest.mark.parametrize("typ", ALL, ids=lambda t: t.name)
+def test_w4a8_kernel_accuracy(typ):
+    """W4A8 path (int8 activations × int weights on the MXU, group-sum
+    correction — the reference's matmul_vec.rs:37-40 design): must stay
+    within the Q8_0-activation error class of the exact dequant matmul."""
+    rng = np.random.default_rng(int(typ) + 31)
+    m, k = 256, 512
+    w = rng.standard_normal((m, k)).astype(np.float32) * 0.1
+    x = rng.standard_normal((2, k)).astype(np.float32)
+
+    qt = to_planar(typ, quantize(typ, w), (m, k))
+    want = x @ np.asarray(dequant_jnp(qt)).T
+
+    rqt = gemm_quant.repack(qt)
+    got = gemm_quant.qmatmul_pallas(jnp.asarray(x), rqt, jnp.float32,
+                                    act_quant=True)
+    assert got is not None
+    got = np.asarray(got, np.float32)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    # activation int8 per-32 rounding: ~0.4% typical, 1% budget
+    assert rel < 0.012, f"{typ.name}: w4a8 rel err {rel}"
+
+
+def test_w4a8_stacked_layer_prefetch():
+    """Scalar-prefetch layer selection works for the w4a8 kernel too."""
+    from crabml_tpu.quant.planar import stack_qtensors
+
+    typ = GGMLType.Q4_K
+    rng = np.random.default_rng(3)
+    m, k, L = 256, 512, 3
+    ws = [rng.standard_normal((m, k)).astype(np.float32) * 0.1 for _ in range(L)]
+    qts = [gemm_quant.repack(to_planar(typ, quantize(typ, w), (m, k))) for w in ws]
+    stacked = stack_qtensors(qts)
+    x = rng.standard_normal((1, k)).astype(np.float32)
+    for l in range(L):
+        got = gemm_quant.qmatmul_pallas(jnp.asarray(x), stacked, jnp.float32,
+                                        layer=jnp.int32(l), act_quant=True)
+        qt1 = to_planar(typ, quantize(typ, ws[l]), (m, k))
+        want = x @ np.asarray(dequant_jnp(qt1)).T
+        rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
+        assert rel < 0.012, f"layer {l}: {rel}"

@@ -325,3 +325,22 @@ assert extra_mb < 3 * shard_mb + 50, f"full-tensor materialization: {{extra_mb}}
 """
     r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_sequence_parallel_runner_matches_dense(stories260k_path):
+    """SURVEY §5.7 north star through the PUBLIC API: a prompt longer than
+    one shard's cache range runs sequence-parallel (ring-attention prefill
+    + psum-combined decode over the S-sharded cache) and produces the same
+    greedy text as the dense single-device Runner."""
+    from crabml_tpu.parallel.sp import SequenceParallelRunner
+    from crabml_tpu.runtime.runner import Runner
+
+    prompt = "Lily is a cat who likes to play with yarn and chase mice " * 2
+    dense = Runner(stories260k_path, seq_len=128)
+    want = "".join(dense.prefill_and_generate(prompt, steps=12))
+
+    sp = SequenceParallelRunner(stories260k_path, sp=4, seq_len=128)
+    n_prompt = len(sp.tokenizer.encode(prompt, bos=True))
+    assert n_prompt > 128 // 4, "prompt must exceed one shard's cache range"
+    got = "".join(sp.prefill_and_generate(prompt, steps=12))
+    assert got == want, f"{got!r} != {want!r}"
