@@ -234,6 +234,8 @@ def main():
                 "gguf_gb": round(os.path.getsize(path) / 1e9, 2),
                 "load_s": round(t_load, 2),
                 "load_repack_s": round(runner.metrics.times_ns.get("load.repack", 0) / 1e9, 2),
+                "load_cache_read_s": round(runner.metrics.times_ns.get("load.cache_read", 0) / 1e9, 2),
+                "load_cache_write_s": round(runner.metrics.times_ns.get("load.cache_write", 0) / 1e9, 2),
                 "load_device_put_s": round(runner.metrics.times_ns.get("load.device_put", 0) / 1e9, 2),
                 "prefill_plus_compile_s": round(ttft, 2),
                 "decode_tok_s_dispatched": round(n / gen_s, 1),

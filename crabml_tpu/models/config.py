@@ -28,6 +28,19 @@ ARCH_FEATURES = {
         ffn_bias=True,
         no_ffn_gate=True,
     ),
+    # beyond the reference's four (it stops at phi2; these are the common
+    # GGUF families in the wild the reference cannot load):
+    # qwen3: qk RMS norms per head, decoupled head_dim, no qkv bias
+    "qwen3": dict(rope_mode="neox", act="silu", qk_norm=True),
+    # gemma2: post-attention/post-ffn norms, logit softcapping, sliding
+    # window on alternating layers, gelu-tanh
+    "gemma2": dict(
+        rope_mode="neox",
+        act="gelu",
+        scale_embedding=True,
+        post_norms=True,
+        alternating_window=True,
+    ),
 }
 
 
@@ -59,9 +72,21 @@ class ModelConfig:
     ffn_bias: bool = False
     no_ffn_gate: bool = False
     scale_embedding: bool = False
+    qk_norm: bool = False  # qwen3: per-head RMS norm on q/k before rope
+    post_norms: bool = False  # gemma2: post-attention/post-ffn norms
+    alternating_window: bool = False  # gemma2: sliding window on even layers
     # NOTE: the reference scales phi2's q by 1/sqrt(head_dim) twice
     # (llama2.rs:414 + llama2.rs:565) — we scale exactly once, matching
     # llama.cpp's build_phi2.
+
+    # rope scaling (llama3.1 etc.): inv_freq /= per-frequency factors from
+    # the rope_freqs.weight tensor; "linear" divides positions by `factor`
+    rope_scaling_type: str = "none"  # none | linear (yarn: not yet)
+    rope_scaling_factor: float = 1.0
+    # gemma2 softcaps (0 = off) + sliding window width
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    sliding_window: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -71,7 +96,7 @@ class ModelConfig:
 
     @property
     def kv_dim(self) -> int:
-        return (self.embedding_dim * self.n_kv_heads) // self.n_heads
+        return self.n_kv_heads * self.head_dim
 
     @property
     def effective_rope_dim(self) -> int:
@@ -96,14 +121,38 @@ def config_from_gguf(metadata) -> ModelConfig:
     rope_dim = metadata.get_int(f"{p}.rope.dimension_count")
     rope_base = metadata.get_float(f"{p}.rope.freq_base", 10000.0)
 
+    extra = {}
+    # decoupled per-head size (qwen3 etc.): {arch}.attention.key_length
+    key_len = metadata.get_int(f"{p}.attention.key_length", 0)
+    n_heads = metadata.get_int(f"{p}.attention.head_count")
+    dim = metadata.get_int(f"{p}.embedding_length")
+    if key_len and key_len != dim // n_heads:
+        extra["head_dim_override"] = key_len
+    # rope scaling (llama3.1 linear/rope_freqs; scaling.type absent = none)
+    sc_type = metadata.get_str(f"{p}.rope.scaling.type", "")
+    sc_factor = metadata.get_float(f"{p}.rope.scaling.factor", 0.0)
+    if sc_type == "linear" and sc_factor:
+        extra["rope_scaling_type"] = "linear"
+        extra["rope_scaling_factor"] = sc_factor
+    # gemma2 softcaps + sliding window
+    cap = metadata.get_float(f"{p}.attn_logit_softcapping", 0.0)
+    if cap:
+        extra["attn_logit_softcap"] = cap
+    fcap = metadata.get_float(f"{p}.final_logit_softcapping", 0.0)
+    if fcap:
+        extra["final_logit_softcap"] = fcap
+    win = metadata.get_int(f"{p}.attention.sliding_window", 0)
+    if win:
+        extra["sliding_window"] = win
+
     return ModelConfig(
         architecture=arch,
         model_name=metadata.get_str("general.name", ""),
         chat_template=metadata.get_str("tokenizer.chat_template", ""),
-        embedding_dim=metadata.get_int(f"{p}.embedding_length"),
+        embedding_dim=dim,
         hidden_dim=metadata.get_int(f"{p}.feed_forward_length"),
         n_layers=metadata.get_int(f"{p}.block_count"),
-        n_heads=metadata.get_int(f"{p}.attention.head_count"),
+        n_heads=n_heads,
         n_kv_heads=metadata.get_int(f"{p}.attention.head_count_kv"),
         vocab_size=len(tokens) if tokens is not None else metadata.get_int(f"{p}.vocab_size", 0),
         seq_len=metadata.get_int(f"{p}.context_length"),
@@ -111,4 +160,5 @@ def config_from_gguf(metadata) -> ModelConfig:
         rope_dim=rope_dim,
         rope_base=rope_base,
         **ARCH_FEATURES[arch],
+        **extra,
     )

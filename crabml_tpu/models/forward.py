@@ -101,8 +101,8 @@ def layer_norm_in(lw, l, x, cfg):
 
 def project_qkv(lw, l, h, cfg, compute_dtype):
     """QKV projection of layer l: handles the fused wqkv layout and the
-    qwen2/phi2 biases. Returns flat (…, D), (…, kv_dim), (…, kv_dim)."""
-    D = cfg.embedding_dim
+    qwen2/phi2 biases. Returns flat (…, H*hd), (…, kv_dim), (…, kv_dim)."""
+    D = cfg.n_heads * cfg.head_dim  # == embedding_dim unless hd decoupled
     kvd = cfg.n_kv_heads * cfg.head_dim
 
     def arr(name):
@@ -152,17 +152,23 @@ def project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=None):
     return down_proj(_activation(gate, cfg.act) * up)
 
 
-def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None):
+def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None,
+              softcap: float = 0.0, local_window: int = 0, use_local=None):
     """Masked GQA attention over the full cache.
 
     q: (B, T, H, hd); k_cache/v_cache: (B, KV, S, hd); pos: (B,) int32 —
     number of valid cache entries before this call's tokens.
+
+    `softcap`: gemma2 attention-logit soft capping (cap*tanh(s/cap); 0=off).
+    `local_window`/`use_local`: sliding-window width and a (traced) bool
+    enabling it — gemma2 alternates local/global layers inside one scan.
+    Either option forces the XLA path (the Pallas kernels don't take them).
     """
     B, T, H, hd = q.shape
     KV, S = k_cache.shape[1], k_cache.shape[2]
     G = H // KV
 
-    if probe is None:
+    if probe is None and softcap == 0.0 and not local_window:
         from ..ops import matmul as _mm
 
         if _mm._BACKEND == "pallas":
@@ -196,11 +202,19 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None):
         "btkgh,bksh->bkgts", qg.astype(mm_dt), k_cache.astype(mm_dt),
         preferred_element_type=jnp.float32, precision=prec,
     ) * scale
+    if softcap:
+        scores = jnp.float32(softcap) * jnp.tanh(scores / jnp.float32(softcap))
 
     # causal/validity mask: token t (absolute pos[b]+t) sees cache cols <= pos[b]+t
     col = jnp.arange(S)[None, None, :]  # (1, 1, S)
     row_abs = pos[:, None, None] + jnp.arange(T)[None, :, None]  # (B, T, 1)
     mask = col <= row_abs  # (B, T, S)
+    if local_window:
+        near = col > row_abs - local_window  # sliding window: last W cols
+        if use_local is None:
+            mask = mask & near
+        else:  # traced per-layer toggle (gemma2 alternating layers)
+            mask = mask & jnp.where(use_local, near, True)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
 
     scores = scores - scores.max(axis=-1, keepdims=True)
@@ -281,9 +295,17 @@ def forward(
         q = q.reshape(B, T, H, hd)
         k = k.reshape(B, T, KV, hd)
         v = v.reshape(B, T, KV, hd)
+        if cfg.qk_norm:  # qwen3: per-head RMS norm before rope
+            q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
+            k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
         with jax.named_scope("rope"):
-            q = apply_rope(q, positions, rope_dim, cfg.rope_mode, cfg.rope_base)
-            k = apply_rope(k, positions, rope_dim, cfg.rope_mode, cfg.rope_base)
+            ff = weights.get("rope_freqs")
+            ps = (1.0 / cfg.rope_scaling_factor
+                  if cfg.rope_scaling_type == "linear" else 1.0)
+            q = apply_rope(q, positions, rope_dim, cfg.rope_mode, cfg.rope_base,
+                           freq_factors=ff, pos_scale=ps)
+            k = apply_rope(k, positions, rope_dim, cfg.rope_mode, cfg.rope_base,
+                           freq_factors=ff, pos_scale=ps)
 
         # write new k/v into the cache at each sequence's own offset
         def upd(cache_b, new_b, p):  # cache_b (KV, S, hd); new_b (KV, T, hd)
@@ -334,7 +356,12 @@ def forward(
         else:
             # full cache + window bound: the pallas kernels gate their own
             # reads (grid bound / per-seq DMA), the XLA path slices
-            attn = attention(q, k_l, v_l, pos, T, scale, window=attn_window)
+            attn = attention(
+                q, k_l, v_l, pos, T, scale, window=attn_window,
+                softcap=cfg.attn_logit_softcap,
+                local_window=cfg.sliding_window,
+                use_local=(l % 2 == 0) if cfg.alternating_window else None,
+            )
         _attn_scope.__exit__(None, None, None)
         _wo_scope = jax.named_scope("wo_proj")
         _wo_scope.__enter__()
@@ -353,6 +380,10 @@ def forward(
                 attn_out = jax.lax.psum(attn_out, tp_axis)
         if "bo" in lw:
             attn_out = attn_out + arr("bo")
+        if cfg.post_norms:  # gemma2: norm the block OUTPUT before residual
+            attn_out = rms_norm(
+                attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
+            )
         _wo_scope.__exit__(None, None, None)
 
         if cfg.parallel_residual:
@@ -378,6 +409,10 @@ def forward(
 
         with jax.named_scope("ffn"):
             down = project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=down_proj)
+        if cfg.post_norms:
+            down = rms_norm(
+                down, jnp.asarray(lw["post_ffn_norm"])[l], cfg.rms_norm_eps
+            )
 
         if cfg.parallel_residual:
             x = x + attn_out + down
@@ -410,6 +445,9 @@ def forward(
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     with jax.named_scope("lm_head"):
         logits = qmatmul(x, out_w, compute_dtype)  # (B, T, vocab)
+    if cfg.final_logit_softcap:
+        cap = jnp.float32(cfg.final_logit_softcap)
+        logits = cap * jnp.tanh(logits.astype(jnp.float32) / cap)
     if collect_probes:
         probes = {"embed": x0, "final_rmsnorm": x, **layer_probes}
         return logits.astype(jnp.float32), KVCache(k_new, v_new, ks_new, vs_new), probes

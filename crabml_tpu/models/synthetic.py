@@ -122,6 +122,18 @@ def write_synthetic_gguf(
     w.add_metadata(eps_key, cfg.rms_norm_eps)
     if cfg.rope_dim:
         w.add_metadata(f"{a}.rope.dimension_count", cfg.rope_dim)
+    if cfg.head_dim_override:
+        w.add_metadata(f"{a}.attention.key_length", cfg.head_dim_override)
+        w.add_metadata(f"{a}.attention.value_length", cfg.head_dim_override)
+    if cfg.rope_scaling_type == "linear":
+        w.add_metadata(f"{a}.rope.scaling.type", "linear")
+        w.add_metadata(f"{a}.rope.scaling.factor", cfg.rope_scaling_factor)
+    if cfg.attn_logit_softcap:
+        w.add_metadata(f"{a}.attn_logit_softcapping", cfg.attn_logit_softcap)
+    if cfg.final_logit_softcap:
+        w.add_metadata(f"{a}.final_logit_softcapping", cfg.final_logit_softcap)
+    if cfg.sliding_window:
+        w.add_metadata(f"{a}.attention.sliding_window", cfg.sliding_window)
     w.add_metadata("tokenizer.ggml.model", "llama")
     w.add_metadata("tokenizer.ggml.tokens", tokens)
     w.add_metadata("tokenizer.ggml.scores", np.asarray(scores, np.float32))
@@ -146,22 +158,35 @@ def write_synthetic_gguf(
             t(f"blk.{l}.attn_norm.weight", (D,), GGMLType.F32, 1.0)
             t(f"blk.{l}.attn_norm.bias", (D,), GGMLType.F32)
             continue
-        t(f"blk.{l}.attn_q.weight", (D, D))
+        hd = cfg.head_dim
+        q_out = cfg.n_heads * hd  # == D unless head_dim decoupled (qwen3)
+        t(f"blk.{l}.attn_q.weight", (q_out, D))
         t(f"blk.{l}.attn_k.weight", (kv, D))
         t(f"blk.{l}.attn_v.weight", (kv, D))
         if a == "qwen2":  # q/k/v biases (model.rs:285-355)
-            t(f"blk.{l}.attn_q.bias", (D,), GGMLType.F32)
+            t(f"blk.{l}.attn_q.bias", (q_out,), GGMLType.F32)
             t(f"blk.{l}.attn_k.bias", (kv,), GGMLType.F32)
             t(f"blk.{l}.attn_v.bias", (kv,), GGMLType.F32)
-        t(f"blk.{l}.attn_output.weight", (D, D))
+        if a == "qwen3":  # per-head q/k rms norms
+            t(f"blk.{l}.attn_q_norm.weight", (hd,), GGMLType.F32, 1.0)
+            t(f"blk.{l}.attn_k_norm.weight", (hd,), GGMLType.F32, 1.0)
+        t(f"blk.{l}.attn_output.weight", (D, q_out))
         t(f"blk.{l}.ffn_gate.weight", (HD, D))
         t(f"blk.{l}.ffn_down.weight", (D, HD))
         t(f"blk.{l}.ffn_up.weight", (HD, D))
         t(f"blk.{l}.attn_norm.weight", (D,), GGMLType.F32, 1.0)
         t(f"blk.{l}.ffn_norm.weight", (D,), GGMLType.F32, 1.0)
+        if a == "gemma2":
+            t(f"blk.{l}.post_attention_norm.weight", (D,), GGMLType.F32, 1.0)
+            t(f"blk.{l}.post_ffw_norm.weight", (D,), GGMLType.F32, 1.0)
     t("output_norm.weight", (D,), GGMLType.F32, 1.0)
     if a == "phi2":
         t("output_norm.bias", (D,), GGMLType.F32)
-    if a != "gemma":  # gemma: tied embeddings (model.rs:433-434)
+    if cfg.rope_scaling_type == "rope_freqs":
+        # llama3.1-style per-frequency divisors (mild synthetic values)
+        rd = cfg.effective_rope_dim
+        factors = 1.0 + 0.5 * np.arange(rd // 2, dtype=np.float32) / (rd // 2)
+        w.add_tensor("rope_freqs.weight", GGMLType.F32, (rd // 2,), factors)
+    if a not in ("gemma", "gemma2"):  # gemma family: tied embeddings
         t("output.weight", (V, D))
     w.write(path)

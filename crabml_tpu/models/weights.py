@@ -164,7 +164,7 @@ def load_weights(
     def stack_f32(fmt: str) -> np.ndarray:
         return np.stack([_dense_f32(gf, fmt.format(l)) for l in range(L)])
 
-    if arch in ("llama", "gemma", "qwen2"):
+    if arch in ("llama", "gemma", "qwen2", "qwen3", "gemma2"):
         layers["wq"] = stack_q("blk.{}.attn_q.weight")
         layers["wk"] = stack_q("blk.{}.attn_k.weight")
         layers["wv"] = stack_q("blk.{}.attn_v.weight")
@@ -178,6 +178,12 @@ def load_weights(
             layers["bq"] = stack_f32("blk.{}.attn_q.bias")
             layers["bk"] = stack_f32("blk.{}.attn_k.bias")
             layers["bv"] = stack_f32("blk.{}.attn_v.bias")
+        if arch == "qwen3":  # per-head q/k RMS norms
+            layers["q_norm"] = stack_f32("blk.{}.attn_q_norm.weight")
+            layers["k_norm"] = stack_f32("blk.{}.attn_k_norm.weight")
+        if arch == "gemma2":  # post-attention/post-ffn norms
+            layers["post_attn_norm"] = stack_f32("blk.{}.post_attention_norm.weight")
+            layers["post_ffn_norm"] = stack_f32("blk.{}.post_ffw_norm.weight")
     elif arch == "phi2":
         wq, wk, wv, bq, bk, bv = [], [], [], [], [], []
         for l in range(L):
@@ -209,6 +215,10 @@ def load_weights(
 
     weights = {
         "token_embed": _qtensor(gf, "token_embd.weight"),
+        # llama3.1-style per-frequency rope factors (divisors), if present
+        "rope_freqs": (
+            _dense_f32(gf, "rope_freqs.weight") if "rope_freqs.weight" in gf else None
+        ),
         "final_norm": _dense_f32(gf, "output_norm.weight"),
         "final_norm_b": _dense_f32(gf, "output_norm.bias") if arch == "phi2" else None,
         # gemma has no output.weight -> tied embeddings (model.rs:433-434)

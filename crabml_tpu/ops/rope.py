@@ -25,20 +25,30 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def rope_angles(positions, rope_dim: int, base: float = 10000.0):
-    """(…,) positions -> cos/sin of shape (…, rope_dim//2), f32."""
+def rope_angles(positions, rope_dim: int, base: float = 10000.0,
+                freq_factors=None, pos_scale: float = 1.0):
+    """(…,) positions -> cos/sin of shape (…, rope_dim//2), f32.
+
+    `freq_factors`: optional (rope_dim//2,) per-frequency DIVISORS — the
+    llama3.1 `rope_freqs.weight` tensor (llama.cpp ggml_rope_ext
+    freq_factors semantics). `pos_scale`: positions multiply by this
+    (1/factor for "linear" rope scaling)."""
     i = jnp.arange(rope_dim // 2, dtype=jnp.float32)
     inv_freq = jnp.float32(base) ** (-2.0 * i / jnp.float32(rope_dim))
-    theta = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., rd/2)
+    if freq_factors is not None:
+        inv_freq = inv_freq / freq_factors.astype(jnp.float32)
+    pos = positions.astype(jnp.float32) * jnp.float32(pos_scale)
+    theta = pos[..., None] * inv_freq  # (..., rd/2)
     return jnp.cos(theta), jnp.sin(theta)
 
 
-def apply_rope(x, positions, rope_dim: int, mode: str, base: float = 10000.0):
+def apply_rope(x, positions, rope_dim: int, mode: str, base: float = 10000.0,
+               freq_factors=None, pos_scale: float = 1.0):
     """x: (B, T, H, head_dim); positions: (B, T) absolute positions."""
     head_dim = x.shape[-1]
     dt = x.dtype
     xf = x.astype(jnp.float32)
-    cos, sin = rope_angles(positions, rope_dim, base)
+    cos, sin = rope_angles(positions, rope_dim, base, freq_factors, pos_scale)
     cos = cos[:, :, None, :]  # (B, T, 1, rd/2)
     sin = sin[:, :, None, :]
 

@@ -11,6 +11,7 @@ prefill / generate / prefill_and_generate — but TPU-shaped:
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -41,6 +42,7 @@ class Runner:
         seed: int = 0,
         backend: str | None = None,
         scale_dtype=None,
+        weight_cache: bool | None = None,
     ):
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg: ModelConfig = config_from_gguf(gf.metadata)
@@ -67,14 +69,37 @@ class Runner:
             if scale_dtype is None:
                 scale_dtype = "bf16" if compute_dtype == jnp.bfloat16 else "f32"
             sdt = "bf16" if scale_dtype in ("bf16", jnp.bfloat16) else np.float32
-            with self.metrics.track("load.repack"):
-                host_weights = load_weights(gf, self.cfg, layout, sdt)
-                if sharding is None:
-                    # QKV/gate-up fusion is single-device only (fused rows
-                    # would straddle q|k|v boundaries under row sharding)
-                    host_weights = fuse_weights(host_weights, self.cfg)
-                if backend in ("pallas", "w4a8"):
-                    host_weights = repack_weights(host_weights)  # stragglers
+            # repacked-plane disk cache: the repack of a multi-GB file costs
+            # ~80 s/7B on one core but is deterministic — warm starts load
+            # the planes straight from .npy mmaps (runtime.weight_cache).
+            # Default: on for files > 512 MB, single-device loads.
+            from . import weight_cache as _wc
+
+            if weight_cache is None:
+                weight_cache = (
+                    sharding is None
+                    and os.path.getsize(gf.path) > 512 * 1024 * 1024
+                )
+            wc_root = _wc.default_root() if weight_cache else None
+            wc_key = (
+                _wc.cache_key(gf.path, layout, str(sdt)) if weight_cache else None
+            )
+            host_weights = None
+            if weight_cache:
+                with self.metrics.track("load.cache_read"):
+                    host_weights = _wc.load(wc_root, wc_key)
+            if host_weights is None:
+                with self.metrics.track("load.repack"):
+                    host_weights = load_weights(gf, self.cfg, layout, sdt)
+                    if sharding is None:
+                        # QKV/gate-up fusion is single-device only (fused rows
+                        # would straddle q|k|v boundaries under row sharding)
+                        host_weights = fuse_weights(host_weights, self.cfg)
+                    if backend in ("pallas", "w4a8"):
+                        host_weights = repack_weights(host_weights)  # stragglers
+                if weight_cache:
+                    with self.metrics.track("load.cache_write"):
+                        _wc.save(wc_root, wc_key, host_weights)
             if sharding is not None:
                 from ..parallel.tp import make_tp_forward
 

@@ -41,19 +41,58 @@ def nucleus_filter(probs, topp):
     return jnp.where(~use | (probs >= cutoff), probs, 0.0)
 
 
-def sample_batch(logits, key, temperature, topp):
+def min_p_filter(probs, minp):
+    """llama.cpp-style min-p: drop tokens whose probability is below
+    minp * max_prob. `minp` scalar or (B,); 0 disables."""
+    minp = jnp.asarray(minp, jnp.float32)
+    m2 = minp if minp.ndim else minp[None]
+    cutoff = probs.max(axis=-1, keepdims=True) * m2[:, None]
+    use = (m2 > 0.0)[:, None]
+    return jnp.where(~use | (probs >= cutoff), probs, 0.0)
+
+
+def apply_repetition_penalty(logits, recent_tokens, penalty):
+    """HF/llama.cpp repetition penalty over `recent_tokens` (B, W) int32
+    (pad with -1): seen-token logits divide by `penalty` when positive,
+    multiply when negative. `penalty` scalar or (B,); 1.0 disables."""
+    penalty = jnp.asarray(penalty, jnp.float32)
+    p2 = (penalty if penalty.ndim else penalty[None])[:, None]
+    V = logits.shape[-1]
+    tok = jnp.where(recent_tokens >= 0, recent_tokens, 0)
+    seen = jnp.zeros(logits.shape, jnp.bool_)
+    # max-scatter: -1 padding (mapped to index 0) must never CLEAR a
+    # genuine sighting of token 0 written by another window entry
+    seen = jax.vmap(lambda s, t, valid: s.at[t].max(valid))(
+        seen, tok, recent_tokens >= 0
+    )
+    pen = jnp.where(logits > 0, logits / p2, logits * p2)
+    return jnp.where(seen & (p2 != 1.0), pen, logits)
+
+
+def sample_batch(logits, key, temperature, topp, minp=None, logit_bias=None,
+                 recent_tokens=None, repetition_penalty=None):
     """Vectorized per-sequence sampling for the serving engine.
 
-    logits: (B, V) f32; temperature/topp: (B,) f32 — a slot with
-    temperature 0 is greedy, others are temperature-softmax + nucleus.
-    Fully jittable with *traced* per-slot params (no recompile when a
-    request with different sampling settings lands in a slot).
+    logits: (B, V) f32; temperature/topp (and optional minp /
+    repetition_penalty): (B,) f32 — a slot with temperature 0 is greedy,
+    others are temperature-softmax + nucleus [+ min-p]. `logit_bias`:
+    (B, V) additive bias (sparse OpenAI-style biases scatter into it
+    host-side); `recent_tokens`: (B, W) int32 window for the repetition
+    penalty (-1 padding). Fully jittable with *traced* per-slot params
+    (no recompile when a request with different settings lands in a slot).
     """
+    if logit_bias is not None:
+        logits = logits + logit_bias
+    if recent_tokens is not None and repetition_penalty is not None:
+        logits = apply_repetition_penalty(logits, recent_tokens,
+                                          repetition_penalty)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     probs = jax.nn.softmax(logits / temp, axis=-1)
     filtered = nucleus_filter(probs, topp)
+    if minp is not None:
+        filtered = min_p_filter(filtered, minp)
 
     sampled = jax.random.categorical(key, jnp.log(filtered), axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)

@@ -78,12 +78,13 @@ def _prefill_slot(weights, cache: KVCache, tokens, slot, pos0, cfg, compute_dtyp
     static_argnames=("cfg", "compute_dtype", "attn_window"),
     donate_argnames=("cache",),
 )
-def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp, cfg,
-                 compute_dtype, attn_window=None):
+def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp,
+                 minp, recent, rep_pen, cfg, compute_dtype, attn_window=None):
     """One batched decode tick: forward all slots, sample per-slot."""
     logits, cache = forward(weights, cache, tokens[:, None], pos, cfg, compute_dtype,
                             attn_window=attn_window)
-    nxt = sample_batch(logits[:, 0], key, temp, topp)
+    nxt = sample_batch(logits[:, 0], key, temp, topp, minp=minp,
+                       recent_tokens=recent, repetition_penalty=rep_pen)
     return nxt, cache
 
 
@@ -92,24 +93,28 @@ def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp, cfg,
     static_argnames=("steps", "cfg", "compute_dtype", "attn_window"),
     donate_argnames=("cache",),
 )
-def _decode_scan(weights, cache, tokens, pos, key, temp, topp, steps, cfg,
-                 compute_dtype, attn_window=None):
+def _decode_scan(weights, cache, tokens, pos, key, temp, topp, minp, recent,
+                 rep_pen, steps, cfg, compute_dtype, attn_window=None):
     """`steps` decode ticks fused in one executable (multi-token ticks):
     on high-RTT links the per-dispatch round trip dominates single-token
     ticks, so batching ticks multiplies serving throughput. EOS/max_tokens
     are handled by the host afterwards (a slot that finishes mid-scan just
-    wastes its remaining lanes; its cache is overwritten on reuse)."""
+    wastes its remaining lanes; its cache is overwritten on reuse).
+    The repetition-penalty window `recent` shifts in-scan so tokens
+    generated earlier in the same tick are penalized too."""
 
     def body(carry, _):
-        cache, tok, p, key = carry
+        cache, tok, p, key, rec = carry
         key, sub = jax.random.split(key)
         logits, cache = forward(weights, cache, tok[:, None], p, cfg,
                                 compute_dtype, attn_window=attn_window)
-        nxt = sample_batch(logits[:, 0], sub, temp, topp)
-        return (cache, nxt, p + 1, key), nxt
+        nxt = sample_batch(logits[:, 0], sub, temp, topp, minp=minp,
+                           recent_tokens=rec, repetition_penalty=rep_pen)
+        rec = jnp.concatenate([rec[:, 1:], nxt[:, None]], axis=1)
+        return (cache, nxt, p + 1, key, rec), nxt
 
-    (cache, _, _, _), toks = jax.lax.scan(
-        body, (cache, tokens, pos, key), length=steps
+    (cache, _, _, _, _), toks = jax.lax.scan(
+        body, (cache, tokens, pos, key, recent), length=steps
     )
     return toks.T, cache  # (B, steps)
 
@@ -120,6 +125,8 @@ class Request:
     max_tokens: int = 256
     temperature: float = 0.0
     topp: float = 0.9
+    minp: float = 0.0  # min-p filter (0 = off)
+    repetition_penalty: float = 1.0  # llama.cpp repeat penalty (1 = off)
     stop_token_ids: tuple[int, ...] = ()
     stop: tuple[str, ...] = ()  # stop strings (merged across token pieces)
     request_id: int = field(default_factory=itertools.count().__next__)
@@ -138,6 +145,8 @@ class Request:
 
 
 class ServingEngine:
+    REPEAT_WINDOW = 64
+
     """Slot-pool continuous batching on one host (one chip or one TP mesh).
 
     Drive it either synchronously — `submit()` then `step()` until done, or
@@ -181,6 +190,11 @@ class ServingEngine:
         self.cur_tok = np.zeros(n_slots, np.int32)
         self.temp = np.zeros(n_slots, np.float32)
         self.topp = np.ones(n_slots, np.float32)
+        self.minp = np.zeros(n_slots, np.float32)
+        self.rep_pen = np.ones(n_slots, np.float32)
+        # repetition-penalty window (last REPEAT_WINDOW context tokens,
+        # -1 padded) — llama.cpp's repeat_last_n, default 64
+        self.recent = np.full((n_slots, self.REPEAT_WINDOW), -1, np.int32)
         self.pending: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
         self._key = jax.random.PRNGKey(seed)
         self._stop = threading.Event()
@@ -206,6 +220,9 @@ class ServingEngine:
         self.cache = self._make_cache()
         self.pos = np.zeros(self.n_slots, np.int32)
         self.cur_tok = np.zeros(self.n_slots, np.int32)
+        self.minp = np.zeros(self.n_slots, np.float32)
+        self.rep_pen = np.ones(self.n_slots, np.float32)
+        self.recent = np.full((self.n_slots, self.REPEAT_WINDOW), -1, np.int32)
         self._prefilling = {}
 
     def _make_cache(self):
@@ -281,16 +298,28 @@ class ServingEngine:
         self._prefill_complete(slot)
         req = self.slots[slot]
         self._key, sub = jax.random.split(self._key)
+        rec = np.full((1, self.REPEAT_WINDOW), -1, np.int32)
+        tail = self._trim_prompt(req)[-self.REPEAT_WINDOW:]
+        rec[0, -len(tail):] = tail
         first = sample_batch(
             logits[:, len(chunk) - 1],
             sub,
             jnp.asarray([req.temperature], jnp.float32),
             jnp.asarray([req.topp], jnp.float32),
+            minp=jnp.asarray([req.minp], jnp.float32),
+            recent_tokens=jnp.asarray(rec),
+            repetition_penalty=jnp.asarray([req.repetition_penalty], jnp.float32),
         )
         self.temp = self.temp.copy()
         self.topp = self.topp.copy()
+        self.minp = self.minp.copy()
+        self.rep_pen = self.rep_pen.copy()
+        self.recent = self.recent.copy()
         self.temp[slot] = req.temperature
         self.topp[slot] = req.topp
+        self.minp[slot] = req.minp
+        self.rep_pen[slot] = req.repetition_penalty
+        self.recent[slot] = rec[0]
         self._deliver(slot, int(first[0]))
 
     def _prefill_chunk_device(self, slot: int, chunk: list[int], filled: int):
@@ -337,19 +366,31 @@ class ServingEngine:
             self.compute_dtype,
         )
         self._key, sub = jax.random.split(self._key)
+        rec = np.full((1, self.REPEAT_WINDOW), -1, np.int32)
+        tail = toks[-self.REPEAT_WINDOW:]
+        rec[0, -len(tail):] = tail
         first = sample_batch(
             logits[:, len(toks) - 1],
             sub,
             jnp.asarray([req.temperature], jnp.float32),
             jnp.asarray([req.topp], jnp.float32),
+            minp=jnp.asarray([req.minp], jnp.float32),
+            recent_tokens=jnp.asarray(rec),
+            repetition_penalty=jnp.asarray([req.repetition_penalty], jnp.float32),
         )
         self.pos = self.pos.copy()
         self.cur_tok = self.cur_tok.copy()
         self.temp = self.temp.copy()
         self.topp = self.topp.copy()
+        self.minp = self.minp.copy()
+        self.rep_pen = self.rep_pen.copy()
+        self.recent = self.recent.copy()
         self.pos[slot] = len(toks)
         self.temp[slot] = req.temperature
         self.topp[slot] = req.topp
+        self.minp[slot] = req.minp
+        self.rep_pen[slot] = req.repetition_penalty
+        self.recent[slot] = rec[0]
         self._deliver(slot, int(first[0]))
 
     # -- the tick -----------------------------------------------------------
@@ -382,6 +423,8 @@ class ServingEngine:
                 self.weights, self.cache,
                 jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
                 jnp.asarray(self.temp), jnp.asarray(self.topp),
+                jnp.asarray(self.minp), jnp.asarray(self.recent),
+                jnp.asarray(self.rep_pen),
                 self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(nxt)[:, None]
@@ -390,6 +433,8 @@ class ServingEngine:
                 self.weights, self.cache,
                 jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
                 jnp.asarray(self.temp), jnp.asarray(self.topp),
+                jnp.asarray(self.minp), jnp.asarray(self.recent),
+                jnp.asarray(self.rep_pen),
                 multi, self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(toks)
@@ -443,6 +488,8 @@ class ServingEngine:
                 req._stream.put(piece)
         self.cur_tok = self.cur_tok.copy()
         self.cur_tok[slot] = token
+        self.recent = self.recent.copy()
+        self.recent[slot] = np.concatenate([self.recent[slot][1:], [token]])
         if pos_after is None:
             pos_after = int(self.pos[slot])
         if len(req.output_tokens) >= req.max_tokens:
@@ -465,6 +512,12 @@ class ServingEngine:
         self.temp[slot] = 0.0
         self.topp = self.topp.copy()
         self.topp[slot] = 1.0
+        self.minp = self.minp.copy()
+        self.minp[slot] = 0.0
+        self.rep_pen = self.rep_pen.copy()
+        self.rep_pen[slot] = 1.0
+        self.recent = self.recent.copy()
+        self.recent[slot] = -1
 
     # -- convenience drivers --------------------------------------------------
 

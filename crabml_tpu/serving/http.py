@@ -2,7 +2,7 @@
 
 Stdlib-only (http.server): POST /v1/completions with
   {"prompt": str, "max_tokens": int, "temperature": float, "top_p": float,
-   "stream": bool}
+   "min_p": float, "repetition_penalty": float, "stop": [...], "stream": bool}
 -> {"id", "choices": [{"text", "finish_reason"}], "usage": {...}}, or
 chunked text/event-stream when "stream" is true. GET /health reports slot
 occupancy. The engine loop runs on a dedicated thread; handler threads only
@@ -81,6 +81,10 @@ def make_handler(engine: ServingEngine):
                     max_tokens=int(payload.get("max_tokens", 256)),
                     temperature=float(payload.get("temperature", 0.0)),
                     topp=float(payload.get("top_p", 0.9)),
+                    minp=float(payload.get("min_p", 0.0)),
+                    repetition_penalty=float(
+                        payload.get("repetition_penalty", 1.0)
+                    ),
                     stop=tuple(s for s in stop if s),
                 )
             except (ValueError, json.JSONDecodeError) as e:

@@ -89,7 +89,7 @@ def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale):
     donate_argnames=("cache",),
 )
 def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
-                      cfg, compute_dtype):
+                      minp, recent, rep_pen, cfg, compute_dtype):
     """One decode tick over the page pool. tokens/pos: (B,)."""
     from ..ops.matmul import embedding_lookup
 
@@ -154,7 +154,8 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     logits = qmatmul(x, out_w, compute_dtype)[:, 0].astype(jnp.float32)
-    nxt = sample_batch(logits, key, temp, topp)
+    nxt = sample_batch(logits, key, temp, topp, minp=minp,
+                       recent_tokens=recent, repetition_penalty=rep_pen)
     return nxt, PagedKVCache(k_new, v_new, cache.table)
 
 
@@ -184,21 +185,22 @@ def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages,
     donate_argnames=("cache",),
 )
 def paged_decode_scan(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
-                      steps, cfg, compute_dtype):
+                      minp, recent, rep_pen, steps, cfg, compute_dtype):
     """`steps` paged decode ticks fused in one executable (multi-token
     ticks). The engine pre-allocates every page the scan can touch
     (ceil((pos+steps)/PAGE) per slot) before dispatch, so the in-scan
     table lookups always hit owned pages."""
 
     def body(carry, _):
-        cache, tok, p, key = carry
+        cache, tok, p, key, rec = carry
         key, sub = jax.random.split(key)
         nxt, cache = paged_decode_step(weights, cache, tok, p, sub, temp, topp,
-                                       cfg, compute_dtype)
-        return (cache, nxt, p + 1, key), nxt
+                                       minp, rec, rep_pen, cfg, compute_dtype)
+        rec = jnp.concatenate([rec[:, 1:], nxt[:, None]], axis=1)
+        return (cache, nxt, p + 1, key, rec), nxt
 
-    (cache, _, _, _), toks = jax.lax.scan(
-        body, (cache, tokens, pos, key), length=steps
+    (cache, _, _, _, _), toks = jax.lax.scan(
+        body, (cache, tokens, pos, key, recent), length=steps
     )
     return toks.T, cache
 
@@ -397,6 +399,8 @@ class PagedServingEngine(ServingEngine):
             self.weights, self.cache,
             jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
             jnp.asarray(self.temp), jnp.asarray(self.topp),
+            jnp.asarray(self.minp), jnp.asarray(self.recent),
+            jnp.asarray(self.rep_pen),
         )
         if multi == 1:
             nxt, self.cache = paged_decode_step(

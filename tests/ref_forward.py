@@ -34,6 +34,12 @@ def load_dense(path):
         n_kv_heads=md.get_int(f"{a}.attention.head_count_kv"),
         eps=md.get_float(eps_key, 1e-5),
         rope_dim=md.get_int(f"{a}.rope.dimension_count"),
+        head_dim=md.get_int(f"{a}.attention.key_length", 0) or None,
+        rope_scaling_type=md.get_str(f"{a}.rope.scaling.type", ""),
+        rope_scaling_factor=md.get_float(f"{a}.rope.scaling.factor", 0.0),
+        attn_softcap=md.get_float(f"{a}.attn_logit_softcapping", 0.0),
+        final_softcap=md.get_float(f"{a}.final_logit_softcapping", 0.0),
+        sliding_window=md.get_int(f"{a}.attention.sliding_window", 0),
     )
     return w, cfg
 
@@ -42,28 +48,34 @@ def rms_norm(x, w, eps):
     return x / np.sqrt((x * x).mean() + eps) * w
 
 
-def rope_llama_inplace(v, pos, head_dim, rope_dim):
-    # iterative theta, adjacent pairs (rope.rs:47-63)
-    theta_scale = np.float32(10000.0) ** np.float32(-2.0 / rope_dim)
+def rope_llama_inplace(v, pos, head_dim, rope_dim, freq_factors=None,
+                       pos_scale=1.0):
+    # adjacent pairs (rope.rs:47-63); optional per-frequency divisors
+    # (llama3.1 rope_freqs) + linear position scaling
     for h in range(v.shape[0]):
-        theta = np.float32(pos)
-        for i in range(0, rope_dim, 2):
+        for j, i in enumerate(range(0, rope_dim, 2)):
+            inv = np.float32(10000.0) ** np.float32(-2.0 * j / rope_dim)
+            if freq_factors is not None:
+                inv = inv / np.float32(freq_factors[j])
+            theta = np.float32(pos) * np.float32(pos_scale) * inv
             c, s = np.cos(theta), np.sin(theta)
-            theta = theta * theta_scale
             x0, x1 = v[h, i], v[h, i + 1]
             v[h, i] = x0 * c - x1 * s
             v[h, i + 1] = x0 * s + x1 * c
 
 
-def rope_neox_inplace(v, pos, head_dim, rope_dim):
-    # split halves: pairs (i, i + rope_dim/2) (rope.rs:65-81)
-    theta_scale = np.float32(10000.0) ** np.float32(-2.0 / rope_dim)
+def rope_neox_inplace(v, pos, head_dim, rope_dim, freq_factors=None,
+                      pos_scale=1.0):
+    # split halves: pairs (i, i + rope_dim/2) (rope.rs:65-81); optional
+    # per-frequency divisors (llama3.1 rope_freqs) + linear position scale
     half = rope_dim // 2
     for h in range(v.shape[0]):
-        theta = np.float32(pos)
         for i in range(half):
+            inv = np.float32(10000.0) ** np.float32(-2.0 * i / rope_dim)
+            if freq_factors is not None:
+                inv = inv / np.float32(freq_factors[i])
+            theta = np.float32(pos) * np.float32(pos_scale) * inv
             c, s = np.cos(theta), np.sin(theta)
-            theta = theta * theta_scale
             x0, x1 = v[h, i], v[h, i + half]
             v[h, i] = x0 * c - x1 * s
             v[h, i + half] = x0 * s + x1 * c
@@ -93,12 +105,18 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
     arch = cfg.get("arch", "llama")
     dim = cfg["dim"]
     H, KV = cfg["n_heads"], cfg["n_kv_heads"]
-    hd = dim // H
+    hd = cfg.get("head_dim") or dim // H
     kv_dim = KV * hd
     G = H // KV
     rope = rope_llama_inplace if arch == "llama" else rope_neox_inplace
+    freq_factors = w.get("rope_freqs.weight")
+    pos_scale = 1.0
+    if cfg.get("rope_scaling_type") == "linear" and cfg.get("rope_scaling_factor"):
+        pos_scale = 1.0 / cfg["rope_scaling_factor"]
+    attn_cap = cfg.get("attn_softcap", 0.0)
+    win = cfg.get("sliding_window", 0)
     x = w["token_embd.weight"][token].astype(np.float32).copy()
-    if arch == "gemma":  # embed scaling (llama2.rs:464-466)
+    if arch in ("gemma", "gemma2"):  # embed scaling (llama2.rs:464-466)
         x = x * np.sqrt(np.float32(dim))
 
     for l in range(cfg["n_layers"]):
@@ -121,20 +139,34 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
                 v = v + w[f"blk.{l}.attn_v.bias"]
         q = q.reshape(H, hd)
         k = k.reshape(KV, hd)
-        rope(q, pos, hd, cfg["rope_dim"] or hd)
-        rope(k, pos, hd, cfg["rope_dim"] or hd)
+        if arch == "qwen3":  # per-head q/k RMS norms before rope
+            for head in range(H):
+                q[head] = rms_norm(q[head], w[f"blk.{l}.attn_q_norm.weight"], cfg["eps"])
+            for head in range(KV):
+                k[head] = rms_norm(k[head], w[f"blk.{l}.attn_k_norm.weight"], cfg["eps"])
+        rope(q, pos, hd, cfg["rope_dim"] or hd, freq_factors, pos_scale)
+        rope(k, pos, hd, cfg["rope_dim"] or hd, freq_factors, pos_scale)
         k_caches[l].append(k.copy())
         v_caches[l].append(v.reshape(KV, hd).copy())
 
         ks = np.stack(k_caches[l])  # (S, KV, hd)
         vs = np.stack(v_caches[l])
+        S = ks.shape[0]
+        is_local = win and (l % 2 == 0)  # gemma2: even layers sliding-window
         out = np.zeros((H, hd), np.float32)
         for head in range(H):
             kv_head = head // G
             scores = ks[:, kv_head] @ q[head] / np.sqrt(hd)
+            if attn_cap:
+                scores = attn_cap * np.tanh(scores / attn_cap)
+            if is_local:
+                cols = np.arange(S)
+                scores = np.where(cols > pos - win, scores, -1e30)
             probs = softmax(scores)
             out[head] = probs @ vs[:, kv_head]
-        attn = w[f"blk.{l}.attn_output.weight"] @ out.reshape(dim)
+        attn = w[f"blk.{l}.attn_output.weight"] @ out.reshape(H * hd)
+        if arch == "gemma2":
+            attn = rms_norm(attn, w[f"blk.{l}.post_attention_norm.weight"], cfg["eps"])
         if arch == "phi2":
             attn = attn + w[f"blk.{l}.attn_output.bias"]
             # parallel residual: ffn reads the attn-normed input (llama2.rs:420-436)
@@ -148,15 +180,22 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
         h = rms_norm(x, w[f"blk.{l}.ffn_norm.weight"], cfg["eps"])
         gate = w[f"blk.{l}.ffn_gate.weight"] @ h
         up = w[f"blk.{l}.ffn_up.weight"] @ h
-        act = gelu(gate) if arch == "gemma" else gate / (1.0 + np.exp(-gate))
-        x = res + w[f"blk.{l}.ffn_down.weight"] @ (act * up)
+        act = gelu(gate) if arch in ("gemma", "gemma2") else gate / (1.0 + np.exp(-gate))
+        down = w[f"blk.{l}.ffn_down.weight"] @ (act * up)
+        if arch == "gemma2":
+            down = rms_norm(down, w[f"blk.{l}.post_ffw_norm.weight"], cfg["eps"])
+        x = res + down
 
     if arch == "phi2":
         x = rms_norm_bias(x, w["output_norm.weight"], w["output_norm.bias"], cfg["eps"])
     else:
         x = rms_norm(x, w["output_norm.weight"], cfg["eps"])
     out_w = w["output.weight"] if "output.weight" in w else w["token_embd.weight"]
-    return out_w @ x
+    logits = out_w @ x
+    fcap = cfg.get("final_softcap", 0.0)
+    if fcap:
+        logits = fcap * np.tanh(logits / fcap)
+    return logits
 
 
 def run_tokens(path, tokens):

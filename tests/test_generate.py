@@ -124,3 +124,59 @@ def test_overlong_prompt_keeps_tail(stories260k_path):
     assert pos <= 31
     out = "".join(r.generate(tok, steps=4))
     assert isinstance(out, str)
+
+
+def test_min_p_filter_semantics():
+    """min-p drops tokens below minp * max_prob; 0 disables."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from crabml_tpu.runtime.sampler import min_p_filter
+
+    probs = jnp.asarray([[0.5, 0.3, 0.15, 0.05]])
+    out = np.asarray(min_p_filter(probs, jnp.asarray([0.4])))
+    np.testing.assert_allclose(out[0], [0.5, 0.3, 0.0, 0.0], atol=1e-7)
+    out0 = np.asarray(min_p_filter(probs, jnp.asarray([0.0])))
+    np.testing.assert_allclose(out0[0], np.asarray(probs)[0])
+
+
+def test_repetition_penalty_semantics():
+    """Seen-token logits divide by the penalty (positive) / multiply
+    (negative); unseen and penalty=1 slots untouched."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from crabml_tpu.runtime.sampler import apply_repetition_penalty
+
+    logits = jnp.asarray([[2.0, -1.0, 3.0, 0.5]])
+    recent = jnp.asarray([[0, 1, -1, -1]], jnp.int32)  # tokens 0 and 1 seen
+    out = np.asarray(apply_repetition_penalty(logits, recent, jnp.asarray([2.0])))
+    np.testing.assert_allclose(out[0], [1.0, -2.0, 3.0, 0.5], atol=1e-6)
+    # penalty 1.0 is identity
+    out1 = np.asarray(apply_repetition_penalty(logits, recent, jnp.asarray([1.0])))
+    np.testing.assert_allclose(out1[0], np.asarray(logits)[0])
+
+
+def test_repetition_penalty_prevents_loops(stories260k_path):
+    """End-to-end: with a high repetition penalty the engine's sampled
+    output contains fewer repeated tokens than without."""
+    import numpy as np
+
+    from crabml_tpu.runtime.runner import Runner
+    from crabml_tpu.serving import Request, ServingEngine
+
+    r = Runner(stories260k_path, seq_len=96)
+    eng = ServingEngine(r, n_slots=1, seq_len=96)
+    base = eng.submit(Request(prompt="One day", max_tokens=24,
+                              temperature=0.0))
+    eng.drain(max_steps=200)
+    pen = eng.submit(Request(prompt="One day", max_tokens=24,
+                             temperature=0.0, repetition_penalty=1.8))
+    eng.drain(max_steps=200)
+
+    def repeats(toks):
+        return len(toks) - len(set(toks))
+
+    assert base.done and pen.done
+    assert repeats(pen.output_tokens) <= repeats(base.output_tokens)
+    assert pen.output_tokens != base.output_tokens  # the penalty did bite

@@ -177,11 +177,30 @@ def test_named_probes_cross_backend(tmp_path):
     )
 
 
-@pytest.mark.parametrize("arch", ["llama", "gemma", "qwen2", "phi2"])
-def test_all_archs_match_numpy_reference(arch, tmp_path):
+# per-arch config extras for the differential sweep; the last three go
+# BEYOND the reference's four architectures (it stops at phi2):
+# qwen3 = decoupled head_dim + qk norms; gemma2 = post-norms, softcaps,
+# alternating sliding window; llama31 = llama + rope_freqs scaling tensor
+ARCH_SWEEP = {
+    "llama": {},
+    "gemma": {},
+    "qwen2": {},
+    "phi2": {},
+    "qwen3": dict(head_dim_override=24),
+    "gemma2": dict(attn_logit_softcap=50.0, final_logit_softcap=30.0,
+                   sliding_window=3),
+    "llama31": dict(rope_scaling_type="rope_freqs"),
+    "llama-linear-rope": dict(rope_scaling_type="linear",
+                              rope_scaling_factor=4.0),
+}
+
+
+@pytest.mark.parametrize("variant", list(ARCH_SWEEP))
+def test_all_archs_match_numpy_reference(variant, tmp_path):
     """Differential test per architecture: jitted batched forward vs the
     independent token-at-a-time numpy reference (mirrors the reference's
-    four forwards, llama2.rs:213-524)."""
+    four forwards, llama2.rs:213-524, plus qwen3/gemma2/llama3.1-scaling
+    which the reference cannot load at all)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -194,13 +213,15 @@ def test_all_archs_match_numpy_reference(arch, tmp_path):
 
     from ref_forward import run_tokens
 
+    arch = {"llama31": "llama", "llama-linear-rope": "llama"}.get(variant, variant)
     cfg = ModelConfig(
-        architecture=arch, model_name=f"syn-{arch}",
+        architecture=arch, model_name=f"syn-{variant}",
         embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
         vocab_size=512, seq_len=64, rms_norm_eps=1e-5,
         **ARCH_FEATURES[arch],
+        **ARCH_SWEEP[variant],
     )
-    path = str(tmp_path / f"{arch}.gguf")
+    path = str(tmp_path / f"{variant}.gguf")
     write_synthetic_gguf(path, cfg, GGMLType.F32, seed=17)
 
     tokens = [1, 7, 42, 99, 5]
@@ -209,7 +230,13 @@ def test_all_archs_match_numpy_reference(arch, tmp_path):
     gf = GGUFFile(path)
     lcfg = config_from_gguf(gf.metadata)
     assert lcfg.architecture == arch
+    if variant == "qwen3":
+        assert lcfg.head_dim == 24  # decoupled from dim // n_heads == 16
+    if variant == "gemma2":
+        assert lcfg.attn_logit_softcap == 50.0 and lcfg.sliding_window == 3
     w = load_weights(gf, lcfg)
+    if variant == "llama31":
+        assert w["rope_freqs"] is not None
     cache = KVCache.create(lcfg, 1, 16)
     logits, _ = forward(
         w, cache, jnp.asarray([tokens], jnp.int32), jnp.zeros(1, jnp.int32), lcfg
@@ -272,3 +299,51 @@ def test_partial_rotary_matches_numpy_reference(tmp_path):
         w, cache, jnp.asarray([tokens], jnp.int32), jnp.zeros(1, jnp.int32), lcfg
     )
     np.testing.assert_allclose(np.asarray(logits[0, -1]), want, rtol=2e-4, atol=2e-4)
+
+
+def test_weight_cache_roundtrip(tmp_path):
+    """Repacked-plane disk cache: cached load == fresh load, plane-exact,
+    and generation from a cache-loaded Runner matches."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.synthetic import tiny_config, write_synthetic_gguf
+    from crabml_tpu.runtime import weight_cache as wc
+    from crabml_tpu.runtime.runner import Runner
+
+    cfg = tiny_config(
+        embedding_dim=512, hidden_dim=512, n_layers=2, n_heads=8, n_kv_heads=4,
+        vocab_size=512, seq_len=256,
+    )
+    path = str(tmp_path / "wcache.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.Q4_K, seed=11)
+
+    import os
+    os.environ["CRABML_WEIGHT_CACHE"] = str(tmp_path / "wcroot")
+    try:
+        r1 = Runner(path, seq_len=64, backend="pallas",
+                    compute_dtype=jnp.bfloat16, weight_cache=True)
+        out1 = "".join(r1.prefill_and_generate("hello", steps=6))
+        assert r1.metrics.times_ns.get("load.cache_write", 0) > 0
+
+        r2 = Runner(path, seq_len=64, backend="pallas",
+                    compute_dtype=jnp.bfloat16, weight_cache=True)
+        out2 = "".join(r2.prefill_and_generate("hello", steps=6))
+        assert r2.metrics.times_ns.get("load.repack", 0) == 0  # cache hit
+        assert out1 == out2
+
+        def planes(w):
+            out = {}
+            for name, v in w["layers"].items():
+                if hasattr(v, "planes"):
+                    for pn, p in v.planes.items():
+                        out[f"{name}.{pn}"] = np.asarray(p)
+            return out
+
+        p1, p2 = planes(r1.weights), planes(r2.weights)
+        assert set(p1) == set(p2)
+        for k in p1:
+            np.testing.assert_array_equal(p1[k].view(np.uint8), p2[k].view(np.uint8), err_msg=k)
+    finally:
+        del os.environ["CRABML_WEIGHT_CACHE"]
