@@ -184,8 +184,8 @@ def _qmm_kernel(*refs, scheme: _Scheme, out_dtype, n_qplanes, tk: int, stacked: 
 def _qmm_w4a8_kernel(*refs, scheme: _Scheme, n_qplanes, tk: int, stacked: bool):
     refs = refs[1:] if stacked else refs
     xq_ref = refs[0]  # (B, tk) int8
-    dx_ref = refs[1]  # (B, G) f32 activation scales for this k step
-    sx_ref = refs[2]  # (B, G) f32 dx * sum(xq) per group
+    dx_ref = refs[1]  # (1, B, 128) f32 activation scales, lanes 0..G-1 live
+    sx_ref = refs[2]  # (1, B, 128) f32 dx * sum(xq) per group
     qrefs = refs[3 : 3 + n_qplanes]
     dsub_ref = refs[3 + n_qplanes]
     msub_ref = refs[4 + n_qplanes] if scheme.has_min else None
@@ -225,8 +225,8 @@ def _qmm_w4a8_kernel(*refs, scheme: _Scheme, n_qplanes, tk: int, stacked: bool):
     xq = xq_ref[:].astype(jnp.int8)
     dsub = _sq2(dsub_ref).astype(jnp.float32)  # (G, TM)
     msub = _sq2(msub_ref).astype(jnp.float32) if msub_ref is not None else None
-    dx = dx_ref[:]  # (B, G)
-    sx = sx_ref[:]  # (B, G)
+    dx = _sq2(dx_ref)  # (B, 128): lane g = group g's scale
+    sx = _sq2(sx_ref)
 
     acc = o_ref[:]
     for g in range(G):
@@ -245,17 +245,27 @@ def _qmm_w4a8_kernel(*refs, scheme: _Scheme, n_qplanes, tk: int, stacked: bool):
     o_ref[:] = acc
 
 
-def quantize_activation(x2, gr: int):
+def quantize_activation(x2, gr: int, tk: int):
     """Per-(row, gr-group) symmetric int8 activation quantization.
-    x2: (B, K) -> (xq int8 (B, K), dx f32 (B, K/gr), sx f32 (B, K/gr))."""
+
+    x2: (B, K) -> (xq int8 (B, K), dx f32 (S, B, 128), sx f32 (S, B, 128))
+    with S = K//tk k-steps; scale lane g holds group g of that step
+    (zero-padded to the 128-lane tile so Mosaic block shapes stay legal)."""
     B, K = x2.shape
+    G = tk // gr
+    S = K // tk
     xg = x2.astype(jnp.float32).reshape(B, K // gr, gr)
     amax = jnp.max(jnp.abs(xg), axis=-1)
     dx = amax / 127.0
     inv = jnp.where(dx > 0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
     xq = jnp.clip(jnp.round(xg * inv[..., None]), -127, 127).astype(jnp.int8)
     sx = dx * xq.astype(jnp.float32).sum(-1)  # ≈ sum(x) per group (bsums)
-    return xq.reshape(B, K), dx, sx
+
+    def lanes(a):  # (B, K/gr) -> (S, B, 128)
+        a = a.reshape(B, S, G).transpose(1, 0, 2)
+        return jnp.pad(a, ((0, 0), (0, 0), (0, 128 - G)))
+
+    return xq.reshape(B, K), lanes(dx), lanes(sx)
 
 
 # ---------------------------------------------------------------------------
@@ -418,14 +428,24 @@ def _run(kind: GGMLType, m: int, tk: int, out_dtype, stacked: bool, x2, layer, *
     grid = (B // TB, m // TM, kpad // tk)
     G = tk // s.gr
     n_qplanes = len(s.planes)
+    MT = m // TM
+
+    # stacked (layer-scanned) planes FOLD the leading L dim into the m-tile
+    # axis (free reshape: (L, MT, ...) -> (L*MT, ...)) so the block specs
+    # are byte-identical to the unstacked kernel's — the earlier
+    # rank-raising layout ((1, 1, rows, TM) blocks) streamed ~15% slower
+    # through Mosaic than the rank-3 blocks (188 vs 225 GB/s measured).
+    if stacked:
+        planes = tuple(p.reshape((-1,) + tuple(p.shape[2:])) for p in planes)
 
     def vspec(core_shape, core_imap):
         if stacked:
-            shape = (1,) + core_shape
-            imap = lambda b, i, j, l_ref: (l_ref[0],) + core_imap(b, i, j)
+            # same rank as unstacked; the prefetched layer scalar offsets
+            # the m-tile index
+            imap = lambda b, i, j, l_ref: core_imap(b, l_ref[0] * MT + i, j)
         else:
-            shape, imap = core_shape, core_imap
-        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+            imap = core_imap
+        return pl.BlockSpec(core_shape, imap, memory_space=pltpu.VMEM)
 
     def xspec():
         if stacked:
@@ -469,14 +489,17 @@ def _run_w4a8(kind: GGMLType, m: int, tk: int, stacked: bool, xq, dx, sx,
     grid = (B // TB, m // TM, kpad // tk)
     G = tk // s.gr
     n_qplanes = len(s.planes)
+    MT = m // TM
+
+    if stacked:  # fold L into the m-tile axis (see _run)
+        planes = tuple(p.reshape((-1,) + tuple(p.shape[2:])) for p in planes)
 
     def vspec(core_shape, core_imap):
         if stacked:
-            shape = (1,) + core_shape
-            imap = lambda b, i, j, l_ref: (l_ref[0],) + core_imap(b, i, j)
+            imap = lambda b, i, j, l_ref: core_imap(b, l_ref[0] * MT + i, j)
         else:
-            shape, imap = core_shape, core_imap
-        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+            imap = core_imap
+        return pl.BlockSpec(core_shape, imap, memory_space=pltpu.VMEM)
 
     def flat(core_shape, core_imap):
         if stacked:
@@ -487,8 +510,8 @@ def _run_w4a8(kind: GGMLType, m: int, tk: int, stacked: bool, xq, dx, sx,
 
     in_specs = [
         flat((TB, tk), lambda b, i, j: (b, j)),       # xq
-        flat((TB, G), lambda b, i, j: (b, j)),        # dx
-        flat((TB, G), lambda b, i, j: (b, j)),        # sx
+        flat((1, TB, 128), lambda b, i, j: (j, b, 0)),  # dx (lane-aligned)
+        flat((1, TB, 128), lambda b, i, j: (j, b, 0)),  # sx
     ]
     for pbits in s.planes:
         rows = tk if pbits == 8 else tk // (8 // pbits)
@@ -594,7 +617,7 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None,
     qplanes = [p[f"q{i}"] for i in range(len(s.planes))]
     splanes = [p["dsub"]] + ([p["msub"]] if s.has_min else [])
     if act_quant:
-        xq, dx, sx = quantize_activation(x2, s.gr)
+        xq, dx, sx = quantize_activation(x2, s.gr, tk)
         out = _run_w4a8(kind, m, tk, stacked, xq, dx, sx,
                         layer if stacked else 0, *qplanes, *splanes)
     else:
