@@ -83,6 +83,9 @@ class ModelConfig:
     # the rope_freqs.weight tensor; "linear" divides positions by `factor`
     rope_scaling_type: str = "none"  # none | linear (yarn: not yet)
     rope_scaling_factor: float = 1.0
+    # mixture-of-experts (mixtral: llama arch + expert metadata)
+    n_experts: int = 0  # 0 = dense FFN
+    n_experts_used: int = 2  # top-k routing
     # gemma2 softcaps (0 = off) + sliding window width
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
@@ -144,6 +147,11 @@ def config_from_gguf(metadata) -> ModelConfig:
     win = metadata.get_int(f"{p}.attention.sliding_window", 0)
     if win:
         extra["sliding_window"] = win
+    # mixtral MoE: llama arch + expert counts
+    n_exp = metadata.get_int(f"{p}.expert_count", 0)
+    if n_exp:
+        extra["n_experts"] = n_exp
+        extra["n_experts_used"] = metadata.get_int(f"{p}.expert_used_count", 2)
 
     return ModelConfig(
         architecture=arch,

@@ -123,10 +123,62 @@ def project_qkv(lw, l, h, cfg, compute_dtype):
     return q, k, v
 
 
+def _slice_expert(qt: QTensor, e: int, rows_per_expert: int) -> QTensor:
+    """Static row-slice of expert `e` out of stacked expert planes.
+
+    Works for both canonical planar (m on plane axis 1 after the L axis)
+    and kernel layouts (m tiled: MT axis 1) — expert boundaries stay tile-
+    aligned because rows_per_expert % TM == 0 is checked by the caller."""
+    L, m, k = qt.shape
+    from ..ops.pallas.gemm_quant import TM, is_repacked
+
+    if is_repacked(qt):
+        mt_per = rows_per_expert // TM
+        planes = {n: p[:, e * mt_per : (e + 1) * mt_per] for n, p in qt.planes.items()}
+    else:
+        planes = {
+            n: p[:, e * rows_per_expert : (e + 1) * rows_per_expert]
+            for n, p in qt.planes.items()
+        }
+    return QTensor(qt.kind, (L, rows_per_expert, k), planes)
+
+
+def moe_ffn(lw, l, ffn_in, cfg, compute_dtype):
+    """Mixtral-style MoE FFN: softmax(top-k) routing over n_experts
+    SiLU-gated experts (the reference has no MoE at all; semantics follow
+    llama.cpp's build_moe_ffn). All experts compute and mix by routing
+    weight — correct and jit-static; the top-k-gather decode optimization
+    is future work (ROADMAP)."""
+    E, K = cfg.n_experts, cfg.n_experts_used
+    HD, D = cfg.hidden_dim, cfg.embedding_dim
+    router_w = jnp.asarray(lw["ffn_gate_inp"])[l].astype(compute_dtype)  # (E, D)
+    r_logits = (ffn_in @ router_w.T).astype(jnp.float32)  # (..., E)
+    topv, topi = jax.lax.top_k(r_logits, K)
+    topw = jax.nn.softmax(topv, axis=-1)  # normalize over the selected k
+    route = (jax.nn.one_hot(topi, E, dtype=jnp.float32) * topw[..., None]).sum(-2)
+
+    # gate/up for ALL experts in one fused call each: (..., E*HD)
+    gate = qmatmul(ffn_in, lw["ffn_gate_exps"], compute_dtype, layer=l)
+    up = qmatmul(ffn_in, lw["ffn_up_exps"], compute_dtype, layer=l)
+    gshape = gate.shape[:-1] + (E, HD)
+    h = _activation(gate.reshape(gshape), cfg.act) * up.reshape(gshape)
+
+    out = None
+    for e in range(E):  # static unroll; down_e is a static plane slice
+        de = _slice_expert(lw["ffn_down_exps"], e, D)
+        ye = qmatmul(h[..., e, :], de, compute_dtype, layer=l)
+        ye = ye * route[..., e : e + 1].astype(ye.dtype)
+        out = ye if out is None else out + ye
+    return out
+
+
 def project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=None):
-    """FFN of layer l: gated (llama/gemma/qwen2), fused gate|up, or the
-    phi2 gateless+bias variant. `down_proj` overrides the down matmul
-    (the TP path injects its psum/overlap there); default is plain."""
+    """FFN of layer l: gated (llama/gemma/qwen2), fused gate|up, the
+    phi2 gateless+bias variant, or MoE routing (mixtral). `down_proj`
+    overrides the down matmul (the TP path injects its psum/overlap
+    there); default is plain."""
+    if cfg.n_experts:
+        return moe_ffn(lw, l, ffn_in, cfg, compute_dtype)
 
     def arr(name):
         return jnp.asarray(lw[name])[l].astype(compute_dtype)

@@ -120,6 +120,9 @@ def write_synthetic_gguf(
         else f"{a}.attention.layer_norm_rms_epsilon"
     )
     w.add_metadata(eps_key, cfg.rms_norm_eps)
+    if cfg.n_experts:
+        w.add_metadata(f"{a}.expert_count", cfg.n_experts)
+        w.add_metadata(f"{a}.expert_used_count", cfg.n_experts_used)
     if cfg.rope_dim:
         w.add_metadata(f"{a}.rope.dimension_count", cfg.rope_dim)
     if cfg.head_dim_override:
@@ -171,9 +174,16 @@ def write_synthetic_gguf(
             t(f"blk.{l}.attn_q_norm.weight", (hd,), GGMLType.F32, 1.0)
             t(f"blk.{l}.attn_k_norm.weight", (hd,), GGMLType.F32, 1.0)
         t(f"blk.{l}.attn_output.weight", (D, q_out))
-        t(f"blk.{l}.ffn_gate.weight", (HD, D))
-        t(f"blk.{l}.ffn_down.weight", (D, HD))
-        t(f"blk.{l}.ffn_up.weight", (HD, D))
+        if cfg.n_experts:  # mixtral MoE: router + 3D expert tensors
+            E = cfg.n_experts
+            t(f"blk.{l}.ffn_gate_inp.weight", (E, D), GGMLType.F32)
+            t(f"blk.{l}.ffn_gate_exps.weight", (E, HD, D))
+            t(f"blk.{l}.ffn_up_exps.weight", (E, HD, D))
+            t(f"blk.{l}.ffn_down_exps.weight", (E, D, HD))
+        else:
+            t(f"blk.{l}.ffn_gate.weight", (HD, D))
+            t(f"blk.{l}.ffn_down.weight", (D, HD))
+            t(f"blk.{l}.ffn_up.weight", (HD, D))
         t(f"blk.{l}.attn_norm.weight", (D,), GGMLType.F32, 1.0)
         t(f"blk.{l}.ffn_norm.weight", (D,), GGMLType.F32, 1.0)
         if a == "gemma2":

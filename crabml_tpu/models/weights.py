@@ -169,9 +169,15 @@ def load_weights(
         layers["wk"] = stack_q("blk.{}.attn_k.weight")
         layers["wv"] = stack_q("blk.{}.attn_v.weight")
         layers["wo"] = stack_q("blk.{}.attn_output.weight")
-        layers["ffn_gate"] = stack_q("blk.{}.ffn_gate.weight")
-        layers["ffn_down"] = stack_q("blk.{}.ffn_down.weight")
-        layers["ffn_up"] = stack_q("blk.{}.ffn_up.weight")
+        if cfg.n_experts:  # mixtral MoE: router + 3D expert tensors
+            layers["ffn_gate_inp"] = stack_f32("blk.{}.ffn_gate_inp.weight")
+            layers["ffn_gate_exps"] = stack_q("blk.{}.ffn_gate_exps.weight")
+            layers["ffn_up_exps"] = stack_q("blk.{}.ffn_up_exps.weight")
+            layers["ffn_down_exps"] = stack_q("blk.{}.ffn_down_exps.weight")
+        else:
+            layers["ffn_gate"] = stack_q("blk.{}.ffn_gate.weight")
+            layers["ffn_down"] = stack_q("blk.{}.ffn_down.weight")
+            layers["ffn_up"] = stack_q("blk.{}.ffn_up.weight")
         layers["attn_norm"] = stack_f32("blk.{}.attn_norm.weight")
         layers["ffn_norm"] = stack_f32("blk.{}.ffn_norm.weight")
         if arch == "qwen2":

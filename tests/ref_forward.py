@@ -37,6 +37,8 @@ def load_dense(path):
         head_dim=md.get_int(f"{a}.attention.key_length", 0) or None,
         rope_scaling_type=md.get_str(f"{a}.rope.scaling.type", ""),
         rope_scaling_factor=md.get_float(f"{a}.rope.scaling.factor", 0.0),
+        n_experts=md.get_int(f"{a}.expert_count", 0),
+        n_experts_used=md.get_int(f"{a}.expert_used_count", 2),
         attn_softcap=md.get_float(f"{a}.attn_logit_softcapping", 0.0),
         final_softcap=md.get_float(f"{a}.final_logit_softcapping", 0.0),
         sliding_window=md.get_int(f"{a}.attention.sliding_window", 0),
@@ -178,10 +180,26 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
 
         res = x.copy()
         h = rms_norm(x, w[f"blk.{l}.ffn_norm.weight"], cfg["eps"])
-        gate = w[f"blk.{l}.ffn_gate.weight"] @ h
-        up = w[f"blk.{l}.ffn_up.weight"] @ h
-        act = gelu(gate) if arch in ("gemma", "gemma2") else gate / (1.0 + np.exp(-gate))
-        down = w[f"blk.{l}.ffn_down.weight"] @ (act * up)
+        if cfg.get("n_experts"):
+            E, K = cfg["n_experts"], cfg["n_experts_used"]
+            r = w[f"blk.{l}.ffn_gate_inp.weight"] @ h  # (E,)
+            top = np.argsort(-r)[:K]
+            ws = np.exp(r[top] - r[top].max())
+            ws = ws / ws.sum()
+            down = np.zeros(dim, np.float32)
+            ge = w[f"blk.{l}.ffn_gate_exps.weight"]  # (E, HD, D)
+            ue = w[f"blk.{l}.ffn_up_exps.weight"]
+            de = w[f"blk.{l}.ffn_down_exps.weight"]  # (E, D, HD)
+            for wk, e in zip(ws, top):
+                g = ge[e] @ h
+                u = ue[e] @ h
+                act = g / (1.0 + np.exp(-g))
+                down = down + wk * (de[e] @ (act * u))
+        else:
+            gate = w[f"blk.{l}.ffn_gate.weight"] @ h
+            up = w[f"blk.{l}.ffn_up.weight"] @ h
+            act = gelu(gate) if arch in ("gemma", "gemma2") else gate / (1.0 + np.exp(-gate))
+            down = w[f"blk.{l}.ffn_down.weight"] @ (act * up)
         if arch == "gemma2":
             down = rms_norm(down, w[f"blk.{l}.post_ffw_norm.weight"], cfg["eps"])
         x = res + down

@@ -192,6 +192,7 @@ ARCH_SWEEP = {
     "llama31": dict(rope_scaling_type="rope_freqs"),
     "llama-linear-rope": dict(rope_scaling_type="linear",
                               rope_scaling_factor=4.0),
+    "mixtral": dict(n_experts=4, n_experts_used=2),
 }
 
 
@@ -213,7 +214,8 @@ def test_all_archs_match_numpy_reference(variant, tmp_path):
 
     from ref_forward import run_tokens
 
-    arch = {"llama31": "llama", "llama-linear-rope": "llama"}.get(variant, variant)
+    arch = {"llama31": "llama", "llama-linear-rope": "llama",
+            "mixtral": "llama"}.get(variant, variant)
     cfg = ModelConfig(
         architecture=arch, model_name=f"syn-{variant}",
         embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
@@ -347,3 +349,28 @@ def test_weight_cache_roundtrip(tmp_path):
             np.testing.assert_array_equal(p1[k].view(np.uint8), p2[k].view(np.uint8), err_msg=k)
     finally:
         del os.environ["CRABML_WEIGHT_CACHE"]
+
+
+def test_moe_runner_quantized_end_to_end(tmp_path):
+    """MoE through the public Runner with quantized expert planes (q8_0),
+    XLA and Pallas backends agreeing."""
+    import jax.numpy as jnp
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.synthetic import tiny_config, write_synthetic_gguf
+    from crabml_tpu.ops import matmul as mm
+
+    cfg = tiny_config(
+        embedding_dim=256, hidden_dim=512, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=128, n_experts=4, n_experts_used=2,
+    )
+    path = str(tmp_path / "moe.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.Q8_0, seed=3)
+
+    r1 = Runner(path, seq_len=64, backend="xla", compute_dtype=jnp.bfloat16)
+    out_xla = "".join(r1.prefill_and_generate("hello", steps=6))
+    r2 = Runner(path, seq_len=64, backend="pallas", compute_dtype=jnp.bfloat16)
+    out_pl = "".join(r2.prefill_and_generate("hello", steps=6))
+    mm.set_backend("xla")
+    assert out_xla == out_pl
+    assert len(out_xla) > 0
