@@ -24,17 +24,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _chunk_nll(weights, cfg, ids, compute_dtype):
-    """Total negative log-likelihood (nats) + token count for one chunk."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "n_valid"))
+def _nll_jit(weights, tokens, cfg, compute_dtype, n_valid):
+    """NLL of tokens[0, 1:n_valid+1] given the prefix, one jitted call.
+    tokens is padded to a fixed T so chunk count ≈ compile count of 1."""
     from ..models.forward import KVCache, forward
 
-    T = len(ids)
+    T = tokens.shape[1]
     cache = KVCache.create(cfg, 1, T, compute_dtype)
-    tokens = jnp.asarray([ids], jnp.int32)
-    logits, _ = forward(weights, cache, tokens, jnp.zeros(1, jnp.int32), cfg, compute_dtype)
+    logits, _ = forward(weights, cache, tokens, jnp.zeros(1, jnp.int32), cfg,
+                        compute_dtype)
     logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
-    tgt = jnp.asarray(ids[1:], jnp.int32)
-    nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1).sum()
+    tgt = tokens[0, 1:]
+    tok_nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+    return tok_nll[:n_valid].sum()
+
+
+def _chunk_nll(weights, cfg, ids, compute_dtype, pad_to: int):
+    """Total negative log-likelihood (nats) + token count for one chunk."""
+    T = len(ids)
+    padded = np.zeros((1, pad_to), np.int32)
+    padded[0, :T] = ids
+    nll = _nll_jit(weights, jnp.asarray(padded), cfg=cfg,
+                   compute_dtype=compute_dtype, n_valid=T - 1)
     return float(nll), T - 1
 
 
@@ -45,14 +60,20 @@ def perplexity(runner, text: str, window: int | None = None) -> dict:
     at 512) evaluated independently — the llama.cpp-style sliding
     convention, simplified to disjoint windows.
     """
-    ids = runner.tokenizer.encode(text, bos=True)
+    # encode per paragraph: the greedy SPM merge is superlinear in string
+    # length, so one multi-100k-char string would take minutes
+    ids: list[int] = []
+    for para in text.split("\n\n"):
+        if para.strip():
+            ids.extend(runner.tokenizer.encode(para, bos=not ids))
     window = min(window or runner.seq_len, runner.seq_len, 512)
     total_nll, total_tok = 0.0, 0
     for i in range(0, max(len(ids) - 1, 1), window):
         chunk = ids[i : i + window + 1]
         if len(chunk) < 2:
             break
-        nll, n = _chunk_nll(runner.weights, runner.cfg, chunk, runner.compute_dtype)
+        nll, n = _chunk_nll(runner.weights, runner.cfg, chunk,
+                            runner.compute_dtype, pad_to=window + 1)
         total_nll += nll
         total_tok += n
     return {

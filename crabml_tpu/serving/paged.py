@@ -47,26 +47,40 @@ from .engine import Request, ServingEngine
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["k", "v", "table"],
+    data_fields=["k", "v", "table", "k_scale", "v_scale"],
     meta_fields=[],
 )
 @dataclass
 class PagedKVCache:
     """k, v: (L, n_pages, KV, PAGE, hd); table: (B, max_pages) int32
-    (physical page of each sequence's logical chunk; unused entries 0)."""
+    (physical page of each sequence's logical chunk; unused entries 0).
+
+    dtype=int8 pages carry per-(page-slot, head) f32 scales in
+    k_scale/v_scale (L, n_pages, KV, PAGE, 1) — the paged form of the
+    dense engine's quantized cache (models.forward.KVCache): 8.25
+    bits/entry, halving pool HBM."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     table: jnp.ndarray
+    k_scale: jnp.ndarray | None = None
+    v_scale: jnp.ndarray | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @staticmethod
     def create(cfg, n_pages: int, n_slots: int, max_pages: int, dtype=jnp.bfloat16):
         shape = (cfg.n_layers, n_pages, cfg.n_kv_heads, PAGE, cfg.head_dim)
-        return PagedKVCache(
-            jnp.zeros(shape, dtype),
-            jnp.zeros(shape, dtype),
-            jnp.zeros((n_slots, max_pages), jnp.int32),
-        )
+        table = jnp.zeros((n_slots, max_pages), jnp.int32)
+        if dtype == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            return PagedKVCache(
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8), table,
+                jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32),
+            )
+        return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), table)
 
 
 def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale):
@@ -107,8 +121,14 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
         x = x * jnp.sqrt(jnp.float32(D)).astype(compute_dtype)
     positions = pos[:, None]
 
+    quantized = cache.quantized
+
     def layer_step(x, per_layer):
-        l, k_pages, v_pages = per_layer
+        if quantized:
+            l, k_pages, v_pages, ks_pages, vs_pages = per_layer
+        else:
+            l, k_pages, v_pages = per_layer
+            ks_pages = vs_pages = None
         h = layer_norm_in(lw, l, x, cfg)
         q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
         q = q.reshape(B, 1, H, hd)
@@ -118,18 +138,46 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
         k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode, cfg.rope_base)
 
         # scatter this token's K/V into each sequence's current page
-        kt = k[:, 0].astype(k_pages.dtype)  # (B, KV, hd)
-        vt = v[:, 0].astype(v_pages.dtype)
-        k_pages = k_pages.at[page_of, :, off].set(kt)
-        v_pages = v_pages.at[page_of, :, off].set(vt)
+        kt = k[:, 0]  # (B, KV, hd)
+        vt = v[:, 0]
+        if quantized:
+            def q8(a):  # symmetric per-(batch, head) int8 over hd
+                s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
+                s_ = jnp.maximum(s_.astype(jnp.float32), 1e-12)
+                qv = jnp.clip(jnp.round(a.astype(jnp.float32) / s_), -127, 127)
+                return qv.astype(jnp.int8), s_
+
+            kq, ks_new = q8(kt)
+            vq, vs_new = q8(vt)
+            k_pages = k_pages.at[page_of, :, off].set(kq)
+            v_pages = v_pages.at[page_of, :, off].set(vq)
+            ks_pages = ks_pages.at[page_of, :, off].set(ks_new)
+            vs_pages = vs_pages.at[page_of, :, off].set(vs_new)
+        else:
+            k_pages = k_pages.at[page_of, :, off].set(kt.astype(k_pages.dtype))
+            v_pages = v_pages.at[page_of, :, off].set(vt.astype(v_pages.dtype))
 
         out = None
-        if jax.default_backend() == "tpu" and hd % 128 == 0:
+        if (not quantized and jax.default_backend() == "tpu"
+                and hd % 128 == 0):
             out = paged_decode_attention(q, k_pages, v_pages, cache.table,
                                          pos + 1, scale)
         if out is None:
-            out = _paged_attention_fallback(q, k_pages, v_pages, cache.table,
-                                            pos + 1, scale)
+            if quantized:
+                # dequantize the gathered pages, then the masked fallback
+                mp = cache.table.shape[1]
+                kd = (k_pages[cache.table].astype(jnp.float32)
+                      * ks_pages[cache.table])
+                vd = (v_pages[cache.table].astype(jnp.float32)
+                      * vs_pages[cache.table])
+                kd = kd.transpose(0, 2, 1, 3, 4).reshape(B, KV, mp * PAGE, hd)
+                vd = vd.transpose(0, 2, 1, 3, 4).reshape(B, KV, mp * PAGE, hd)
+                from ..models.forward import attention
+
+                out = attention(q, kd, vd, pos, 1, scale)
+            else:
+                out = _paged_attention_fallback(q, k_pages, v_pages, cache.table,
+                                                pos + 1, scale)
         attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
         if "bo" in lw:
             attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
@@ -146,17 +194,24 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
             x_out = x + attn_out + down
         else:
             x_out = x2 + down
+        if quantized:
+            return x_out, (k_pages, v_pages, ks_pages, vs_pages)
         return x_out, (k_pages, v_pages)
 
-    x, (k_new, v_new) = jax.lax.scan(
-        layer_step, x, (jnp.arange(L, dtype=jnp.int32), cache.k, cache.v)
-    )
+    idx = jnp.arange(L, dtype=jnp.int32)
+    if quantized:
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            layer_step, x, (idx, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        )
+    else:
+        x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
+        ks_new = vs_new = None
     x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     logits = qmatmul(x, out_w, compute_dtype)[:, 0].astype(jnp.float32)
     nxt = sample_batch(logits, key, temp, topp, minp=minp,
                        recent_tokens=recent, repetition_penalty=rep_pen)
-    return nxt, PagedKVCache(k_new, v_new, cache.table)
+    return nxt, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
 
 
 @partial(
@@ -168,15 +223,21 @@ def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages,
                      n_prompt_pages: int):
     """Copy a dense (L, 1, KV, t_pad, hd) prefill cache into pool pages.
     `pages`: (n_prompt_pages,) int32. The block table is host-owned and
-    pushed separately (the engine's _push_table)."""
+    pushed separately (the engine's _push_table). int8 caches scatter
+    their scale planes alongside."""
     k, v = cache.k, cache.v
+    ks, vs = cache.k_scale, cache.v_scale
+
+    def chunk(a, c):  # (L, KV, PAGE, last) slice of the dense scratch
+        return jax.lax.dynamic_slice_in_dim(a[:, 0], c * PAGE, PAGE, axis=2)
+
     for c in range(n_prompt_pages):
-        # (L, KV, PAGE, hd) chunk of the dense scratch
-        kc = jax.lax.dynamic_slice_in_dim(dense.k[:, 0], c * PAGE, PAGE, axis=2)
-        vc = jax.lax.dynamic_slice_in_dim(dense.v[:, 0], c * PAGE, PAGE, axis=2)
-        k = k.at[:, pages[c]].set(kc.astype(k.dtype))
-        v = v.at[:, pages[c]].set(vc.astype(v.dtype))
-    return PagedKVCache(k, v, cache.table)
+        k = k.at[:, pages[c]].set(chunk(dense.k, c).astype(k.dtype))
+        v = v.at[:, pages[c]].set(chunk(dense.v, c).astype(v.dtype))
+        if ks is not None:
+            ks = ks.at[:, pages[c]].set(chunk(dense.k_scale, c))
+            vs = vs.at[:, pages[c]].set(chunk(dense.v_scale, c))
+    return PagedKVCache(k, v, cache.table, ks, vs)
 
 
 @partial(
@@ -225,8 +286,6 @@ class PagedServingEngine(ServingEngine):
         super().__init__(runner, **kw)
 
     def _make_cache(self):
-        if self.kv_dtype == jnp.int8:
-            raise ValueError("paged pool: int8 KV pages not wired yet (ROADMAP)")
         self.max_pages = -(-self.seq_len // PAGE)
         self.n_pages = self._n_pages_cfg
         # page 0 is a scratch page shared by empty slots; never allocated
@@ -255,7 +314,8 @@ class PagedServingEngine(ServingEngine):
 
     def _push_table(self):
         self.cache = PagedKVCache(self.cache.k, self.cache.v,
-                                  jnp.asarray(self._table))
+                                  jnp.asarray(self._table),
+                                  self.cache.k_scale, self.cache.v_scale)
 
     def _trim_prompt(self, req: Request) -> list[int]:
         toks = req.prompt_tokens

@@ -156,3 +156,28 @@ def test_paged_multi_tick_at_seq_len_edge(runner):
         n += 1
         assert n < 200
     assert req.done and req.finish_reason == "length"
+
+
+def test_paged_int8_pages_match_dense_int8(runner):
+    """int8 page pool (half the KV HBM): outputs must MATCH the dense
+    engine's int8 cache (same quantization, different memory layout), and
+    stay prefix-close to the float pool."""
+    import jax.numpy as jnp
+
+    from crabml_tpu.serving import Request, ServingEngine
+    from crabml_tpu.serving.paged import PagedServingEngine
+
+    prompts = ["Lily is a cat", "Once upon a time"]
+    dense_q = ServingEngine(runner, n_slots=2, seq_len=96, kv_dtype=jnp.int8)
+    want = dense_q.generate(prompts, max_tokens=12)
+
+    e_q = PagedServingEngine(runner, n_slots=2, seq_len=96, n_pages=8,
+                             kv_dtype=jnp.int8)
+    got = e_q.generate(prompts, max_tokens=12)
+    assert got == want
+
+    e_f = PagedServingEngine(runner, n_slots=2, seq_len=96, n_pages=8,
+                             kv_dtype=jnp.float32)
+    base = e_f.generate(prompts, max_tokens=12)
+    for b, g in zip(base, got):
+        assert g[:11] == b[:11], f"{g!r} vs float {b!r}"
