@@ -616,7 +616,11 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None,
     p = qt.planes
     qplanes = [p[f"q{i}"] for i in range(len(s.planes))]
     splanes = [p["dsub"]] + ([p["msub"]] if s.has_min else [])
-    if act_quant:
+    # W4A8 wins where weights dominate the traffic (decode-class batches):
+    # its per-group int8 dots are depth-32 on the MXU, so at prefill-class
+    # row counts the big bf16 dots are 2.6x faster (measured). Route by
+    # padded row count; B_PAD rows == B<=8 decode tiles.
+    if act_quant and x2.shape[0] <= B_PAD:
         xq, dx, sx = quantize_activation(x2, s.gr, tk)
         out = _run_w4a8(kind, m, tk, stacked, xq, dx, sx,
                         layer if stacked else 0, *qplanes, *splanes)
