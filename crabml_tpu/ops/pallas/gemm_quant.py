@@ -423,8 +423,9 @@ def _run(kind: GGMLType, m: int, tk: int, out_dtype, stacked: bool, x2, layer, *
     # batch tiling: large prefill batches (B*T rows) must not blow VMEM —
     # a (2048, tk) x-block + (2048, TM) f32 out-block alone exceed the 16MB
     # scoped limit. TB rows per grid step; B is padded to a TB multiple by
-    # the caller.
-    TB = min(B, 256)
+    # the caller. 512 keeps a T=512 prefill to ONE b-tile so each weight
+    # tile is unpacked once (the unpack is the kernel's VPU cost).
+    TB = min(B, 512)
     grid = (B // TB, m // TM, kpad // tk)
     G = tk // s.gr
     n_qplanes = len(s.planes)
@@ -606,8 +607,8 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None,
     lead = x.shape[:-1]
     B = int(np.prod(lead)) if lead else 1
     x2 = x.reshape(B, k).astype(compute_dtype)
-    # pad rows to the batch tile: B_PAD for decode, 256 for big prefills
-    row_tile = B_PAD if B <= 256 else 256
+    # pad rows to the batch tile: B_PAD for decode, 512 for big prefills
+    row_tile = B_PAD if B <= 512 else 512
     Bp = -(-B // row_tile) * row_tile
     if Bp != B:
         x2 = jnp.pad(x2, ((0, Bp - B), (0, 0)))
