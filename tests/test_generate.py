@@ -180,3 +180,19 @@ def test_repetition_penalty_prevents_loops(stories260k_path):
     assert base.done and pen.done
     assert repeats(pen.output_tokens) <= repeats(base.output_tokens)
     assert pen.output_tokens != base.output_tokens  # the penalty did bite
+
+
+def test_runner_ticked_generation_matches_single(stories260k_path):
+    """Fused multi-token decode ticks (Runner.generate(tick=N)) must
+    produce exactly the single-step greedy output."""
+    from crabml_tpu.runtime.runner import Runner
+
+    r1 = Runner(stories260k_path, seq_len=96)
+    _, _, tok = r1.prefill("Lily is a cat", bos=True)
+    want = "".join(r1.generate(tok, steps=18, tick=1))
+
+    r2 = Runner(stories260k_path, seq_len=96)
+    _, _, tok2 = r2.prefill("Lily is a cat", bos=True)
+    assert tok2 == tok
+    got = "".join(r2.generate(tok2, steps=18, tick=4))
+    assert got == want
