@@ -101,6 +101,48 @@ def special_tokens_from_metadata(metadata, tokens) -> list[str] | None:
     ]
 
 
+def tokenizer_from_hf_json(path: str) -> Tokenizer:
+    """Build from a HuggingFace `tokenizer.json` (BPE models).
+
+    The passthrough for models whose GGUF carries an incomplete tokenizer
+    (or none): reads the vocab, merge list, and added special tokens from
+    the HF file and builds the same byte-level BPE engine the gpt2 GGUF
+    path uses. SentencePiece-model tokenizer.json files are not supported
+    (use the GGUF metadata for those).
+    """
+    import json
+
+    with open(path) as f:
+        tj = json.load(f)
+    model = tj.get("model", {})
+    if model.get("type") != "BPE":
+        raise ValueError(
+            f"tokenizer.json model type {model.get('type')!r}: only BPE "
+            "is supported (SentencePiece models load from GGUF metadata)"
+        )
+    vocab_map = model["vocab"]  # token -> id
+    tokens = [None] * len(vocab_map)
+    for t, i in vocab_map.items():
+        tokens[i] = t
+    added = tj.get("added_tokens", [])
+    for a in added:  # added specials may sit beyond the base vocab
+        i = a["id"]
+        if i >= len(tokens):
+            tokens.extend([None] * (i + 1 - len(tokens)))
+        tokens[i] = a["content"]
+    assert all(t is not None for t in tokens), "tokenizer.json has id gaps"
+    merges = [
+        m if isinstance(m, str) else " ".join(m) for m in model.get("merges", [])
+    ]
+    specials = [a["content"] for a in added if a.get("special", True)]
+    ids = {t: i for i, t in enumerate(tokens)}
+    bos = next((ids[c] for c in ("<s>", "<|begin_of_text|>", "<|endoftext|>")
+                if c in ids), 0)
+    eos = next((ids[c] for c in ("</s>", "<|end_of_text|>", "<|im_end|>",
+                                 "<|endoftext|>") if c in ids), 0)
+    return Tokenizer.new_gpt2(tokens, merges, bos, eos, specials)
+
+
 def tokenizer_from_gguf(metadata) -> Tokenizer:
     """Build from GGUF metadata keys (crabml-llama2/src/model.rs:494-551)."""
     tokens = list(metadata.get("tokenizer.ggml.tokens"))

@@ -169,3 +169,42 @@ def test_gpt2_metadata_specials_longest_match():
     tk = Gpt2Tokenizer(vocab, [], 0, 1, special_tokens=["<|a|>", "<|a|>x"])
     ids = tk.encode("<|a|>x", bos=False, eos=False, add_prefix_space=False)
     assert [tk.tokens[i] for i in ids] == ["<|a|>x"]
+
+
+def test_hf_tokenizer_json_passthrough(tmp_path):
+    """ROADMAP #9: build the BPE engine from a HuggingFace tokenizer.json
+    (vocab + merges + added specials) and round-trip text + specials."""
+    import json
+
+    from crabml_tpu.tokenizer import tokenizer_from_hf_json
+    from crabml_tpu.tokenizer.gpt2_bpe import build_byte_encode_map
+
+    bem = build_byte_encode_map()
+    chars = sorted({bem[b] for b in range(33, 127)} | {bem[0x20]})
+    vocab = {c: i for i, c in enumerate(chars)}
+    he = len(vocab); vocab["he"] = he
+    ll = len(vocab); vocab["ll"] = ll
+    hell = len(vocab); vocab["hell"] = hell
+    n0 = len(vocab)
+    tj = {
+        "model": {
+            "type": "BPE",
+            "vocab": vocab,
+            "merges": ["h e", "l l", "he ll"],
+        },
+        "added_tokens": [
+            {"id": n0, "content": "<|special|>", "special": True},
+            {"id": n0 + 1, "content": "</s>", "special": True},
+        ],
+    }
+    p = tmp_path / "tokenizer.json"
+    p.write_text(json.dumps(tj))
+
+    tk = tokenizer_from_hf_json(str(p))
+    ids = tk._inner.encode("<|special|>hello", bos=False, eos=False,
+                           add_prefix_space=False)
+    toks = [tk.tokens[i] for i in ids]
+    assert toks[0] == "<|special|>"
+    assert toks[1] == "hell"  # merges applied in rank order
+    assert "".join(toks[1:]) == "hello"
+    assert tk.eos_token == n0 + 1
