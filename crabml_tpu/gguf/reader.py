@@ -26,8 +26,12 @@ from .constants import (
 )
 
 
-class GGUFError(ValueError):
-    pass
+from ..errors import FormatError
+
+
+class GGUFError(FormatError):
+    """Malformed GGUF container (typed; part of the crabml_tpu.errors
+    taxonomy — the reference's ErrorKind::BadInput family)."""
 
 
 @dataclass

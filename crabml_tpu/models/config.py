@@ -112,7 +112,9 @@ class ModelConfig:
 def config_from_gguf(metadata) -> ModelConfig:
     arch = metadata.get_str("general.architecture")
     if arch not in ARCH_FEATURES:
-        raise ValueError(f"unsupported architecture {arch!r}")
+        from ..errors import UnsupportedError
+
+        raise UnsupportedError(f"unsupported architecture {arch!r}")
     p = arch  # metadata key prefix == architecture name (model.rs:556-562)
 
     eps_key = (

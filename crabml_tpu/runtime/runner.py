@@ -164,7 +164,9 @@ class Runner:
         (sliding-window convention, matching the serving engine)."""
         limit = self.seq_len - 1 - int(self.pos[0])
         if limit <= 0:
-            raise ValueError(
+            from ..errors import CacheError
+
+            raise CacheError(
                 f"KV cache full (pos={int(self.pos[0])}, seq_len={self.seq_len}); "
                 "reset() or raise seq_len"
             )
@@ -312,7 +314,9 @@ class Runner:
     def load_session(self, path: str):
         data = np.load(path, allow_pickle=False)
         if data["k"].shape != tuple(self.cache.k.shape):
-            raise ValueError(
+            from ..errors import CacheError
+
+            raise CacheError(
                 f"session cache shape {data['k'].shape} != runner "
                 f"{tuple(self.cache.k.shape)} (seq_len/batch/model mismatch)"
             )

@@ -116,7 +116,9 @@ def tokenizer_from_hf_json(path: str) -> Tokenizer:
         tj = json.load(f)
     model = tj.get("model", {})
     if model.get("type") != "BPE":
-        raise ValueError(
+        from ..errors import UnsupportedError
+
+        raise UnsupportedError(
             f"tokenizer.json model type {model.get('type')!r}: only BPE "
             "is supported (SentencePiece models load from GGUF metadata)"
         )
@@ -156,4 +158,6 @@ def tokenizer_from_gguf(metadata) -> Tokenizer:
         merges = list(metadata.get("tokenizer.ggml.merges"))
         specials = special_tokens_from_metadata(metadata, tokens)
         return Tokenizer.new_gpt2(tokens, merges, bos, eos, specials)
-    raise ValueError(f"unsupported tokenizer model {kind!r}")
+    from ..errors import UnsupportedError
+
+    raise UnsupportedError(f"unsupported tokenizer model {kind!r}")
