@@ -94,7 +94,14 @@ def ggml_type_size(typ: GGMLType) -> tuple[int, int]:
 
 def tensor_nbytes(typ: GGMLType, n_elems: int) -> int:
     blk, nbytes = GGML_BLOCK_SIZES[typ]
-    assert n_elems % blk == 0, f"{n_elems} not a multiple of {blk} for {typ.name}"
+    if n_elems % blk != 0:
+        # typed, not assert: a corrupt container can request an impossible
+        # shape/dtype combination (found by the hypothesis fuzzer)
+        from ..errors import FormatError
+
+        raise FormatError(
+            f"{n_elems} elements not a multiple of {typ.name} block size {blk}"
+        )
     return (n_elems // blk) * nbytes
 
 
