@@ -69,8 +69,24 @@ def apply_repetition_penalty(logits, recent_tokens, penalty):
     return jnp.where(seen & (p2 != 1.0), pen, logits)
 
 
+def apply_frequency_presence(logits, recent_tokens, freq_penalty, pres_penalty):
+    """OpenAI-style penalties over the recent window: logits[t] -=
+    freq * count(t) + pres * (count(t) > 0). Scalars or (B,); 0 disables."""
+    fp = jnp.asarray(freq_penalty, jnp.float32)
+    pp = jnp.asarray(pres_penalty, jnp.float32)
+    fp2 = (fp if fp.ndim else fp[None])[:, None]
+    pp2 = (pp if pp.ndim else pp[None])[:, None]
+    tok = jnp.where(recent_tokens >= 0, recent_tokens, 0)
+    counts = jnp.zeros(logits.shape, jnp.float32)
+    counts = jax.vmap(
+        lambda c, t, valid: c.at[t].add(valid.astype(jnp.float32))
+    )(counts, tok, recent_tokens >= 0)
+    return logits - fp2 * counts - pp2 * (counts > 0)
+
+
 def sample_batch(logits, key, temperature, topp, minp=None, logit_bias=None,
-                 recent_tokens=None, repetition_penalty=None):
+                 recent_tokens=None, repetition_penalty=None,
+                 frequency_penalty=None, presence_penalty=None):
     """Vectorized per-sequence sampling for the serving engine.
 
     logits: (B, V) f32; temperature/topp (and optional minp /
@@ -86,6 +102,14 @@ def sample_batch(logits, key, temperature, topp, minp=None, logit_bias=None,
     if recent_tokens is not None and repetition_penalty is not None:
         logits = apply_repetition_penalty(logits, recent_tokens,
                                           repetition_penalty)
+    if recent_tokens is not None and (
+        frequency_penalty is not None or presence_penalty is not None
+    ):
+        logits = apply_frequency_presence(
+            logits, recent_tokens,
+            0.0 if frequency_penalty is None else frequency_penalty,
+            0.0 if presence_penalty is None else presence_penalty,
+        )
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     temp = jnp.maximum(temperature, 1e-6)[:, None]

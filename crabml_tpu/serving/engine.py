@@ -79,12 +79,14 @@ def _prefill_slot(weights, cache: KVCache, tokens, slot, pos0, cfg, compute_dtyp
     donate_argnames=("cache",),
 )
 def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp,
-                 minp, recent, rep_pen, cfg, compute_dtype, attn_window=None):
+                 minp, recent, rep_pen, freq_pen, pres_pen, cfg,
+                 compute_dtype, attn_window=None):
     """One batched decode tick: forward all slots, sample per-slot."""
     logits, cache = forward(weights, cache, tokens[:, None], pos, cfg, compute_dtype,
                             attn_window=attn_window)
     nxt = sample_batch(logits[:, 0], key, temp, topp, minp=minp,
-                       recent_tokens=recent, repetition_penalty=rep_pen)
+                       recent_tokens=recent, repetition_penalty=rep_pen,
+                       frequency_penalty=freq_pen, presence_penalty=pres_pen)
     return nxt, cache
 
 
@@ -94,7 +96,8 @@ def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp,
     donate_argnames=("cache",),
 )
 def _decode_scan(weights, cache, tokens, pos, key, temp, topp, minp, recent,
-                 rep_pen, steps, cfg, compute_dtype, attn_window=None):
+                 rep_pen, freq_pen, pres_pen, steps, cfg, compute_dtype,
+                 attn_window=None):
     """`steps` decode ticks fused in one executable (multi-token ticks):
     on high-RTT links the per-dispatch round trip dominates single-token
     ticks, so batching ticks multiplies serving throughput. EOS/max_tokens
@@ -109,7 +112,8 @@ def _decode_scan(weights, cache, tokens, pos, key, temp, topp, minp, recent,
         logits, cache = forward(weights, cache, tok[:, None], p, cfg,
                                 compute_dtype, attn_window=attn_window)
         nxt = sample_batch(logits[:, 0], sub, temp, topp, minp=minp,
-                           recent_tokens=rec, repetition_penalty=rep_pen)
+                           recent_tokens=rec, repetition_penalty=rep_pen,
+                           frequency_penalty=freq_pen, presence_penalty=pres_pen)
         rec = jnp.concatenate([rec[:, 1:], nxt[:, None]], axis=1)
         return (cache, nxt, p + 1, key, rec), nxt
 
@@ -127,6 +131,8 @@ class Request:
     topp: float = 0.9
     minp: float = 0.0  # min-p filter (0 = off)
     repetition_penalty: float = 1.0  # llama.cpp repeat penalty (1 = off)
+    frequency_penalty: float = 0.0  # OpenAI-style, over the recent window
+    presence_penalty: float = 0.0
     stop_token_ids: tuple[int, ...] = ()
     stop: tuple[str, ...] = ()  # stop strings (merged across token pieces)
     request_id: int = field(default_factory=itertools.count().__next__)
@@ -192,6 +198,8 @@ class ServingEngine:
         self.topp = np.ones(n_slots, np.float32)
         self.minp = np.zeros(n_slots, np.float32)
         self.rep_pen = np.ones(n_slots, np.float32)
+        self.freq_pen = np.zeros(n_slots, np.float32)
+        self.pres_pen = np.zeros(n_slots, np.float32)
         # repetition-penalty window (last REPEAT_WINDOW context tokens,
         # -1 padded) — llama.cpp's repeat_last_n, default 64
         self.recent = np.full((n_slots, self.REPEAT_WINDOW), -1, np.int32)
@@ -222,6 +230,8 @@ class ServingEngine:
         self.cur_tok = np.zeros(self.n_slots, np.int32)
         self.minp = np.zeros(self.n_slots, np.float32)
         self.rep_pen = np.ones(self.n_slots, np.float32)
+        self.freq_pen = np.zeros(self.n_slots, np.float32)
+        self.pres_pen = np.zeros(self.n_slots, np.float32)
         self.recent = np.full((self.n_slots, self.REPEAT_WINDOW), -1, np.int32)
         self._prefilling = {}
 
@@ -309,6 +319,8 @@ class ServingEngine:
             minp=jnp.asarray([req.minp], jnp.float32),
             recent_tokens=jnp.asarray(rec),
             repetition_penalty=jnp.asarray([req.repetition_penalty], jnp.float32),
+            frequency_penalty=jnp.asarray([req.frequency_penalty], jnp.float32),
+            presence_penalty=jnp.asarray([req.presence_penalty], jnp.float32),
         )
         self.temp = self.temp.copy()
         self.topp = self.topp.copy()
@@ -319,6 +331,10 @@ class ServingEngine:
         self.topp[slot] = req.topp
         self.minp[slot] = req.minp
         self.rep_pen[slot] = req.repetition_penalty
+        self.freq_pen = self.freq_pen.copy()
+        self.pres_pen = self.pres_pen.copy()
+        self.freq_pen[slot] = req.frequency_penalty
+        self.pres_pen[slot] = req.presence_penalty
         self.recent[slot] = rec[0]
         self._deliver(slot, int(first[0]))
 
@@ -377,6 +393,8 @@ class ServingEngine:
             minp=jnp.asarray([req.minp], jnp.float32),
             recent_tokens=jnp.asarray(rec),
             repetition_penalty=jnp.asarray([req.repetition_penalty], jnp.float32),
+            frequency_penalty=jnp.asarray([req.frequency_penalty], jnp.float32),
+            presence_penalty=jnp.asarray([req.presence_penalty], jnp.float32),
         )
         self.pos = self.pos.copy()
         self.cur_tok = self.cur_tok.copy()
@@ -390,6 +408,10 @@ class ServingEngine:
         self.topp[slot] = req.topp
         self.minp[slot] = req.minp
         self.rep_pen[slot] = req.repetition_penalty
+        self.freq_pen = self.freq_pen.copy()
+        self.pres_pen = self.pres_pen.copy()
+        self.freq_pen[slot] = req.frequency_penalty
+        self.pres_pen[slot] = req.presence_penalty
         self.recent[slot] = rec[0]
         self._deliver(slot, int(first[0]))
 
@@ -424,7 +446,8 @@ class ServingEngine:
                 jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
                 jnp.asarray(self.temp), jnp.asarray(self.topp),
                 jnp.asarray(self.minp), jnp.asarray(self.recent),
-                jnp.asarray(self.rep_pen),
+                jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
+                jnp.asarray(self.pres_pen),
                 self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(nxt)[:, None]
@@ -434,7 +457,8 @@ class ServingEngine:
                 jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
                 jnp.asarray(self.temp), jnp.asarray(self.topp),
                 jnp.asarray(self.minp), jnp.asarray(self.recent),
-                jnp.asarray(self.rep_pen),
+                jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
+                jnp.asarray(self.pres_pen),
                 multi, self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(toks)
@@ -516,6 +540,10 @@ class ServingEngine:
         self.minp[slot] = 0.0
         self.rep_pen = self.rep_pen.copy()
         self.rep_pen[slot] = 1.0
+        self.freq_pen = self.freq_pen.copy()
+        self.freq_pen[slot] = 0.0
+        self.pres_pen = self.pres_pen.copy()
+        self.pres_pen[slot] = 0.0
         self.recent = self.recent.copy()
         self.recent[slot] = -1
 

@@ -85,6 +85,8 @@ def make_handler(engine: ServingEngine):
                     repetition_penalty=float(
                         payload.get("repetition_penalty", 1.0)
                     ),
+                    frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
+                    presence_penalty=float(payload.get("presence_penalty", 0.0)),
                     stop=tuple(s for s in stop if s),
                 )
             except (ValueError, json.JSONDecodeError) as e:

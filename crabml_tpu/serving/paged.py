@@ -103,7 +103,8 @@ def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale):
     donate_argnames=("cache",),
 )
 def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
-                      minp, recent, rep_pen, cfg, compute_dtype):
+                      minp, recent, rep_pen, freq_pen, pres_pen, cfg,
+                      compute_dtype):
     """One decode tick over the page pool. tokens/pos: (B,)."""
     from ..ops.matmul import embedding_lookup
 
@@ -210,7 +211,8 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     logits = qmatmul(x, out_w, compute_dtype)[:, 0].astype(jnp.float32)
     nxt = sample_batch(logits, key, temp, topp, minp=minp,
-                       recent_tokens=recent, repetition_penalty=rep_pen)
+                       recent_tokens=recent, repetition_penalty=rep_pen,
+                       frequency_penalty=freq_pen, presence_penalty=pres_pen)
     return nxt, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
 
 
@@ -246,7 +248,8 @@ def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages,
     donate_argnames=("cache",),
 )
 def paged_decode_scan(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
-                      minp, recent, rep_pen, steps, cfg, compute_dtype):
+                      minp, recent, rep_pen, freq_pen, pres_pen, steps, cfg,
+                      compute_dtype):
     """`steps` paged decode ticks fused in one executable (multi-token
     ticks). The engine pre-allocates every page the scan can touch
     (ceil((pos+steps)/PAGE) per slot) before dispatch, so the in-scan
@@ -256,7 +259,8 @@ def paged_decode_scan(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
         cache, tok, p, key, rec = carry
         key, sub = jax.random.split(key)
         nxt, cache = paged_decode_step(weights, cache, tok, p, sub, temp, topp,
-                                       minp, rec, rep_pen, cfg, compute_dtype)
+                                       minp, rec, rep_pen, freq_pen, pres_pen,
+                                       cfg, compute_dtype)
         rec = jnp.concatenate([rec[:, 1:], nxt[:, None]], axis=1)
         return (cache, nxt, p + 1, key, rec), nxt
 
@@ -460,7 +464,8 @@ class PagedServingEngine(ServingEngine):
             jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
             jnp.asarray(self.temp), jnp.asarray(self.topp),
             jnp.asarray(self.minp), jnp.asarray(self.recent),
-            jnp.asarray(self.rep_pen),
+            jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
+            jnp.asarray(self.pres_pen),
         )
         if multi == 1:
             nxt, self.cache = paged_decode_step(

@@ -196,3 +196,24 @@ def test_runner_ticked_generation_matches_single(stories260k_path):
     assert tok2 == tok
     got = "".join(r2.generate(tok2, steps=18, tick=4))
     assert got == want
+
+
+def test_frequency_presence_penalty_semantics():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from crabml_tpu.runtime.sampler import apply_frequency_presence
+
+    logits = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+    recent = jnp.asarray([[0, 0, 1, -1]], jnp.int32)  # token 0 twice, 1 once
+    out = np.asarray(apply_frequency_presence(
+        logits, recent, jnp.asarray([0.5]), jnp.asarray([0.25])
+    ))
+    # token0: -0.5*2 - 0.25 = -1.25; token1: -0.5 - 0.25 = -0.75; rest 0
+    np.testing.assert_allclose(out[0], [1.0 - 1.25, 2.0 - 0.75, 3.0, 4.0],
+                               atol=1e-6)
+    # zeros disable
+    out0 = np.asarray(apply_frequency_presence(
+        logits, recent, jnp.asarray([0.0]), jnp.asarray([0.0])
+    ))
+    np.testing.assert_allclose(out0[0], np.asarray(logits)[0])
