@@ -130,7 +130,8 @@ def main(argv=None):
     ap.add_argument("--text", default=None, help="text file (default: built-in sample)")
     ap.add_argument("--sweep", default=None, help="comma list of quant schemes")
     ap.add_argument("--seq-len", type=int, default=256)
-    ap.add_argument("--backend", default=None, choices=[None, "xla", "pallas"])
+    ap.add_argument("--backend", default=None,
+                    choices=[None, "xla", "pallas", "w4a8"])
     args = ap.parse_args(argv)
 
     if args.text:
