@@ -147,7 +147,7 @@ def load_gguf_weights(path, backend):
     host = load_weights(gf, cfg, layout, "bf16" if kern else np.float32)
     host = fuse_weights(host, cfg)
     if kern:
-        host = repack_weights(host)
+        host = repack_weights(host, cfg)
     t["repack_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     weights = jax.tree.map(jax.device_put, host)

@@ -90,6 +90,16 @@ class ModelConfig:
     attn_logit_softcap: float = 0.0
     final_logit_softcap: float = 0.0
     sliding_window: int = 0
+    # attention query scale override; None = 1/sqrt(head_dim). gemma2-27b
+    # scales by 1/sqrt(n_embd/n_head) (=1/sqrt(144)) while head_dim=128 —
+    # llama.cpp special-cases the 27b the same way.
+    query_scale: float | None = None
+
+    @property
+    def attn_scale(self) -> float:
+        if self.query_scale is not None:
+            return self.query_scale
+        return float(1.0 / (self.head_dim ** 0.5))
 
     @property
     def head_dim(self) -> int:
@@ -149,6 +159,10 @@ def config_from_gguf(metadata) -> ModelConfig:
     win = metadata.get_int(f"{p}.attention.sliding_window", 0)
     if win:
         extra["sliding_window"] = win
+    # gemma2-27b: query scale follows n_embd/n_head, not the decoupled
+    # head_dim (llama.cpp's build_gemma2 27b special case)
+    if arch == "gemma2" and "head_dim_override" in extra:
+        extra["query_scale"] = float(1.0 / ((dim / n_heads) ** 0.5))
     # mixtral MoE: llama arch + expert counts
     n_exp = metadata.get_int(f"{p}.expert_count", 0)
     if n_exp:

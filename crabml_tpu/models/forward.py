@@ -127,12 +127,18 @@ def _slice_expert(qt: QTensor, e: int, rows_per_expert: int) -> QTensor:
     """Static row-slice of expert `e` out of stacked expert planes.
 
     Works for both canonical planar (m on plane axis 1 after the L axis)
-    and kernel layouts (m tiled: MT axis 1) — expert boundaries stay tile-
-    aligned because rows_per_expert % TM == 0 is checked by the caller."""
+    and kernel layouts (m tiled: MT axis 1) — expert boundaries must stay
+    tile-aligned, so the kernel layout requires rows_per_expert % TM == 0
+    (E*D % TM alone is not enough: repack sees only the folded m)."""
     L, m, k = qt.shape
     from ..ops.pallas.gemm_quant import TM, is_repacked
 
     if is_repacked(qt):
+        if rows_per_expert % TM:
+            raise ValueError(
+                f"expert row count {rows_per_expert} not a multiple of the "
+                f"kernel m-tile {TM}; keep this tensor on the planar path"
+            )
         mt_per = rows_per_expert // TM
         planes = {n: p[:, e * mt_per : (e + 1) * mt_per] for n, p in qt.planes.items()}
     else:
@@ -385,14 +391,17 @@ def forward(
             v_l = jax.vmap(upd)(v_l, v_t.astype(v_l.dtype), pos)
         _cache_scope.__exit__(None, None, None)
 
-        scale = float(1.0 / np.sqrt(hd))
+        scale = cfg.attn_scale  # 1/sqrt(hd) unless overridden (gemma2-27b)
         _attn_scope = jax.named_scope("attention")
         _attn_scope.__enter__()
         if quantized_kv:
             from ..ops import matmul as _mm
 
             attn = None
-            if T == 1 and _mm._BACKEND == "pallas":
+            # gemma2 features force the dequant fallback: the decode kernel
+            # takes neither softcap nor a sliding window
+            plain_attn = not cfg.attn_logit_softcap and not cfg.sliding_window
+            if T == 1 and plain_attn and _mm._BACKEND == "pallas":
                 # decode kernel reads the int8 cache + scales directly:
                 # half the bytes of bf16, and only the live prefix
                 from ..ops.pallas.decode_attention import decode_attention
@@ -404,7 +413,12 @@ def forward(
                 win = attn_window if attn_window is not None else k_l.shape[2]
                 k_att = k_l[:, :, :win].astype(jnp.float32) * ks_l[:, :, :win]
                 v_att = v_l[:, :, :win].astype(jnp.float32) * vs_l[:, :, :win]
-                attn = attention(q, k_att, v_att, pos, T, scale)
+                attn = attention(
+                    q, k_att, v_att, pos, T, scale,
+                    softcap=cfg.attn_logit_softcap,
+                    local_window=cfg.sliding_window,
+                    use_local=(l % 2 == 0) if cfg.alternating_window else None,
+                )
         else:
             # full cache + window bound: the pallas kernels gate their own
             # reads (grid bound / per-seq DMA), the XLA path slices

@@ -106,16 +106,22 @@ def fuse_weights(weights: dict, cfg: ModelConfig) -> dict:
     return out
 
 
-def repack_weights(weights: dict) -> dict:
+def repack_weights(weights: dict, cfg: ModelConfig | None = None) -> dict:
     """Re-layout matmul weights for the Pallas kernels (ops.pallas.gemm_quant).
 
     token_embed stays canonical (the gather path dequantizes rows);
     unsupported shapes keep their canonical planes and fall back to XLA.
     """
-    from ..ops.pallas.gemm_quant import repack
+    from ..ops.pallas.gemm_quant import TM, repack
     from ..quant.planar import stack_qtensors
 
     from ..ops.pallas.gemm_quant import is_repacked
+
+    # ffn_down_exps is sliced per expert at trace time; repacked slicing
+    # needs tile-aligned expert rows (see load_weights / _slice_expert)
+    skip = set()
+    if cfg is not None and cfg.n_experts and cfg.embedding_dim % TM:
+        skip.add("ffn_down_exps")
 
     def rep_stacked(qt: QTensor) -> QTensor:
         if is_repacked(qt):
@@ -131,7 +137,11 @@ def repack_weights(weights: dict) -> dict:
 
     out = dict(weights)
     out["layers"] = {
-        name: (rep_stacked(val) if isinstance(val, QTensor) else val)
+        name: (
+            rep_stacked(val)
+            if isinstance(val, QTensor) and name not in skip
+            else val
+        )
         for name, val in weights["layers"].items()
     }
     if weights.get("output") is not None and not is_repacked(weights["output"]):
@@ -170,10 +180,20 @@ def load_weights(
         layers["wv"] = stack_q("blk.{}.attn_v.weight")
         layers["wo"] = stack_q("blk.{}.attn_output.weight")
         if cfg.n_experts:  # mixtral MoE: router + 3D expert tensors
+            from ..ops.pallas.gemm_quant import TM
+
             layers["ffn_gate_inp"] = stack_f32("blk.{}.ffn_gate_inp.weight")
             layers["ffn_gate_exps"] = stack_q("blk.{}.ffn_gate_exps.weight")
             layers["ffn_up_exps"] = stack_q("blk.{}.ffn_up_exps.weight")
-            layers["ffn_down_exps"] = stack_q("blk.{}.ffn_down_exps.weight")
+            # down_exps is sliced per expert (m = E*D folded): the kernel
+            # layout is only safe when each expert's rows are tile-aligned
+            # (E*D % TM can hold while D % TM doesn't — keep planar then)
+            if cfg.embedding_dim % TM == 0:
+                layers["ffn_down_exps"] = stack_q("blk.{}.ffn_down_exps.weight")
+            else:
+                layers["ffn_down_exps"] = stack_qtensors(
+                    [_qtensor(gf, f"blk.{l}.ffn_down_exps.weight") for l in range(L)]
+                )
         else:
             layers["ffn_gate"] = stack_q("blk.{}.ffn_gate.weight")
             layers["ffn_down"] = stack_q("blk.{}.ffn_down.weight")

@@ -40,7 +40,7 @@ NEG_INF = -1e30
 
 
 def _layer_body(lw, l, x, positions, cfg, compute_dtype, attend, write_kv,
-                k_l, v_l):
+                k_l, v_l, rope_ff=None):
     """One transformer layer with attention/cache-write strategies injected
     (`attend(q, k_l, v_l)`, `write_kv(k_l, v_l, k_new, v_new)`) — the
     sp prefill and decode variants differ only there."""
@@ -52,8 +52,15 @@ def _layer_body(lw, l, x, positions, cfg, compute_dtype, attend, write_kv,
     q = q.reshape(B, T, H, hd)
     k = k.reshape(B, T, KV, hd)
     v = v.reshape(B, T, KV, hd)
-    q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode, cfg.rope_base)
-    k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode, cfg.rope_base)
+    if cfg.qk_norm:  # qwen3: per-head RMS norm before rope
+        q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
+        k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
+    ps = (1.0 / cfg.rope_scaling_factor
+          if cfg.rope_scaling_type == "linear" else 1.0)
+    q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
+                   cfg.rope_base, freq_factors=rope_ff, pos_scale=ps)
+    k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
+                   cfg.rope_base, freq_factors=rope_ff, pos_scale=ps)
     k_t = k.transpose(0, 2, 1, 3).astype(k_l.dtype)  # (B, KV, T, hd)
     v_t = v.transpose(0, 2, 1, 3).astype(v_l.dtype)
     k_l, v_l = write_kv(k_l, v_l, k_t, v_t)
@@ -86,7 +93,7 @@ def _sp_prefill_local(weights, cache: KVCache, tokens_l, cfg, compute_dtype,
     ring-attends, returns logits for global row `last_row` only."""
     p = jax.lax.axis_index(axis)
     B, Sl = tokens_l.shape
-    scale = float(1.0 / np.sqrt(cfg.head_dim))
+    scale = cfg.attn_scale
 
     positions = p * Sl + jnp.arange(Sl, dtype=jnp.int32)[None, :] + jnp.zeros(
         (B, 1), jnp.int32
@@ -107,7 +114,8 @@ def _sp_prefill_local(weights, cache: KVCache, tokens_l, cfg, compute_dtype,
     def layer_step(x, per):
         l, k_l, v_l = per
         x, k_l, v_l = _layer_body(lw, l, x, positions, cfg, compute_dtype,
-                                  attend, write_kv, k_l, v_l)
+                                  attend, write_kv, k_l, v_l,
+                                  rope_ff=weights.get("rope_freqs"))
         return x, (k_l, v_l)
 
     idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
@@ -128,7 +136,7 @@ def _sp_decode_local(weights, cache: KVCache, token, pos, cfg, compute_dtype,
     p = jax.lax.axis_index(axis)
     B = token.shape[0]
     Sl = cache.k.shape[3]
-    scale = float(1.0 / np.sqrt(cfg.head_dim))
+    scale = cfg.attn_scale
     positions = pos[:, None]
     x = embedding_lookup(weights["token_embed"], token[:, None], compute_dtype)
     if cfg.scale_embedding:
@@ -176,7 +184,8 @@ def _sp_decode_local(weights, cache: KVCache, token, pos, cfg, compute_dtype,
     def layer_step(x, per):
         l, k_l, v_l = per
         x, k_l, v_l = _layer_body(lw, l, x, positions, cfg, compute_dtype,
-                                  attend, write_kv, k_l, v_l)
+                                  attend, write_kv, k_l, v_l,
+                                  rope_ff=weights.get("rope_freqs"))
         return x, (k_l, v_l)
 
     idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
@@ -207,6 +216,16 @@ class SequenceParallelRunner:
 
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg = config_from_gguf(gf.metadata)
+        # the sp layer body wires qk_norm/rope scaling but not the gemma2
+        # block shape — fail loudly instead of generating wrong tokens
+        if (self.cfg.post_norms or self.cfg.attn_logit_softcap
+                or self.cfg.final_logit_softcap or self.cfg.sliding_window):
+            from ..errors import UnsupportedError
+
+            raise UnsupportedError(
+                "sequence parallelism does not support gemma2-style "
+                "post-norms/softcaps/sliding-window yet; use the dense Runner"
+            )
         self.tokenizer = tokenizer_from_gguf(gf.metadata)
         if mesh is None:
             n = sp or jax.device_count()

@@ -96,7 +96,7 @@ class Runner:
                         # would straddle q|k|v boundaries under row sharding)
                         host_weights = fuse_weights(host_weights, self.cfg)
                     if backend in ("pallas", "w4a8"):
-                        host_weights = repack_weights(host_weights)  # stragglers
+                        host_weights = repack_weights(host_weights, self.cfg)  # stragglers
                 if weight_cache:
                     with self.metrics.track("load.cache_write"):
                         _wc.save(wc_root, wc_key, host_weights)

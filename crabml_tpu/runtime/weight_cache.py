@@ -26,11 +26,22 @@ from ..gguf.constants import GGMLType
 _VERSION = 1
 
 
+def _content_fingerprint(gguf_path: str, n: int = 1 << 20) -> str:
+    """sha256 over the first `n` bytes (the GGUF header + metadata + the
+    start of tensor data). Guards against a file mutated in place with a
+    preserved mtime serving stale planes; hashing 1 MB costs ~ms, hashing
+    the whole multi-GB file would defeat the cache's purpose."""
+    h = hashlib.sha256()
+    with open(gguf_path, "rb") as f:
+        h.update(f.read(n))
+    return h.hexdigest()[:16]
+
+
 def cache_key(gguf_path: str, layout: str, scale_dtype: str) -> str:
     st = os.stat(gguf_path)
     ident = json.dumps(
         [os.path.abspath(gguf_path), st.st_size, int(st.st_mtime), layout,
-         str(scale_dtype), _VERSION]
+         str(scale_dtype), _content_fingerprint(gguf_path), _VERSION]
     )
     return hashlib.sha256(ident.encode()).hexdigest()[:24]
 

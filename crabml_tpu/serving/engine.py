@@ -79,14 +79,15 @@ def _prefill_slot(weights, cache: KVCache, tokens, slot, pos0, cfg, compute_dtyp
     donate_argnames=("cache",),
 )
 def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp,
-                 minp, recent, rep_pen, freq_pen, pres_pen, cfg,
+                 minp, recent, rep_pen, freq_pen, pres_pen, bias, cfg,
                  compute_dtype, attn_window=None):
     """One batched decode tick: forward all slots, sample per-slot."""
     logits, cache = forward(weights, cache, tokens[:, None], pos, cfg, compute_dtype,
                             attn_window=attn_window)
     nxt = sample_batch(logits[:, 0], key, temp, topp, minp=minp,
                        recent_tokens=recent, repetition_penalty=rep_pen,
-                       frequency_penalty=freq_pen, presence_penalty=pres_pen)
+                       frequency_penalty=freq_pen, presence_penalty=pres_pen,
+                       logit_bias=bias)
     return nxt, cache
 
 
@@ -96,7 +97,7 @@ def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp,
     donate_argnames=("cache",),
 )
 def _decode_scan(weights, cache, tokens, pos, key, temp, topp, minp, recent,
-                 rep_pen, freq_pen, pres_pen, steps, cfg, compute_dtype,
+                 rep_pen, freq_pen, pres_pen, bias, steps, cfg, compute_dtype,
                  attn_window=None):
     """`steps` decode ticks fused in one executable (multi-token ticks):
     on high-RTT links the per-dispatch round trip dominates single-token
@@ -113,7 +114,8 @@ def _decode_scan(weights, cache, tokens, pos, key, temp, topp, minp, recent,
                                 compute_dtype, attn_window=attn_window)
         nxt = sample_batch(logits[:, 0], sub, temp, topp, minp=minp,
                            recent_tokens=rec, repetition_penalty=rep_pen,
-                           frequency_penalty=freq_pen, presence_penalty=pres_pen)
+                           frequency_penalty=freq_pen, presence_penalty=pres_pen,
+                           logit_bias=bias)
         rec = jnp.concatenate([rec[:, 1:], nxt[:, None]], axis=1)
         return (cache, nxt, p + 1, key, rec), nxt
 
@@ -133,6 +135,9 @@ class Request:
     repetition_penalty: float = 1.0  # llama.cpp repeat penalty (1 = off)
     frequency_penalty: float = 0.0  # OpenAI-style, over the recent window
     presence_penalty: float = 0.0
+    # OpenAI logit_bias: sparse (token_id, bias) pairs added to the logits
+    # every step (scattered into a device-resident dense row per slot)
+    logit_bias: tuple[tuple[int, float], ...] = ()
     stop_token_ids: tuple[int, ...] = ()
     stop: tuple[str, ...] = ()  # stop strings (merged across token pieces)
     request_id: int = field(default_factory=itertools.count().__next__)
@@ -151,14 +156,18 @@ class Request:
 
 
 class ServingEngine:
-    REPEAT_WINDOW = 64
-
     """Slot-pool continuous batching on one host (one chip or one TP mesh).
 
     Drive it either synchronously — `submit()` then `step()` until done, or
     `generate(prompts)` — or via `run_forever()` on a thread with `enqueue()`
     from request handlers (serving.http does this).
+
+    Frequency/presence penalties count only the most recent REPEAT_WINDOW
+    output tokens (the in-scan window), not the whole context as OpenAI's
+    semantics do — documented divergence, keeps the penalty state O(window).
     """
+
+    REPEAT_WINDOW = 64
 
     def __init__(
         self,
@@ -203,6 +212,10 @@ class ServingEngine:
         # repetition-penalty window (last REPEAT_WINDOW context tokens,
         # -1 padded) — llama.cpp's repeat_last_n, default 64
         self.recent = np.full((n_slots, self.REPEAT_WINDOW), -1, np.int32)
+        # per-slot dense logit-bias rows, DEVICE-resident: updated only on
+        # admit/finish (a host mirror re-uploaded per tick would ship
+        # n_slots x vocab floats over the link every step)
+        self._bias_dev = None  # lazily jnp.zeros((n_slots, vocab))
         self.pending: "queue.SimpleQueue[Request]" = queue.SimpleQueue()
         self._key = jax.random.PRNGKey(seed)
         self._stop = threading.Event()
@@ -233,7 +246,29 @@ class ServingEngine:
         self.freq_pen = np.zeros(self.n_slots, np.float32)
         self.pres_pen = np.zeros(self.n_slots, np.float32)
         self.recent = np.full((self.n_slots, self.REPEAT_WINDOW), -1, np.int32)
+        self._bias_dev = None
         self._prefilling = {}
+
+    def _bias(self):
+        import jax.numpy as jnp
+
+        if self._bias_dev is None:
+            self._bias_dev = jnp.zeros(
+                (self.n_slots, self.cfg.vocab_size), jnp.float32
+            )
+        return self._bias_dev
+
+    def _set_slot_bias(self, slot: int, req: "Request"):
+        import jax.numpy as jnp
+
+        if not req.logit_bias and self._bias_dev is None:
+            return  # nothing set anywhere yet: keep the zeros row
+        b = self._bias()
+        row = np.zeros(self.cfg.vocab_size, np.float32)
+        for tid, val in req.logit_bias:
+            if 0 <= int(tid) < self.cfg.vocab_size:
+                row[int(tid)] = float(val)
+        self._bias_dev = b.at[slot].set(jnp.asarray(row))
 
     def _make_cache(self):
         """Cache-construction hook (PagedServingEngine overrides: the slot
@@ -311,6 +346,7 @@ class ServingEngine:
         rec = np.full((1, self.REPEAT_WINDOW), -1, np.int32)
         tail = self._trim_prompt(req)[-self.REPEAT_WINDOW:]
         rec[0, -len(tail):] = tail
+        self._set_slot_bias(slot, req)
         first = sample_batch(
             logits[:, len(chunk) - 1],
             sub,
@@ -321,6 +357,7 @@ class ServingEngine:
             repetition_penalty=jnp.asarray([req.repetition_penalty], jnp.float32),
             frequency_penalty=jnp.asarray([req.frequency_penalty], jnp.float32),
             presence_penalty=jnp.asarray([req.presence_penalty], jnp.float32),
+            logit_bias=self._bias()[slot][None] if req.logit_bias else None,
         )
         self.temp = self.temp.copy()
         self.topp = self.topp.copy()
@@ -385,6 +422,7 @@ class ServingEngine:
         rec = np.full((1, self.REPEAT_WINDOW), -1, np.int32)
         tail = toks[-self.REPEAT_WINDOW:]
         rec[0, -len(tail):] = tail
+        self._set_slot_bias(slot, req)
         first = sample_batch(
             logits[:, len(toks) - 1],
             sub,
@@ -395,6 +433,7 @@ class ServingEngine:
             repetition_penalty=jnp.asarray([req.repetition_penalty], jnp.float32),
             frequency_penalty=jnp.asarray([req.frequency_penalty], jnp.float32),
             presence_penalty=jnp.asarray([req.presence_penalty], jnp.float32),
+            logit_bias=self._bias()[slot][None] if req.logit_bias else None,
         )
         self.pos = self.pos.copy()
         self.cur_tok = self.cur_tok.copy()
@@ -447,7 +486,7 @@ class ServingEngine:
                 jnp.asarray(self.temp), jnp.asarray(self.topp),
                 jnp.asarray(self.minp), jnp.asarray(self.recent),
                 jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
-                jnp.asarray(self.pres_pen),
+                jnp.asarray(self.pres_pen), self._bias(),
                 self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(nxt)[:, None]
@@ -458,7 +497,7 @@ class ServingEngine:
                 jnp.asarray(self.temp), jnp.asarray(self.topp),
                 jnp.asarray(self.minp), jnp.asarray(self.recent),
                 jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
-                jnp.asarray(self.pres_pen),
+                jnp.asarray(self.pres_pen), self._bias(),
                 multi, self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(toks)
@@ -540,6 +579,8 @@ class ServingEngine:
         self.minp[slot] = 0.0
         self.rep_pen = self.rep_pen.copy()
         self.rep_pen[slot] = 1.0
+        if self._bias_dev is not None:
+            self._bias_dev = self._bias_dev.at[slot].set(0.0)
         self.freq_pen = self.freq_pen.copy()
         self.freq_pen[slot] = 0.0
         self.pres_pen = self.pres_pen.copy()

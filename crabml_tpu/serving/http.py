@@ -76,6 +76,12 @@ def make_handler(engine: ServingEngine):
                     stop = [stop]
                 if not all(isinstance(s, str) for s in stop):
                     raise ValueError("stop must be a string or list of strings")
+                lb = payload.get("logit_bias") or {}
+                if not isinstance(lb, dict):
+                    raise ValueError("logit_bias must be a {token_id: bias} map")
+                logit_bias = tuple(
+                    sorted((int(k), float(v)) for k, v in lb.items())
+                )
                 req = Request(
                     prompt=payload.get("prompt", ""),
                     max_tokens=int(payload.get("max_tokens", 256)),
@@ -87,6 +93,7 @@ def make_handler(engine: ServingEngine):
                     ),
                     frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
                     presence_penalty=float(payload.get("presence_penalty", 0.0)),
+                    logit_bias=logit_bias,
                     stop=tuple(s for s in stop if s),
                 )
             except (ValueError, json.JSONDecodeError) as e:

@@ -83,7 +83,8 @@ class PagedKVCache:
         return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), table)
 
 
-def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale):
+def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale,
+                              **attn_kw):
     """XLA path: gather each sequence's pages dense, then mask-attend.
     Used off-TPU and for head dims the kernel can't take."""
     B, T, H, hd = q.shape
@@ -94,7 +95,7 @@ def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale):
     vg = v_pages[table].transpose(0, 2, 1, 3, 4).reshape(B, KV, max_pages * PAGE, hd)
     from ..models.forward import attention
 
-    return attention(q, kg, vg, lengths - 1, T, scale)
+    return attention(q, kg, vg, lengths - 1, T, scale, **attn_kw)
 
 
 @partial(
@@ -103,16 +104,21 @@ def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale):
     donate_argnames=("cache",),
 )
 def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
-                      minp, recent, rep_pen, freq_pen, pres_pen, cfg,
+                      minp, recent, rep_pen, freq_pen, pres_pen, bias, cfg,
                       compute_dtype):
     """One decode tick over the page pool. tokens/pos: (B,)."""
     from ..ops.matmul import embedding_lookup
 
     B = tokens.shape[0]
     D, H, KV, hd = cfg.embedding_dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    scale = float(1.0 / np.sqrt(hd))
+    scale = cfg.attn_scale  # 1/sqrt(hd) unless overridden (gemma2-27b)
     lw = weights["layers"]
     L = cfg.n_layers
+    # gemma2 features the paged kernel doesn't take — route to the fallback
+    plain_attn = not cfg.attn_logit_softcap and not cfg.sliding_window
+    rope_ff = weights.get("rope_freqs")
+    rope_ps = (1.0 / cfg.rope_scaling_factor
+               if cfg.rope_scaling_type == "linear" else 1.0)
 
     page_of = cache.table[jnp.arange(B), pos // PAGE]  # (B,) physical page
     off = pos % PAGE
@@ -135,8 +141,13 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
         q = q.reshape(B, 1, H, hd)
         k = k.reshape(B, 1, KV, hd)
         v = v.reshape(B, 1, KV, hd)
-        q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode, cfg.rope_base)
-        k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode, cfg.rope_base)
+        if cfg.qk_norm:  # qwen3: per-head RMS norm before rope
+            q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
+            k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
+        q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
+                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps)
+        k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
+                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps)
 
         # scatter this token's K/V into each sequence's current page
         kt = k[:, 0]  # (B, KV, hd)
@@ -158,8 +169,13 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
             k_pages = k_pages.at[page_of, :, off].set(kt.astype(k_pages.dtype))
             v_pages = v_pages.at[page_of, :, off].set(vt.astype(v_pages.dtype))
 
+        attn_kw = dict(
+            softcap=cfg.attn_logit_softcap,
+            local_window=cfg.sliding_window,
+            use_local=(l % 2 == 0) if cfg.alternating_window else None,
+        )
         out = None
-        if (not quantized and jax.default_backend() == "tpu"
+        if (not quantized and plain_attn and jax.default_backend() == "tpu"
                 and hd % 128 == 0):
             out = paged_decode_attention(q, k_pages, v_pages, cache.table,
                                          pos + 1, scale)
@@ -175,13 +191,17 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
                 vd = vd.transpose(0, 2, 1, 3, 4).reshape(B, KV, mp * PAGE, hd)
                 from ..models.forward import attention
 
-                out = attention(q, kd, vd, pos, 1, scale)
+                out = attention(q, kd, vd, pos, 1, scale, **attn_kw)
             else:
                 out = _paged_attention_fallback(q, k_pages, v_pages, cache.table,
-                                                pos + 1, scale)
+                                                pos + 1, scale, **attn_kw)
         attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
         if "bo" in lw:
             attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
+        if cfg.post_norms:  # gemma2: norm the block OUTPUT before residual
+            attn_out = rms_norm(
+                attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
+            )
 
         if cfg.parallel_residual:
             ffn_in = h
@@ -190,6 +210,10 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
             ffn_in = rms_norm(x2, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
 
         down = project_ffn(lw, l, ffn_in, cfg, compute_dtype)
+        if cfg.post_norms:
+            down = rms_norm(
+                down, jnp.asarray(lw["post_ffn_norm"])[l], cfg.rms_norm_eps
+            )
 
         if cfg.parallel_residual:
             x_out = x + attn_out + down
@@ -210,9 +234,13 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     logits = qmatmul(x, out_w, compute_dtype)[:, 0].astype(jnp.float32)
+    if cfg.final_logit_softcap:
+        cap = jnp.float32(cfg.final_logit_softcap)
+        logits = cap * jnp.tanh(logits / cap)
     nxt = sample_batch(logits, key, temp, topp, minp=minp,
                        recent_tokens=recent, repetition_penalty=rep_pen,
-                       frequency_penalty=freq_pen, presence_penalty=pres_pen)
+                       frequency_penalty=freq_pen, presence_penalty=pres_pen,
+                       logit_bias=bias)
     return nxt, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
 
 
@@ -248,7 +276,7 @@ def _scatter_prefill(cache: PagedKVCache, dense: KVCache, pages,
     donate_argnames=("cache",),
 )
 def paged_decode_scan(weights, cache: PagedKVCache, tokens, pos, key, temp, topp,
-                      minp, recent, rep_pen, freq_pen, pres_pen, steps, cfg,
+                      minp, recent, rep_pen, freq_pen, pres_pen, bias, steps, cfg,
                       compute_dtype):
     """`steps` paged decode ticks fused in one executable (multi-token
     ticks). The engine pre-allocates every page the scan can touch
@@ -260,7 +288,7 @@ def paged_decode_scan(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
         key, sub = jax.random.split(key)
         nxt, cache = paged_decode_step(weights, cache, tok, p, sub, temp, topp,
                                        minp, rec, rep_pen, freq_pen, pres_pen,
-                                       cfg, compute_dtype)
+                                       bias, cfg, compute_dtype)
         rec = jnp.concatenate([rec[:, 1:], nxt[:, None]], axis=1)
         return (cache, nxt, p + 1, key, rec), nxt
 
@@ -408,10 +436,12 @@ class PagedServingEngine(ServingEngine):
         )
         self._push_table()
         self._key, sub = jax.random.split(self._key)
+        self._set_slot_bias(slot, req)
         first = sample_batch(
             logits[:, len(toks) - 1], sub,
             jnp.asarray([req.temperature], jnp.float32),
             jnp.asarray([req.topp], jnp.float32),
+            logit_bias=self._bias()[slot][None] if req.logit_bias else None,
         )
         self.pos = self.pos.copy()
         self.cur_tok = self.cur_tok.copy()
@@ -465,7 +495,7 @@ class PagedServingEngine(ServingEngine):
             jnp.asarray(self.temp), jnp.asarray(self.topp),
             jnp.asarray(self.minp), jnp.asarray(self.recent),
             jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
-            jnp.asarray(self.pres_pen),
+            jnp.asarray(self.pres_pen), self._bias(),
         )
         if multi == 1:
             nxt, self.cache = paged_decode_step(

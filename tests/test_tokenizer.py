@@ -208,3 +208,59 @@ def test_hf_tokenizer_json_passthrough(tmp_path):
     assert toks[1] == "hell"  # merges applied in rank order
     assert "".join(toks[1:]) == "hello"
     assert tk.eos_token == n0 + 1
+
+
+def test_hf_bos_eos_from_post_processor(tmp_path):
+    """VERDICT r2 #9: bos/eos come from the file's TemplateProcessing
+    post-processor, not from a hardcoded candidate-name list — a model
+    naming them <BOS>/<EOS> must resolve correctly."""
+    import json
+
+    from crabml_tpu.tokenizer import tokenizer_from_hf_json
+    from crabml_tpu.tokenizer.gpt2_bpe import build_byte_encode_map
+
+    bem = build_byte_encode_map()
+    chars = sorted({bem[b] for b in range(33, 127)} | {bem[0x20]})
+    vocab = {c: i for i, c in enumerate(chars)}
+    n0 = len(vocab)
+    tj = {
+        "model": {"type": "BPE", "vocab": vocab, "merges": []},
+        "added_tokens": [
+            # decoys the old name heuristic would have picked:
+            {"id": n0, "content": "<s>", "special": True},
+            {"id": n0 + 1, "content": "</s>", "special": True},
+            {"id": n0 + 2, "content": "<BOS>", "special": True},
+            {"id": n0 + 3, "content": "<EOS>", "special": True},
+        ],
+        "post_processor": {
+            "type": "Sequence",
+            "processors": [
+                {"type": "ByteLevel"},
+                {
+                    "type": "TemplateProcessing",
+                    "single": [
+                        {"SpecialToken": {"id": "<BOS>", "type_id": 0}},
+                        {"Sequence": {"id": "A", "type_id": 0}},
+                        {"SpecialToken": {"id": "<EOS>", "type_id": 0}},
+                    ],
+                },
+            ],
+        },
+    }
+    p = tmp_path / "tokenizer.json"
+    p.write_text(json.dumps(tj))
+    tk = tokenizer_from_hf_json(str(p))
+    assert tk.bos_token == n0 + 2
+    assert tk.eos_token == n0 + 3
+
+    # no template -> fallback still restricted to declared specials
+    tj2 = {
+        "model": {"type": "BPE", "vocab": vocab, "merges": []},
+        "added_tokens": [
+            {"id": n0, "content": "<|im_end|>", "special": True},
+        ],
+    }
+    p2 = tmp_path / "t2.json"
+    p2.write_text(json.dumps(tj2))
+    tk2 = tokenizer_from_hf_json(str(p2))
+    assert tk2.eos_token == n0
