@@ -55,6 +55,14 @@ def qmatmul(x, qt: QTensor, compute_dtype=jnp.float32, layer=None):
                                         act_quant=_ACT_QUANT)
         if out is not None:
             return out
+        if qt.kind in gemm_quant.SCHEMES:  # f32/f16 are XLA-path by design
+            from ..utils import log_fallback
+
+            log_fallback(
+                "qmatmul",
+                f"{qt.kind.name} shape={tuple(qt.shape)} "
+                f"{'no kernel layout' if not gemm_quant.is_repacked(qt) else 'shape ineligible'}",
+            )
     if layer is not None:
         qt = QTensor(
             qt.kind,

@@ -255,6 +255,10 @@ def paged_decode_attention(q, k_pages, v_pages, page_table, lengths, scale: floa
         return None
     KV = k_pages.shape[1]
     if H % KV or hd % 128 or k_pages.shape[2] != BK:
+        from ...utils import log_fallback
+
+        log_fallback("paged_decode_attention",
+                     f"H={H} KV={KV} hd={hd} page={k_pages.shape[2]}")
         return None
     G = H // KV
     out = _run_paged(q.reshape(B, KV, G, hd), k_pages, v_pages, page_table,
@@ -277,7 +281,17 @@ def decode_attention(q, k_cache, v_cache, pos, scale: float,
     if T != 1:
         return None
     KV, S = k_cache.shape[1], k_cache.shape[2]
+    # hd must be a 128 multiple here: the in-kernel DMA slices (BK, hd)
+    # chunks out of the lane-tiled HBM cache, and Mosaic cannot slice a
+    # partial lane tile (verified on-chip: hd=80 fails lowering — unlike
+    # flash_attention, whose BlockSpec path lane-pads hd=80 fine). Odd
+    # head sizes (phi2's 80) decode on the XLA path and say so once.
     if H % KV or hd % 128 or S % BK:
+        from ...utils import log_fallback
+
+        log_fallback("decode_attention",
+                     f"H={H} KV={KV} hd={hd} S={S} (need H%KV==0, "
+                     f"hd%128==0, S%{BK}==0)")
         return None
     G = H // KV
     qg = q.reshape(B, KV, G, hd)

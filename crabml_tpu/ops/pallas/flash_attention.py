@@ -148,13 +148,22 @@ def flash_attention(q, k_cache, v_cache, pos, scale: float, force: bool = False,
     B, T, H, hd = q.shape
     KV, S = k_cache.shape[1], k_cache.shape[2]
     s_lim = min(s_limit or S, S)
-    if H % KV or hd % 64 or hd > 512:
+    # hd is always a FULL minor block dim (lane-padded by Mosaic), so odd
+    # head sizes like phi2's 80 run the kernel instead of falling back
+    if H % KV or hd % 8 or hd > 512:
+        from ...utils import log_fallback
+
+        log_fallback("flash_attention",
+                     f"H={H} KV={KV} hd={hd} (need H%KV==0, hd%8==0, hd<=512)")
         return None
     if T * s_lim < (3 << 19) and not force:  # ~1.5M: XLA wins below this
-        return None
+        return None  # deliberate heuristic, not a capability gap: no log
     bq = 256 if T % 256 == 0 else 128 if T % 128 == 0 else None
     bk = 256 if s_lim % 256 == 0 else 128 if s_lim % 128 == 0 else None
     if bq is None or bk is None:
+        from ...utils import log_fallback
+
+        log_fallback("flash_attention", f"T={T} S={s_lim} not 128-tileable")
         return None
     G = H // KV
     qg = q.reshape(B, T, KV, G, hd).transpose(0, 2, 3, 1, 4)  # (B, KV, G, T, hd)

@@ -9,6 +9,25 @@ def bucket(n: int, minimum: int = 8) -> int:
     return b
 
 
+_seen_fallbacks: set = set()
+
+
+def log_fallback(site: str, detail: str):
+    """Log ONCE per (site, detail) when a hot path silently drops from a
+    Pallas kernel to the XLA fallback (VERDICT r2 #6: phi2-shaped models
+    used to decode on the fallback with nothing logged). Runs at trace
+    time, so it fires once per compiled shape, not per step."""
+    key = (site, detail)
+    if key in _seen_fallbacks:
+        return
+    _seen_fallbacks.add(key)
+    import logging
+
+    logging.getLogger("crabml_tpu").warning(
+        "pallas fallback at %s: %s (XLA path used)", site, detail
+    )
+
+
 def enable_compilation_cache(path: str | None = None):
     """Persistent XLA compilation cache: kills the cold-start recompile.
 

@@ -36,3 +36,50 @@ def test_flash_fallback_shapes():
     k = jnp.zeros((1, 4, 200, 64))
     v = jnp.zeros((1, 4, 200, 64))
     assert flash_attention(q, k, v, jnp.zeros(1, jnp.int32), 1.0) is None
+
+
+def test_eligibility_matrix_and_fallback_log(caplog):
+    """VERDICT r2 #6: pin which shapes take which path, and that silent
+    fallbacks log once. flash takes hd=80 (verified numerically on-chip);
+    the DMA decode kernel requires hd%128 and must LOG when it refuses."""
+    import logging
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.ops.pallas.decode_attention import decode_attention
+    from crabml_tpu.ops.pallas.flash_attention import flash_attention
+    from crabml_tpu import utils as _u
+
+    rng = np.random.default_rng(0)
+    B, H, KV, T = 1, 8, 4, 256
+
+    def mk(hd, S=256):
+        q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+        return q, k, v
+
+    _u._seen_fallbacks.clear()
+    with caplog.at_level(logging.WARNING, logger="crabml_tpu"):
+        # decode: hd=128 eligible, hd=80 refused WITH a log line
+        q, k, v = mk(128)
+        assert decode_attention(q, k, v, jnp.asarray([5]), 0.1) is not None
+        q, k, v = mk(80)
+        assert decode_attention(q, k, v, jnp.asarray([5]), 0.1) is None
+        assert any("decode_attention" in r.message for r in caplog.records)
+        n_logs = len(caplog.records)
+        # logged once per shape, not per call
+        decode_attention(q, k, v, jnp.asarray([5]), 0.1)
+        assert len(caplog.records) == n_logs
+
+    # flash: hd=80 eligible (full-minor lane padding), hd=81 not
+    qp = jnp.asarray(rng.standard_normal((B, T, H, 80)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((B, KV, T, 80)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((B, KV, T, 80)), jnp.float32)
+    assert flash_attention(qp, kp, vp, jnp.zeros(B, jnp.int32), 0.1,
+                           force=True) is not None
+    qb = jnp.asarray(rng.standard_normal((B, T, H, 81)), jnp.float32)
+    kb = jnp.asarray(rng.standard_normal((B, KV, T, 81)), jnp.float32)
+    assert flash_attention(qb, kb, kb, jnp.zeros(B, jnp.int32), 0.1,
+                           force=True) is None
