@@ -23,10 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_weights_fast(cfg, typ, backend="xla"):
+def build_weights_fast(cfg, typ, backend="xla", prefill_w8=False):
     """Random planar weights directly on device (no slow host encode)."""
     from crabml_tpu.quant.planar import QTensor, random_planar
-    from crabml_tpu.ops.pallas.gemm_quant import random_repacked
+    from crabml_tpu.ops.pallas.gemm_quant import augment_w8, random_repacked
 
     rng = np.random.default_rng(0)
     D, HD, V, L, kv = (
@@ -39,7 +39,10 @@ def build_weights_fast(cfg, typ, backend="xla"):
 
     # bf16 scales: lossless under bf16 compute, ~15% fewer Q4_K bytes
     if backend in ("pallas", "w4a8"):
-        make = lambda typ, shape, rng: random_repacked(typ, shape, rng, scale_dtype="bf16")
+        def make(typ, shape, rng):
+            qt = random_repacked(typ, shape, rng, scale_dtype="bf16")
+            # augment BEFORE the layer broadcast: one host requant, L views
+            return augment_w8(qt) if prefill_w8 else qt
     else:
         make = random_planar
 
@@ -129,12 +132,14 @@ def measured_bw(mb=512, iters=20):
     return x.nbytes / dt
 
 
-def load_gguf_weights(path, backend):
-    """The REAL model path: mmap -> native repack -> planar pytree -> device.
-    Returns (weights, cfg, phase timings dict)."""
+def load_gguf_weights(path, backend, prefill_w8=False):
+    """The REAL model path: mmap -> native repack [-> disk plane cache]
+    -> planar pytree -> device. Returns (weights, cfg, phase timings)."""
     from crabml_tpu.gguf.reader import GGUFFile
     from crabml_tpu.models.config import config_from_gguf
-    from crabml_tpu.models.weights import fuse_weights, load_weights, repack_weights
+    from crabml_tpu.models.weights import (augment_w8_weights, fuse_weights,
+                                           load_weights, repack_weights)
+    from crabml_tpu.runtime import weight_cache as _wc
 
     t = {}
     t0 = time.perf_counter()
@@ -144,10 +149,21 @@ def load_gguf_weights(path, backend):
     t0 = time.perf_counter()
     kern = backend in ("pallas", "w4a8")
     layout = "kernel" if kern else "planar"
-    host = load_weights(gf, cfg, layout, "bf16" if kern else np.float32)
-    host = fuse_weights(host, cfg)
-    if kern:
-        host = repack_weights(host, cfg)
+    # same disk plane cache the Runner uses: warm bench runs skip the repack
+    wc_root = _wc.default_root()
+    wc_key = _wc.cache_key(path, layout, "bf16" if kern else "float32")
+    host = _wc.load(wc_root, wc_key)
+    t["cache_hit"] = host is not None
+    if host is None:
+        host = load_weights(gf, cfg, layout, "bf16" if kern else np.float32)
+        host = fuse_weights(host, cfg)
+        if kern:
+            host = repack_weights(host, cfg)
+        _wc.save(wc_root, wc_key, host)
+    if prefill_w8 and kern:
+        tw = time.perf_counter()
+        host = augment_w8_weights(host)
+        t["w8_augment_s"] = round(time.perf_counter() - tw, 2)
     t["repack_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     weights = jax.tree.map(jax.device_put, host)
@@ -191,10 +207,16 @@ def main():
                     help="decode: B=1 latency (headline); serving: aggregate "
                          "slot-batch throughput; prefill: prompt tokens/sec; "
                          "coldstart: full real-GGUF start -> first token")
-    ap.add_argument("--gguf", default=None,
-                    help="benchmark REAL weights loaded from this GGUF file "
-                         "instead of synthetic device arrays ('auto' builds/"
-                         "uses the cached full-size synthetic file)")
+    ap.add_argument("--gguf", default="auto",
+                    help="GGUF file to benchmark (default 'auto': build/use "
+                         "the cached full-size synthetic file, so every "
+                         "number rides the real mmap->repack->device path; "
+                         "'none' = synthetic device arrays, layout-faithful "
+                         "but skipping the file path)")
+    ap.add_argument("--prefill-w8", action="store_true", default=None,
+                    help="attach W8 prefill planes (int8 storage, unpack-"
+                         "free prefill tiles; +8 bits/weight HBM). Default: "
+                         "on for --mode prefill, off otherwise")
     args = ap.parse_args()
 
     from crabml_tpu.gguf.constants import GGMLType
@@ -274,13 +296,18 @@ def main():
         cfg = tiny_config()
 
     B = args.batch
-    if args.gguf:
+    if args.prefill_w8 is None:
+        args.prefill_w8 = args.mode == "prefill"
+    use_w8 = args.prefill_w8 and args.backend in ("pallas", "w4a8")
+    if args.gguf and args.gguf != "none":
         path = (default_synth_gguf(args.model, args.quant)
                 if args.gguf == "auto" else args.gguf)
-        weights, cfg, load_t = load_gguf_weights(path, args.backend)
+        weights, cfg, load_t = load_gguf_weights(path, args.backend,
+                                                 prefill_w8=use_w8)
         print(f"loaded {path}: {load_t}", file=sys.stderr)
     else:
-        weights = build_weights_fast(cfg, typ, backend=args.backend)
+        weights = build_weights_fast(cfg, typ, backend=args.backend,
+                                     prefill_w8=use_w8)
     cache = KVCache.create(cfg, B, 1024, jnp.bfloat16)
     compute = jnp.bfloat16
 

@@ -53,6 +53,72 @@ def _chunk_nll(weights, cfg, ids, compute_dtype, pad_to: int):
     return float(nll), T - 1
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "T"))
+def _nll_decode_jit(weights, tokens, cfg, compute_dtype, T):
+    """NLL accumulated through T-1 single-token DECODE steps (T=1 forwards
+    over a growing cache) — exercises the decode kernel path (W4A8, int8
+    KV, decode attention) that a whole-window prefill never touches."""
+    from ..models.forward import KVCache, forward
+
+    cache = KVCache.create(cfg, 1, T, compute_dtype)
+
+    def step(carry, t):
+        cache, nll = carry
+        tok = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1)  # (1, 1)
+        logits, cache = forward(weights, cache, tok,
+                                jnp.full((1,), t, jnp.int32), cfg,
+                                compute_dtype)
+        logp = jax.nn.log_softmax(logits[0, 0].astype(jnp.float32))
+        tgt = jax.lax.dynamic_slice_in_dim(tokens, t + 1, 1, axis=1)[0, 0]
+        return (cache, nll - logp[tgt]), None
+
+    (cache, nll), _ = jax.lax.scan(
+        step, (cache, jnp.float32(0.0)), jnp.arange(T - 1)
+    )
+    return nll
+
+
+def decode_perplexity(runner, text: str, window: int | None = None) -> dict:
+    """Perplexity measured through the DECODE path (T=1 steps), so the
+    result gates the decode kernels end to end — the W4A8 default path's
+    accuracy number (VERDICT r2 #8), not just the prefill kernels'."""
+    ids: list[int] = []
+    for para in text.split("\n\n"):
+        if para.strip():
+            ids.extend(runner.tokenizer.encode(para, bos=not ids))
+    window = min(window or runner.seq_len, runner.seq_len, 256)
+    total_nll, total_tok = 0.0, 0
+    for i in range(0, max(len(ids) - 1, 1), window):
+        chunk = ids[i : i + window + 1]
+        if len(chunk) < 2:
+            break
+        padded = np.zeros((1, window + 1), np.int32)
+        padded[0, : len(chunk)] = chunk
+        # fixed T per compile; padded tail contributes garbage rows we trim
+        # by evaluating only len(chunk)-1 targets when chunk is short
+        if len(chunk) == window + 1:
+            nll = float(_nll_decode_jit(runner.weights, jnp.asarray(padded),
+                                        cfg=runner.cfg,
+                                        compute_dtype=runner.compute_dtype,
+                                        T=window + 1))
+            n = window
+        else:
+            nll = float(_nll_decode_jit(runner.weights,
+                                        jnp.asarray(padded[:, : len(chunk)]),
+                                        cfg=runner.cfg,
+                                        compute_dtype=runner.compute_dtype,
+                                        T=len(chunk)))
+            n = len(chunk) - 1
+        total_nll += nll
+        total_tok += n
+    return {
+        "nll_per_token": total_nll / max(total_tok, 1),
+        "perplexity": float(np.exp(total_nll / max(total_tok, 1))),
+        "tokens": total_tok,
+        "path": "decode",
+    }
+
+
 def perplexity(runner, text: str, window: int | None = None) -> dict:
     """Token-level perplexity of `text` under a Runner's model.
 
@@ -84,13 +150,19 @@ def perplexity(runner, text: str, window: int | None = None) -> dict:
 
 
 def quant_sweep(model_path: str, text: str, schemes: list[str], seq_len: int = 256,
-                backend: str | None = None) -> dict:
+                backend: str | None = None, path: str = "prefill",
+                prefill_w8: bool = False) -> dict:
     """Re-quantize every matmul weight of `model_path` to each scheme and
     measure perplexity deltas vs the original model.
 
     Writes temp GGUFs via GGUFWriter + codecs.quantize (the encode path the
     reference only has for activations/tests) and runs the full engine on
     each — an end-to-end gate on codec+kernel+layout per scheme.
+
+    `path="decode"` evaluates through T=1 decode steps so the number gates
+    the decode kernels (the W4A8 default) instead of the prefill kernels;
+    `prefill_w8` attaches the W8 prefill planes, gating THAT path.
+    The resolved backend/path are recorded in the result (VERDICT r2 #8).
     """
     import tempfile
 
@@ -99,8 +171,24 @@ def quant_sweep(model_path: str, text: str, schemes: list[str], seq_len: int = 2
     from ..gguf.writer import requantize_gguf
     from ..runtime.runner import Runner
 
-    base = Runner(model_path, seq_len=seq_len, backend=backend)
-    results = {"f32_baseline": perplexity(base, text)}
+    eval_fn = decode_perplexity if path == "decode" else perplexity
+
+    def mk_runner(p):
+        return Runner(p, seq_len=seq_len, backend=backend,
+                      prefill_w8=prefill_w8)
+
+    base = mk_runner(model_path)
+    from ..ops import matmul as _mm
+
+    resolved = _mm._BACKEND if backend in (None, "auto") else backend
+    if _mm._ACT_QUANT:
+        resolved = "w4a8"
+    results = {
+        "backend": resolved,
+        "path": path,
+        "prefill_w8": prefill_w8,
+        "f32_baseline": eval_fn(base, text),
+    }
     base_ppl = results["f32_baseline"]["perplexity"]
 
     import os
@@ -111,8 +199,7 @@ def quant_sweep(model_path: str, text: str, schemes: list[str], seq_len: int = 2
             tmp = f.name
         try:
             n_req = requantize_gguf(model_path, tmp, typ)
-            r = Runner(tmp, seq_len=seq_len, backend=backend)
-            res = perplexity(r, text)
+            res = eval_fn(mk_runner(tmp), text)
         finally:
             os.unlink(tmp)  # a 7B sweep would otherwise strand GBs in /tmp
         res["tensors_requantized"] = n_req
@@ -132,6 +219,11 @@ def main(argv=None):
     ap.add_argument("--seq-len", type=int, default=256)
     ap.add_argument("--backend", default=None,
                     choices=[None, "xla", "pallas", "w4a8"])
+    ap.add_argument("--path", default="prefill", choices=["prefill", "decode"],
+                    help="decode: T=1 steps, gates the decode kernels "
+                         "(the W4A8 default path)")
+    ap.add_argument("--prefill-w8", action="store_true",
+                    help="attach + gate the W8 prefill planes")
     args = ap.parse_args(argv)
 
     if args.text:
@@ -147,11 +239,15 @@ def main(argv=None):
 
     if args.sweep:
         out = quant_sweep(args.model, text, args.sweep.split(","),
-                          seq_len=args.seq_len, backend=args.backend)
+                          seq_len=args.seq_len, backend=args.backend,
+                          path=args.path, prefill_w8=args.prefill_w8)
     else:
         from ..runtime.runner import Runner
 
-        out = perplexity(Runner(args.model, seq_len=args.seq_len, backend=args.backend), text)
+        r = Runner(args.model, seq_len=args.seq_len, backend=args.backend,
+                   prefill_w8=args.prefill_w8)
+        eval_fn = decode_perplexity if args.path == "decode" else perplexity
+        out = eval_fn(r, text)
     print(json.dumps(out, indent=2))
 
 

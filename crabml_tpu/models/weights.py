@@ -150,6 +150,23 @@ def repack_weights(weights: dict, cfg: ModelConfig | None = None) -> dict:
     return out
 
 
+def augment_w8_weights(weights: dict) -> dict:
+    """Attach W8 prefill planes (int8 weights + per-chunk scales) to every
+    repacked layer matmul + the output head — the unpack-free prefill path
+    (ops.pallas.gemm_quant.augment_w8). token_embed stays untouched (gather
+    path). Costs +8 bits/weight of HBM; callers opt in (Runner prefill_w8)."""
+    from ..ops.pallas.gemm_quant import augment_w8
+
+    out = dict(weights)
+    out["layers"] = {
+        name: (augment_w8(val) if isinstance(val, QTensor) else val)
+        for name, val in weights["layers"].items()
+    }
+    if isinstance(weights.get("output"), QTensor):
+        out["output"] = augment_w8(weights["output"])
+    return out
+
+
 def load_weights(
     gf: GGUFFile, cfg: ModelConfig, layout: str = "planar", scale_dtype=np.float32
 ) -> dict:

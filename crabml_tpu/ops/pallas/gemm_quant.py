@@ -64,6 +64,7 @@ TM = 256
 TK_CHOICES = (1024, 512, 256)  # k elements per grid step (k pads up to a multiple)
 MAX_PAD_FRAC = 0.04  # accept <=4% zero-padding of k to use a bigger TK
 B_PAD = 8
+W8_MIN_ROWS = 256  # padded row count above which W8 prefill planes win
 
 
 @dataclass(frozen=True)
@@ -403,6 +404,189 @@ def repack(qt: QTensor, scale_dtype=np.float32) -> QTensor | None:
 
 
 # ---------------------------------------------------------------------------
+# W8 prefill planes: host-requantized int8 weights for compute-bound batches
+# ---------------------------------------------------------------------------
+#
+# The decode kernels win by streaming the fewest bytes; prefill is MXU-bound
+# instead, and the bf16 path spends ~40% of each tile on VPU unpack+dequant
+# (BASELINE r2: 59% of the chip's matmul rate). These planes trade bytes for
+# compute: the EXACT dequantized weights are requantized once on the host to
+# int8 with one scale per (output column, W8_KSC-deep k-chunk). The kernel
+# converts the int8 tile to bf16 (ONE VPU op/element — no strided unpack,
+# no per-element scale multiply) and applies the scale to the (TB, TM)
+# OUTPUT tile once per k-step. Compute stays bf16: measured on this v5e,
+# int8 MXU dots run no faster than bf16 through XLA, and Mosaic's int8
+# dot_general is ~6x SLOWER (emulated) — so int8 here buys storage + VPU
+# savings, not MXU rate. Second-quantization error is bounded by
+# max|w|/254 per chunk — well under the 4-6 bit schemes' own step (gated
+# end to end by the perplexity sweep). Storage: +8 bits/weight in HBM, so
+# this is opt-in (Runner prefill_w8 / bench --prefill-w8).
+
+
+W8_KSC = 512  # k elements per W8 scale chunk == kernel k-step
+
+
+def w_from_kernel_planes(qt: QTensor, layer: int | None = None) -> np.ndarray:
+    """Exact dequantized weights (m, k) reconstructed from KERNEL-layout
+    planes (reverses `repack`; also used by tests). For stacked tensors
+    pass `layer`."""
+    s = SCHEMES[qt.kind]
+    p = qt.planes
+    if layer is not None:
+        p = {n: np.asarray(v[layer]) for n, v in p.items()}
+        _, m, k = qt.shape
+    else:
+        p = {n: np.asarray(v) for n, v in p.items()}
+        m, k = qt.m, qt.k
+    dsub = p["dsub"]
+    MT, S, G, _ = dsub.shape
+    tk = G * s.gr
+    kpad = S * tk
+
+    vals = None
+    bit_base = 0
+    for idx, pbits in enumerate(s.planes):
+        plane = p[f"q{idx}"]
+        if pbits == 8:
+            v = plane.astype(np.int32)  # (MT, kpad, TM)
+        else:
+            P = 8 // pbits
+            TKp = tk // P
+            sub = plane.reshape(MT, S, TKp, -1)  # TM lanes
+            parts = [
+                (sub >> (pp * pbits)) & ((1 << pbits) - 1) for pp in range(P)
+            ]
+            v = np.concatenate(parts, axis=2).reshape(MT, kpad, plane.shape[-1])
+            v = v.astype(np.int32)
+        vals = v if vals is None else vals | (v << bit_base)
+        bit_base += pbits
+
+    w = (vals - s.off).astype(np.float32)
+    dexp = np.repeat(dsub.astype(np.float32), s.gr, axis=2).reshape(MT, kpad, -1)
+    w = w * dexp
+    if "msub" in p:
+        mexp = np.repeat(p["msub"].astype(np.float32), s.gr, axis=2).reshape(
+            MT, kpad, -1
+        )
+        w = w + mexp
+    # (MT, kpad, TM) -> (m, kpad) -> trim the zero-padded k tail
+    w = w.transpose(0, 2, 1).reshape(m, kpad)
+    return w[:, :k]
+
+
+def w8_planes_from_weights(w: np.ndarray, ksc: int = W8_KSC):
+    """(m, k) exact weights -> {"w8": (m/TM, kpad8, TM) int8,
+    "dw": (m/TM, S8, 1, TM) f32} — per-(column, ksc-chunk) symmetric int8."""
+    m, k = w.shape
+    S8 = -(-k // ksc)
+    kpad8 = S8 * ksc
+    if kpad8 != k:
+        w = np.pad(w, ((0, 0), (0, kpad8 - k)))
+    wc = w.reshape(m, S8, ksc)
+    s8 = np.abs(wc).max(axis=2) / 127.0  # (m, S8)
+    inv = np.where(s8 > 0, 1.0 / np.maximum(s8, 1e-30), 0.0)
+    w8 = np.clip(np.rint(wc * inv[:, :, None]), -127, 127).astype(np.int8)
+    MT = m // TM
+    w8_t = np.ascontiguousarray(
+        w8.reshape(MT, TM, kpad8).transpose(0, 2, 1)
+    )  # m-tiled k-major, same contract as the q planes
+    dw = np.ascontiguousarray(
+        s8.astype(np.float32).reshape(MT, TM, S8, 1).transpose(0, 2, 3, 1)
+    )  # (MT, S8, 1, TM): G=1 scale sweep, same contract as dsub
+    return {"w8": w8_t, "dw": dw}
+
+
+def augment_w8(qt: QTensor, ksc: int = W8_KSC) -> QTensor:
+    """Attach W8 prefill planes to a repacked QTensor (stacked or not).
+    No-op (returns qt) when not kernel-layout or already augmented."""
+    if not is_repacked(qt) or "w8" in qt.planes:
+        return qt
+    stacked = len(qt.shape) == 3
+    if (qt.shape[-2] % TM) or qt.kind not in SCHEMES:
+        return qt
+    if stacked:
+        per = [
+            w8_planes_from_weights(w_from_kernel_planes(qt, layer=l), ksc)
+            for l in range(qt.shape[0])
+        ]
+        new = {
+            name: np.stack([d[name] for d in per])
+            for name in ("w8", "dw")
+        }
+    else:
+        new = w8_planes_from_weights(w_from_kernel_planes(qt), ksc)
+    return QTensor(qt.kind, qt.shape, {**qt.planes, **new})
+
+
+def _qmm_w8_kernel(*refs, stacked: bool):
+    """int8-storage bf16-compute: o += (x_bf16 . w8_bf16) * dw[col].
+    One convert per weight element, one scale FMA per output element."""
+    refs = refs[1:] if stacked else refs
+    x_ref, w8_ref, dw_ref, o_ref = refs
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    ig = jax.lax.dot_general(
+        x_ref[:], _sq2(w8_ref).astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (TB, TM) f32 partial over this k-chunk
+    dw = _sq2(dw_ref)  # (1, TM)
+    o_ref[:] += ig * dw
+
+
+@functools.partial(jax.jit, static_argnames=("m", "tk", "stacked"))
+def _run_w8(m: int, tk: int, stacked: bool, x2, layer, *planes):
+    B, kpad = x2.shape
+    TB = min(B, 512)
+    grid = (B // TB, m // TM, kpad // tk)
+    MT = m // TM
+
+    if stacked:  # fold L into the m-tile axis (see _run)
+        planes = tuple(p.reshape((-1,) + tuple(p.shape[2:])) for p in planes)
+
+    def vspec(core_shape, core_imap):
+        if stacked:
+            imap = lambda b, i, j, l_ref: core_imap(b, l_ref[0] * MT + i, j)
+        else:
+            imap = core_imap
+        return pl.BlockSpec(core_shape, imap, memory_space=pltpu.VMEM)
+
+    def flat(core_shape, core_imap):
+        if stacked:
+            imap = lambda b, i, j, l_ref: core_imap(b, i, j)
+        else:
+            imap = core_imap
+        return pl.BlockSpec(core_shape, imap, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        flat((TB, tk), lambda b, i, j: (b, j)),        # x (bf16)
+        vspec((1, tk, TM), lambda b, i, j: (i, j, 0)),  # w8
+        vspec((1, 1, 1, TM), lambda b, i, j: (i, j, 0, 0)),  # dw
+    ]
+    kernel = functools.partial(_qmm_w8_kernel, stacked=stacked)
+    out_shape = jax.ShapeDtypeStruct((B, m), jnp.float32)
+    interp = jax.default_backend() != "tpu"
+    if stacked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((TB, TM), lambda b, i, j, l_ref: (b, i),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
+                              interpret=interp)(
+            jnp.asarray(layer, jnp.int32)[None], x2, *planes
+        )
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((TB, TM), lambda b, i, j: (b, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interp,
+    )(x2, *planes)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -617,14 +801,25 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None,
     p = qt.planes
     qplanes = [p[f"q{i}"] for i in range(len(s.planes))]
     splanes = [p["dsub"]] + ([p["msub"]] if s.has_min else [])
-    # W4A8 wins where weights dominate the traffic (decode-class batches):
-    # its per-group int8 dots are depth-32 on the MXU, so at prefill-class
-    # row counts the big bf16 dots are 2.6x faster (measured). Route by
-    # padded row count; B_PAD rows == B<=8 decode tiles.
+    # Routing by padded row count (all measured on the v5e):
+    # - decode-class (<= B_PAD rows) + act_quant: W4A8 — fewest bytes wins
+    # - prefill-class (>= W8_MIN_ROWS) with W8 planes present: depth-KSC
+    #   int8 MXU dots, no unpack — compute-bound regime, 2x the bf16 rate
+    # - otherwise: bf16 dequant kernels
     if act_quant and x2.shape[0] <= B_PAD:
         xq, dx, sx = quantize_activation(x2, s.gr, tk)
         out = _run_w4a8(kind, m, tk, stacked, xq, dx, sx,
                         layer if stacked else 0, *qplanes, *splanes)
+    elif "w8" in p and x2.shape[0] >= W8_MIN_ROWS:
+        w8, dw = p["w8"], p["dw"]
+        S8 = dw.shape[-3]
+        tk8 = w8.shape[-2] // S8
+        x8 = x.reshape(B, k).astype(jnp.bfloat16)
+        if Bp != B:
+            x8 = jnp.pad(x8, ((0, Bp - B), (0, 0)))
+        x8 = _pad_x(x8, tk8)
+        out = _run_w8(m, tk8, stacked, x8,
+                      layer if stacked else 0, w8, dw)
     else:
         out = _run(kind, m, tk, compute_dtype, stacked, x2,
                    layer if stacked else 0, *qplanes, *splanes)

@@ -43,6 +43,7 @@ class Runner:
         backend: str | None = None,
         scale_dtype=None,
         weight_cache: bool | None = None,
+        prefill_w8: bool = False,
     ):
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg: ModelConfig = config_from_gguf(gf.metadata)
@@ -100,6 +101,15 @@ class Runner:
                 if weight_cache:
                     with self.metrics.track("load.cache_write"):
                         _wc.save(wc_root, wc_key, host_weights)
+            if prefill_w8 and backend in ("pallas", "w4a8"):
+                # W8 prefill planes: +8 bits/weight HBM for unpack-free
+                # prefill tiles (ops.pallas.gemm_quant.augment_w8). Opt-in;
+                # NOT covered by the weight cache key (derived determinis-
+                # tically from the cached planes, ~seconds per GB).
+                with self.metrics.track("load.w8_augment"):
+                    from ..models.weights import augment_w8_weights
+
+                    host_weights = augment_w8_weights(host_weights)
             if sharding is not None:
                 from ..parallel.tp import make_tp_forward
 

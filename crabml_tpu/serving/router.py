@@ -1,0 +1,223 @@
+"""Request router over model replicas — the DCN-facing serving front.
+
+The multi-host model (parallel.distributed): each model replica is one
+ServingEngine on its own TP group, fronted by serving.http; requests are
+the ONLY traffic that crosses hosts. This module is that request layer:
+
+- `Replica`: one backend endpoint + liveness/last-known slot state.
+- `Router`: picks a replica per request (least outstanding work, falling
+  back to round-robin on ties), forwards /v1/completions — including
+  streamed responses — and aggregates /health across replicas. Dead
+  replicas are skipped and retried with exponential backoff, so a host
+  failure degrades capacity instead of availability (the serving-side
+  analogue of SURVEY §5.3 failure detection).
+- `main()`: `python -m crabml_tpu.serving.router --replicas h1:8000,h2:8000`.
+
+Stdlib-only (http.server + urllib), matching serving.http. The reference
+has no serving layer at all (SURVEY §2.12); BASELINE.json's multi-host
+scaling target is measured through this front by tools.scaling_bench.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class Replica:
+    def __init__(self, address: str):
+        self.address = address  # "host:port"
+        self.outstanding = 0  # requests in flight through this router
+        self.dead_until = 0.0  # monotonic time; 0 = healthy
+        self.failures = 0
+        self.lock = threading.Lock()
+
+    def url(self, path: str) -> str:
+        return f"http://{self.address}{path}"
+
+    @property
+    def alive(self) -> bool:
+        return time.monotonic() >= self.dead_until
+
+    def mark_failed(self):
+        with self.lock:
+            self.failures += 1
+            backoff = min(0.5 * (2 ** min(self.failures, 6)), 30.0)
+            self.dead_until = time.monotonic() + backoff
+
+    def mark_ok(self):
+        with self.lock:
+            self.failures = 0
+            self.dead_until = 0.0
+
+
+class Router:
+    """Least-outstanding-work request routing across replicas."""
+
+    def __init__(self, addresses: list[str], timeout: float = 300.0):
+        if not addresses:
+            raise ValueError("router needs at least one replica address")
+        self.replicas = [Replica(a) for a in addresses]
+        self.timeout = timeout
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    def pick(self) -> Replica | None:
+        """Least outstanding among alive replicas; round-robin tiebreak."""
+        with self._lock:
+            alive = [r for r in self.replicas if r.alive]
+            if not alive:
+                # all backing off: optimistically retry the least-recently
+                # failed instead of refusing (it may be back)
+                alive = sorted(self.replicas, key=lambda r: r.dead_until)[:1]
+            best = min(r.outstanding for r in alive)
+            candidates = [r for r in alive if r.outstanding == best]
+            r = candidates[self._rr % len(candidates)]
+            self._rr += 1
+            r.outstanding += 1
+            return r
+
+    def release(self, r: Replica):
+        with self._lock:
+            r.outstanding = max(0, r.outstanding - 1)
+
+    # -- forwarding --------------------------------------------------------
+
+    def forward(self, payload: dict):
+        """Forward one completion request; returns (replica, http.response).
+        Retries on the next replica when one is unreachable."""
+        body = json.dumps(payload).encode()
+        last_err = None
+        for _ in range(len(self.replicas) + 1):
+            r = self.pick()
+            req = urllib.request.Request(
+                r.url("/v1/completions"), data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                resp = urllib.request.urlopen(req, timeout=self.timeout)
+                r.mark_ok()
+                return r, resp
+            except (urllib.error.URLError, ConnectionError, OSError) as e:
+                self.release(r)
+                r.mark_failed()
+                last_err = e
+        raise ConnectionError(f"no replica reachable: {last_err}")
+
+    def health(self) -> dict:
+        out = {"replicas": [], "slots_total": 0, "slots_busy": 0,
+               "tokens_generated": 0}
+        for r in self.replicas:
+            info = {"address": r.address, "alive": r.alive,
+                    "outstanding": r.outstanding}
+            try:
+                with urllib.request.urlopen(r.url("/health"), timeout=5) as h:
+                    data = json.loads(h.read())
+                info.update(data)
+                out["slots_total"] += data.get("slots_total", 0)
+                out["slots_busy"] += data.get("slots_busy", 0)
+                out["tokens_generated"] += data.get("tokens_generated", 0)
+                r.mark_ok()
+            except (urllib.error.URLError, ConnectionError, OSError):
+                info["alive"] = False
+                r.mark_failed()
+            out["replicas"].append(info)
+        out["status"] = "ok" if any(x["alive"] for x in out["replicas"]) else "down"
+        return out
+
+
+def make_handler(router: Router):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, router.health())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/completions", "/generate"):
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            try:
+                replica, resp = router.forward(payload)
+            except ConnectionError as e:
+                self._json(503, {"error": str(e)})
+                return
+            try:
+                ctype = resp.headers.get("Content-Type", "application/json")
+                if payload.get("stream"):
+                    # pass the replica's chunked event stream through as-is
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    while True:
+                        piece = resp.read(4096)
+                        if not piece:
+                            break
+                        self.wfile.write(
+                            f"{len(piece):X}\r\n".encode() + piece + b"\r\n"
+                        )
+                    self.wfile.write(b"0\r\n\r\n")
+                else:
+                    data = resp.read()
+                    self.send_response(resp.status)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+            finally:
+                resp.close()
+                router.release(replica)
+
+    return Handler
+
+
+def serve(router: Router, host: str = "0.0.0.0", port: int = 8080):
+    server = ThreadingHTTPServer((host, port), make_handler(router))
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="crabml-tpu-router")
+    ap.add_argument("--replicas", required=True,
+                    help="comma list of replica host:port addresses")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+    router = Router(args.replicas.split(","))
+    print(f"routing over {len(router.replicas)} replicas on "
+          f"{args.host}:{args.port}")
+    serve(router, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

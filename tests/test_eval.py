@@ -48,3 +48,22 @@ def test_quant_sweep_kquants_synthetic(tmp_path):
     # K-quants on random weights: ppl finite and q6 at least as faithful as q4
     assert out["q6_k"]["perplexity"] > 0
     assert abs(out["q6_k"]["rel_delta"]) <= abs(out["q4_k"]["rel_delta"]) + 0.05
+
+
+def test_decode_path_perplexity_matches_prefill(stories260k_path):
+    """The decode-path NLL (T=1 steps) must agree with the prefill-window
+    NLL at f32 — same math, different kernels. Also pins the sweep's new
+    backend/path provenance fields (VERDICT r2 #8)."""
+    from crabml_tpu.eval.perplexity import decode_perplexity
+
+    r = Runner(stories260k_path, seq_len=128)
+    pre = perplexity(r, TEXT)
+    dec = decode_perplexity(r, TEXT)
+    assert abs(dec["perplexity"] - pre["perplexity"]) / pre["perplexity"] < 0.02
+    assert dec["path"] == "decode"
+
+    out = quant_sweep(stories260k_path, TEXT, ["q8_0"], seq_len=128,
+                      path="decode")
+    assert out["path"] == "decode"
+    assert "backend" in out
+    assert abs(out["q8_0"]["rel_delta"]) < 0.02

@@ -137,3 +137,71 @@ def test_w4a8_stacked_layer_prefetch():
         want = x @ np.asarray(dequant_jnp(qt1)).T
         rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
         assert rel < 0.012, f"layer {l}: {rel}"
+
+
+def test_w_from_kernel_planes_roundtrip():
+    """Kernel-layout planes reconstruct the exact dequantized weights
+    (the W8 prefill path requantizes from this reconstruction)."""
+    for typ in (GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q5_0, GGMLType.Q8_0):
+        rng = np.random.default_rng(int(typ))
+        m, k = 256, 768
+        w = rng.standard_normal((m, k)).astype(np.float32) * 0.1
+        qt = to_planar(typ, quantize(typ, w), (m, k))
+        want = np.asarray(dequant_jnp(qt), np.float32)
+        rqt = gemm_quant.repack(qt)
+        got = gemm_quant.w_from_kernel_planes(rqt)
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("typ", [GGMLType.Q4_K, GGMLType.Q8_0, GGMLType.Q3_K],
+                         ids=lambda t: t.name)
+def test_w8_prefill_kernel_accuracy(typ):
+    """W8 prefill path (depth-KSC int8 dots): end-to-end error vs the
+    exact dequant matmul stays within the W4A8-class budget."""
+    rng = np.random.default_rng(int(typ) + 7)
+    m, k = 512, 1024
+    B = 512  # prefill-class rows: routed to the W8 kernel
+    w = rng.standard_normal((m, k)).astype(np.float32) * 0.1
+    x = rng.standard_normal((B, k)).astype(np.float32)
+    qt = to_planar(typ, quantize(typ, w), (m, k))
+    want = x @ np.asarray(dequant_jnp(qt)).T
+
+    rqt = gemm_quant.augment_w8(gemm_quant.repack(qt))
+    assert "w8" in rqt.planes and "dw" in rqt.planes
+    got = gemm_quant.qmatmul_pallas(jnp.asarray(x, jnp.bfloat16), rqt,
+                                    jnp.bfloat16)
+    got = np.asarray(got, np.float32)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 0.015, f"{typ.name}: W8 rel err {rel}"
+
+    # small batches must NOT route through W8 (bandwidth regime)
+    x1 = jnp.asarray(x[:2], jnp.bfloat16)
+    got1 = np.asarray(gemm_quant.qmatmul_pallas(x1, rqt, jnp.bfloat16),
+                      np.float32)
+    rel1 = np.abs(got1 - want[:2]).max() / np.abs(want[:2]).max()
+    assert rel1 < 0.01  # bf16-path accuracy, tighter than W8A8
+
+
+def test_w8_stacked_layer_prefetch():
+    """Stacked (lax.scan) W8 path: per-layer results equal per-layer
+    unstacked calls."""
+    typ = GGMLType.Q4_K
+    rng = np.random.default_rng(11)
+    L, m, k = 3, 256, 512
+    B = 512
+    ws = [rng.standard_normal((m, k)).astype(np.float32) * 0.1 for _ in range(L)]
+    x = rng.standard_normal((B, k)).astype(np.float32)
+
+    from crabml_tpu.quant.planar import stack_qtensors
+
+    qts = [gemm_quant.augment_w8(gemm_quant.repack(
+        to_planar(typ, quantize(typ, w), (m, k)))) for w in ws]
+    stacked = stack_qtensors(qts)
+    assert "w8" in stacked.planes
+    for l in range(L):
+        want = np.asarray(gemm_quant.qmatmul_pallas(
+            jnp.asarray(x, jnp.bfloat16), qts[l], jnp.bfloat16), np.float32)
+        got = np.asarray(gemm_quant.qmatmul_pallas(
+            jnp.asarray(x, jnp.bfloat16), stacked, jnp.bfloat16,
+            layer=jnp.int32(l)), np.float32)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
