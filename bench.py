@@ -61,11 +61,20 @@ def build_weights_fast(cfg, typ, backend="xla", prefill_w8=False):
         # load-time fused layouts, as models.weights.fuse_weights produces
         "wqkv": stacked(D + 2 * kv, D),
         "wo": stacked(D, D),
-        "wgu": stacked(2 * HD, D),
-        "ffn_down": stacked(D, HD),
         "attn_norm": jax.device_put(np.ones((L, D), np.float32)),
         "ffn_norm": jax.device_put(np.ones((L, D), np.float32)),
     }
+    if cfg.n_experts:  # mixtral-shaped: stacked expert planes (L, E*HD, D)
+        E = cfg.n_experts
+        layers["ffn_gate_inp"] = jax.device_put(
+            (np.random.default_rng(1).standard_normal((L, E, D)) * 0.02
+             ).astype(np.float32))
+        layers["ffn_gate_exps"] = stacked(E * HD, D)
+        layers["ffn_up_exps"] = stacked(E * HD, D)
+        layers["ffn_down_exps"] = stacked(E * D, HD)
+    else:
+        layers["wgu"] = stacked(2 * HD, D)
+        layers["ffn_down"] = stacked(D, HD)
     # embedding stays canonical planar — the gather path dequantizes rows and
     # only matmul weights go through the kernels
     emb = random_planar(typ, (V, D), rng)
@@ -81,18 +90,26 @@ def build_weights_fast(cfg, typ, backend="xla", prefill_w8=False):
     }
 
 
-def weight_bytes_per_token(weights):
+def weight_bytes_per_token(weights, cfg=None):
     """Actual bytes streamed from HBM per decode step: every matmul-weight
-    plane read once (embedding gather negligible)."""
+    plane read once (embedding gather negligible). MoE expert planes count
+    at K/E: B=1 decode gathers only the top-k experts' tiles
+    (models.forward.moe_ffn)."""
     from crabml_tpu.quant.planar import QTensor
 
-    total = 0
+    frac_moe = 1.0
+    if cfg is not None and cfg.n_experts:
+        frac_moe = cfg.n_experts_used / cfg.n_experts
+    total = 0.0
     items = list(weights["layers"].items()) + [("output", weights["output"])]
-    for _, val in items:
+    for name, val in items:
         if isinstance(val, QTensor):
-            for p in val.planes.values():
-                total += int(np.prod(p.shape)) * p.dtype.itemsize
-    return total
+            frac = frac_moe if name.endswith("_exps") else 1.0
+            for pn, p in val.planes.items():
+                if pn in ("w8", "dw"):
+                    continue  # prefill-only planes, never read at decode
+                total += int(np.prod(p.shape)) * p.dtype.itemsize * frac
+    return int(total)
 
 
 HBM_BW_SPEC = {
@@ -190,7 +207,7 @@ def default_synth_gguf(model, quant):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="7b", choices=["7b", "13b", "1b", "tiny"])
+    ap.add_argument("--model", default="7b", choices=["7b", "13b", "1b", "tiny", "mixtral"])
     ap.add_argument("--quant", default="q4_k")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)
@@ -291,6 +308,15 @@ def main():
         cfg = llama7b_config(
             embedding_dim=2048, hidden_dim=5632, n_layers=22, n_heads=32,
             n_kv_heads=4, vocab_size=32000, model_name="synthetic-1b",
+        )
+    elif args.model == "mixtral":
+        # mixtral-shaped MoE sized for one 16 GB chip at Q4_K (~2.6 GB):
+        # 8 experts, top-2 — decode reads top-2's planes only (the gather
+        # path), so the dense-vs-gather traffic ratio E/K is measurable
+        cfg = llama7b_config(
+            embedding_dim=2048, hidden_dim=5632, n_layers=16, n_heads=16,
+            n_kv_heads=8, vocab_size=32000, model_name="synthetic-mixtral",
+            n_experts=8, n_experts_used=2,
         )
     else:
         cfg = tiny_config()
@@ -406,7 +432,7 @@ def main():
     metric_name = f"decode_tokens_per_sec_{args.model}_{args.quant}"
     if args.mode == "serving":
         metric_name = f"serving_tokens_per_sec_{args.model}_{args.quant}"
-    bpt = weight_bytes_per_token(weights)
+    bpt = weight_bytes_per_token(weights, cfg)
     bw = measured_bw()
     roofline = bw / bpt
     spec_roofline = spec_bw() / bpt

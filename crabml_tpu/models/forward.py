@@ -149,18 +149,72 @@ def _slice_expert(qt: QTensor, e: int, rows_per_expert: int) -> QTensor:
     return QTensor(qt.kind, (L, rows_per_expert, k), planes)
 
 
+def _expert_view(qt: QTensor, n_experts: int) -> QTensor:
+    """View stacked expert planes (L, E*M, k) as (L*E, M, k) — a FREE
+    reshape (row-major contiguity holds for both the canonical planar
+    layout, m on plane axis 1, and the kernel layout, m-tiles on axis 1).
+    The flattened index l*E + e then selects one expert of one layer
+    through the SAME scalar-prefetch path the layer index uses — the
+    layer-stacking trick generalized to experts (VERDICT r2 #3)."""
+    L, m, k = qt.shape
+    Me = m // n_experts
+    planes = {
+        n: p.reshape((L * n_experts, p.shape[1] // n_experts) + tuple(p.shape[2:]))
+        for n, p in qt.planes.items()
+        if n not in ("w8", "dw")  # prefill-only planes; their wider m-tile
+        # need not divide per expert, and decode never reads them
+    }
+    return QTensor(qt.kind, (L * n_experts, Me, k), planes)
+
+
 def moe_ffn(lw, l, ffn_in, cfg, compute_dtype):
     """Mixtral-style MoE FFN: softmax(top-k) routing over n_experts
     SiLU-gated experts (the reference has no MoE at all; semantics follow
-    llama.cpp's build_moe_ffn). All experts compute and mix by routing
-    weight — correct and jit-static; the top-k-gather decode optimization
-    is future work (ROADMAP)."""
+    llama.cpp's build_moe_ffn).
+
+    Two regimes:
+    - single-row decode (B*T == 1): GATHER the top-k experts — each
+      selected expert's planes are addressed via the flattened
+      layer*E + expert scalar-prefetch index (`_expert_view`), so weight
+      traffic is k/E of the dense path (the bandwidth term that dominates
+      B=1 decode).
+    - batched rows: all experts compute and mix by routing weight
+      (jit-static; rows route to different experts, so a shared gather
+      index does not exist).
+    """
     E, K = cfg.n_experts, cfg.n_experts_used
     HD, D = cfg.hidden_dim, cfg.embedding_dim
     router_w = jnp.asarray(lw["ffn_gate_inp"])[l].astype(compute_dtype)  # (E, D)
     r_logits = (ffn_in @ router_w.T).astype(jnp.float32)  # (..., E)
     topv, topi = jax.lax.top_k(r_logits, K)
     topw = jax.nn.softmax(topv, axis=-1)  # normalize over the selected k
+
+    lead = ffn_in.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    from ..ops.pallas.gemm_quant import TM
+
+    # expert views need tile-aligned per-expert rows under the kernel
+    # layout; planar planes view freely but keep one rule for both
+    aligned = HD % TM == 0 and D % TM == 0
+    if rows == 1 and aligned:
+        gv = _expert_view(lw["ffn_gate_exps"], E)
+        uv = _expert_view(lw["ffn_up_exps"], E)
+        dv = _expert_view(lw["ffn_down_exps"], E)
+        ew = topi.reshape(K)
+        rw = topw.reshape(K)
+        out = None
+        for j in range(K):  # static unroll over the top-k selection
+            idx = l * E + ew[j]
+            g = qmatmul(ffn_in, gv, compute_dtype, layer=idx)
+            u = qmatmul(ffn_in, uv, compute_dtype, layer=idx)
+            hj = _activation(g, cfg.act) * u
+            yj = qmatmul(hj, dv, compute_dtype, layer=idx)
+            yj = yj * rw[j].astype(yj.dtype)
+            out = yj if out is None else out + yj
+        return out
+
     route = (jax.nn.one_hot(topi, E, dtype=jnp.float32) * topw[..., None]).sum(-2)
 
     # gate/up for ALL experts in one fused call each: (..., E*HD)

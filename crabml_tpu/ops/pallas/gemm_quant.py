@@ -474,10 +474,24 @@ def w_from_kernel_planes(qt: QTensor, layer: int | None = None) -> np.ndarray:
     return w[:, :k]
 
 
+def _tm8_for(m: int) -> int:
+    """W8 planes use their OWN (wider) lane tile: per grid step the x block
+    (TB, tk) is re-fetched for every m-tile, so at TM=256 the activation
+    traffic is ~4x the weight bytes on 7B-sized matmuls (measured: the
+    prefill ceiling). TM8=1024 cuts x re-fetch 4x while the w8 block
+    (tk, 1024) int8 = 512 KB still double-buffers comfortably."""
+    for tm in (2048, 1024, 512, 256):
+        if m % tm == 0:
+            return tm
+    return 0
+
+
 def w8_planes_from_weights(w: np.ndarray, ksc: int = W8_KSC):
-    """(m, k) exact weights -> {"w8": (m/TM, kpad8, TM) int8,
-    "dw": (m/TM, S8, 1, TM) f32} — per-(column, ksc-chunk) symmetric int8."""
+    """(m, k) exact weights -> {"w8": (m/TM8, kpad8, TM8) int8,
+    "dw": (m/TM8, S8, 1, TM8) f32} — per-(column, ksc-chunk) symmetric
+    int8, m-tiled with the W8 lane tile (see _tm8_for)."""
     m, k = w.shape
+    tm8 = _tm8_for(m)
     S8 = -(-k // ksc)
     kpad8 = S8 * ksc
     if kpad8 != k:
@@ -486,13 +500,13 @@ def w8_planes_from_weights(w: np.ndarray, ksc: int = W8_KSC):
     s8 = np.abs(wc).max(axis=2) / 127.0  # (m, S8)
     inv = np.where(s8 > 0, 1.0 / np.maximum(s8, 1e-30), 0.0)
     w8 = np.clip(np.rint(wc * inv[:, :, None]), -127, 127).astype(np.int8)
-    MT = m // TM
+    MT = m // tm8
     w8_t = np.ascontiguousarray(
-        w8.reshape(MT, TM, kpad8).transpose(0, 2, 1)
+        w8.reshape(MT, tm8, kpad8).transpose(0, 2, 1)
     )  # m-tiled k-major, same contract as the q planes
     dw = np.ascontiguousarray(
-        s8.astype(np.float32).reshape(MT, TM, S8, 1).transpose(0, 2, 3, 1)
-    )  # (MT, S8, 1, TM): G=1 scale sweep, same contract as dsub
+        s8.astype(np.float32).reshape(MT, tm8, S8, 1).transpose(0, 2, 3, 1)
+    )  # (MT, S8, 1, TM8): G=1 scale sweep, same contract as dsub
     return {"w8": w8_t, "dw": dw}
 
 
@@ -502,7 +516,7 @@ def augment_w8(qt: QTensor, ksc: int = W8_KSC) -> QTensor:
     if not is_repacked(qt) or "w8" in qt.planes:
         return qt
     stacked = len(qt.shape) == 3
-    if (qt.shape[-2] % TM) or qt.kind not in SCHEMES:
+    if not _tm8_for(qt.shape[-2]) or qt.kind not in SCHEMES:
         return qt
     if stacked:
         per = [
@@ -536,12 +550,12 @@ def _qmm_w8_kernel(*refs, stacked: bool):
     o_ref[:] += ig * dw
 
 
-@functools.partial(jax.jit, static_argnames=("m", "tk", "stacked"))
-def _run_w8(m: int, tk: int, stacked: bool, x2, layer, *planes):
+@functools.partial(jax.jit, static_argnames=("m", "tk", "tm8", "stacked"))
+def _run_w8(m: int, tk: int, tm8: int, stacked: bool, x2, layer, *planes):
     B, kpad = x2.shape
     TB = min(B, 512)
-    grid = (B // TB, m // TM, kpad // tk)
-    MT = m // TM
+    grid = (B // TB, m // tm8, kpad // tk)
+    MT = m // tm8
 
     if stacked:  # fold L into the m-tile axis (see _run)
         planes = tuple(p.reshape((-1,) + tuple(p.shape[2:])) for p in planes)
@@ -562,8 +576,8 @@ def _run_w8(m: int, tk: int, stacked: bool, x2, layer, *planes):
 
     in_specs = [
         flat((TB, tk), lambda b, i, j: (b, j)),        # x (bf16)
-        vspec((1, tk, TM), lambda b, i, j: (i, j, 0)),  # w8
-        vspec((1, 1, 1, TM), lambda b, i, j: (i, j, 0, 0)),  # dw
+        vspec((1, tk, tm8), lambda b, i, j: (i, j, 0)),  # w8
+        vspec((1, 1, 1, tm8), lambda b, i, j: (i, j, 0, 0)),  # dw
     ]
     kernel = functools.partial(_qmm_w8_kernel, stacked=stacked)
     out_shape = jax.ShapeDtypeStruct((B, m), jnp.float32)
@@ -571,7 +585,7 @@ def _run_w8(m: int, tk: int, stacked: bool, x2, layer, *planes):
     if stacked:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-            out_specs=pl.BlockSpec((TB, TM), lambda b, i, j, l_ref: (b, i),
+            out_specs=pl.BlockSpec((TB, tm8), lambda b, i, j, l_ref: (b, i),
                                    memory_space=pltpu.VMEM),
         )
         return pl.pallas_call(kernel, out_shape=out_shape, grid_spec=grid_spec,
@@ -580,7 +594,7 @@ def _run_w8(m: int, tk: int, stacked: bool, x2, layer, *planes):
         )
     return pl.pallas_call(
         kernel, out_shape=out_shape, grid=grid, in_specs=in_specs,
-        out_specs=pl.BlockSpec((TB, TM), lambda b, i, j: (b, i),
+        out_specs=pl.BlockSpec((TB, tm8), lambda b, i, j: (b, i),
                                memory_space=pltpu.VMEM),
         interpret=interp,
     )(x2, *planes)
@@ -814,11 +828,12 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None,
         w8, dw = p["w8"], p["dw"]
         S8 = dw.shape[-3]
         tk8 = w8.shape[-2] // S8
+        tm8 = w8.shape[-1]
         x8 = x.reshape(B, k).astype(jnp.bfloat16)
         if Bp != B:
             x8 = jnp.pad(x8, ((0, Bp - B), (0, 0)))
         x8 = _pad_x(x8, tk8)
-        out = _run_w8(m, tk8, stacked, x8,
+        out = _run_w8(m, tk8, tm8, stacked, x8,
                       layer if stacked else 0, w8, dw)
     else:
         out = _run(kind, m, tk, compute_dtype, stacked, x2,

@@ -31,13 +31,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 NEG_INF = -1e30
 
 
-def ring_attention(q, k, v, *, axis_name: str, scale: float):
+def ring_attention(q, k, v, *, axis_name: str, scale: float,
+                   row_offset=None, col_offset=None, return_partials=False):
     """Blockwise-causal attention with ring-permuted KV (collective form).
 
     q: (B, Tq, H, hd) — this device's query rows (sequence-sharded).
     k, v: (B, KV, Tk, hd) — this device's KV shard (head-major, like the
     engine's cache layout).
     Returns (B, Tq, H, hd). Call inside shard_map over `axis_name`.
+
+    `row_offset`/`col_offset` (traced scalars) shift the GLOBAL ids of the
+    q rows / kv cols — the chunked-prefill case, where the chunk's rows
+    start at the current cache position rather than 0. `return_partials`
+    returns the online-softmax state (m, l, acc) of shape
+    (B, KV, G, Tq, {1,1,hd}) instead of the normalized output, so the
+    caller can merge with partials from other KV sources (the cache's
+    earlier chunks).
     """
     n = jax.lax.psum(1, axis_name)
     p = jax.lax.axis_index(axis_name)
@@ -47,6 +56,8 @@ def ring_attention(q, k, v, *, axis_name: str, scale: float):
 
     qg = q.reshape(B, Tq, KV, G, hd).astype(jnp.float32)
     row = p * Tq + jnp.arange(Tq)  # global row ids of this q shard
+    if row_offset is not None:
+        row = row + row_offset
 
     m0 = jnp.full((B, KV, G, Tq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, KV, G, Tq, 1), jnp.float32)
@@ -57,6 +68,8 @@ def ring_attention(q, k, v, *, axis_name: str, scale: float):
         k_cur, v_cur, m, l, acc = carry
         src = (p - i) % n  # ring position this shard originated from
         col = src * k_cur.shape[2] + jnp.arange(k_cur.shape[2])
+        if col_offset is not None:
+            col = col + col_offset
 
         s = jnp.einsum(
             "btkgh,bksh->bkgts", qg, k_cur.astype(jnp.float32),
@@ -81,8 +94,25 @@ def ring_attention(q, k, v, *, axis_name: str, scale: float):
         return k_nxt, v_nxt, m_new, l, acc
 
     _, _, m, l, acc = jax.lax.fori_loop(0, n, step, (k, v, m0, l0, acc0))
+    if return_partials:
+        return m, l, acc
     out = acc / jnp.maximum(l, 1e-30)  # rows with no visible cols: l=0 -> 0
     return out.transpose(0, 3, 1, 2, 4).reshape(B, Tq, H, hd).astype(q.dtype)
+
+
+def merge_partials(parts):
+    """Merge online-softmax partials [(m, l, acc), ...] from disjoint KV
+    sources into one normalized output (..., Tq, hd-shaped acc layout)."""
+    m = parts[0][0]
+    for mp, _, _ in parts[1:]:
+        m = jnp.maximum(m, mp)
+    l = jnp.zeros_like(parts[0][1])
+    acc = jnp.zeros_like(parts[0][2])
+    for mp, lp, ap in parts:
+        corr = jnp.exp(mp - m)
+        l = l + lp * corr
+        acc = acc + ap * corr
+    return acc / jnp.maximum(l, 1e-30)
 
 
 def ring_prefill(q, k, v, mesh: Mesh, *, scale: float, axis: str = "sp"):

@@ -88,6 +88,9 @@ def weight_specs(weights: dict) -> dict:
         "token_embed": q_specs(weights["token_embed"], None),
         "final_norm": P(None),
         "final_norm_b": None if weights.get("final_norm_b") is None else P(None),
+        # llama3.1-style rope factors ride along replicated (dropping them
+        # here would silently disable rope scaling under explicit TP)
+        "rope_freqs": None if weights.get("rope_freqs") is None else P(None),
         "output": None if weights.get("output") is None else q_specs(weights["output"], "row"),
         "layers": {},
     }
@@ -162,6 +165,37 @@ def validate_tp_strict(weights: dict, cfg: ModelConfig, tp: int):
             )
 
 
+def localize_tree(w: dict, local_template: dict) -> dict:
+    """Rebuild per-device QTensor metadata inside a shard_map body: the
+    tree arrives with GLOBAL QTensor shapes over LOCAL planes; stamp the
+    local shapes from `local_template` (built by `_localize`). Shared by
+    make_tp_forward and the sp x tp runner."""
+    return {
+        "token_embed": w["token_embed"],
+        "final_norm": w["final_norm"],
+        "final_norm_b": w.get("final_norm_b"),
+        "rope_freqs": w.get("rope_freqs"),
+        "output": (
+            QTensor(w["output"].kind, local_template["output"].shape,
+                    w["output"].planes)
+            if w.get("output") is not None else None
+        ),
+        "layers": {
+            n: (
+                tuple(
+                    QTensor(q.kind, local_template["layers"][n][i].shape, q.planes)
+                    for i, q in enumerate(v)
+                )
+                if isinstance(v, tuple)
+                else QTensor(v.kind, local_template["layers"][n].shape, v.planes)
+                if isinstance(v, QTensor)
+                else v
+            )
+            for n, v in w["layers"].items()
+        },
+    }
+
+
 def _forward_local(weights, cache, tokens, pos, *, cfg, lcfg, compute_dtype,
                    gather_logits):
     """Runs on each device inside shard_map."""
@@ -218,6 +252,7 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype,
         "token_embed": put(weights["token_embed"], specs["token_embed"]),
         "final_norm": put(weights["final_norm"], specs["final_norm"]),
         "final_norm_b": put(weights.get("final_norm_b"), specs["final_norm_b"]),
+        "rope_freqs": put(weights.get("rope_freqs"), specs["rope_freqs"]),
         "output": put(weights.get("output"), specs["output"]),
         "layers": {
             n: (
@@ -239,29 +274,7 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype,
 
     # rebuild local QTensor metadata inside the body
     def body(w, cache, tokens, pos):
-        wl = {
-            "token_embed": w["token_embed"],
-            "final_norm": w["final_norm"],
-            "final_norm_b": w["final_norm_b"],
-            "output": (
-                QTensor(w["output"].kind, local_template["output"].shape,
-                        w["output"].planes)
-                if w["output"] is not None else None
-            ),
-            "layers": {
-                n: (
-                    tuple(
-                        QTensor(q.kind, local_template["layers"][n][i].shape, q.planes)
-                        for i, q in enumerate(v)
-                    )
-                    if isinstance(v, tuple)
-                    else QTensor(v.kind, local_template["layers"][n].shape, v.planes)
-                    if isinstance(v, QTensor)
-                    else v
-                )
-                for n, v in w["layers"].items()
-            },
-        }
+        wl = localize_tree(w, local_template)
         return _forward_local(
             wl, KVCache(cache.k, cache.v, cache.k_scale, cache.v_scale), tokens, pos,
             cfg=cfg, lcfg=lcfg, compute_dtype=compute_dtype,

@@ -33,7 +33,12 @@ MODEL_SHAPES = {
     "13b": (5120, 13824, 40, 40, 40, 32000, 4096),
     "1b": (2048, 5632, 22, 32, 4, 32000, 4096),
     "tiny": (256, 512, 4, 4, 2, 512, 512),  # K-quant-compatible rows (k % 256)
+    # mixtral-shaped MoE sized for one 16 GB chip at Q4_K (~2.6 GB)
+    "mixtral": (2048, 5632, 16, 16, 8, 32000, 4096),
 }
+
+# model -> (n_experts, n_experts_used); absent = dense FFN
+MODEL_EXPERTS = {"mixtral": (8, 2)}
 
 
 def _synth_tokenizer(vocab: int):
@@ -135,6 +140,10 @@ def build_synth_gguf(
     w.add_metadata("llama.attention.head_count_kv", kv_heads)
     w.add_metadata("llama.attention.layer_norm_rms_epsilon", 1e-5)
     w.add_metadata("llama.rope.dimension_count", dim // heads)
+    experts = MODEL_EXPERTS.get(model)
+    if experts:
+        w.add_metadata("llama.expert_count", experts[0])
+        w.add_metadata("llama.expert_used_count", experts[1])
     tokens, scores = _synth_tokenizer(vocab)
     w.add_metadata("tokenizer.ggml.model", "llama")
     w.add_metadata("tokenizer.ggml.tokens", tokens)
@@ -166,9 +175,19 @@ def build_synth_gguf(
         add(f"blk.{l}.attn_k.weight", (kv_dim, dim))
         add(f"blk.{l}.attn_v.weight", (kv_dim, dim))
         add(f"blk.{l}.attn_output.weight", (dim, dim))
-        add(f"blk.{l}.ffn_gate.weight", (hidden, dim))
-        add(f"blk.{l}.ffn_up.weight", (hidden, dim))
-        add(f"blk.{l}.ffn_down.weight", (dim, hidden))
+        if experts:
+            E = experts[0]
+            gi = (np.random.default_rng(seed * 7 + l).standard_normal(
+                (E, dim)) * 0.02).astype(np.float32)
+            w.add_lazy_tensor(f"blk.{l}.ffn_gate_inp.weight", GGMLType.F32,
+                              (E, dim), gi.nbytes, gi.tobytes)
+            add(f"blk.{l}.ffn_gate_exps.weight", (E, hidden, dim))
+            add(f"blk.{l}.ffn_up_exps.weight", (E, hidden, dim))
+            add(f"blk.{l}.ffn_down_exps.weight", (E, dim, hidden))
+        else:
+            add(f"blk.{l}.ffn_gate.weight", (hidden, dim))
+            add(f"blk.{l}.ffn_up.weight", (hidden, dim))
+            add(f"blk.{l}.ffn_down.weight", (dim, hidden))
         add(f"blk.{l}.attn_norm.weight", (dim,), norm=True)
         add(f"blk.{l}.ffn_norm.weight", (dim,), norm=True)
     add("output_norm.weight", (dim,), norm=True)
