@@ -35,7 +35,12 @@ BK = 128  # tokens per DMA chunk (matches the 128-token window buckets)
 
 
 def _kernel(*refs, scale: float, quantized: bool, paged: bool):
-    if paged:
+    if paged and quantized:
+        # int8 page pools carry per-(page-slot, head) scale pools that DMA
+        # through the table exactly like the payload pages
+        (len_ref, table_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+         k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks, sem_vs) = refs
+    elif paged:
         # page-table indirection: chunk i of sequence b lives in physical
         # page table[b, i] of a (n_pages, KV, BK, hd) pool
         (len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
@@ -62,6 +67,13 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool):
             pltpu.make_async_copy(
                 v_hbm.at[page, kv], v_buf.at[slot], sem_v.at[slot]
             ).start()
+            if quantized:  # scale pools: (n_pages, KV, 1, BK) lane-major
+                pltpu.make_async_copy(
+                    ks_hbm.at[page, kv], ks_buf.at[slot], sem_ks.at[slot]
+                ).start()
+                pltpu.make_async_copy(
+                    vs_hbm.at[page, kv], vs_buf.at[slot], sem_vs.at[slot]
+                ).start()
             return
         pltpu.make_async_copy(
             k_hbm.at[b, kv, pl.ds(i * BK, BK)], k_buf.at[slot], sem_k.at[slot]
@@ -98,6 +110,13 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool):
                 pltpu.make_async_copy(
                     v_hbm.at[0, kv], v_buf.at[slot], sem_v.at[slot]
                 ).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        ks_hbm.at[0, kv], ks_buf.at[slot], sem_ks.at[slot]
+                    ).wait()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[0, kv], vs_buf.at[slot], sem_vs.at[slot]
+                    ).wait()
             else:
                 pltpu.make_async_copy(
                     k_hbm.at[b, kv, pl.ds(0, BK)], k_buf.at[slot], sem_k.at[slot]
@@ -108,7 +127,7 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool):
 
             k = k_buf[slot]  # (BK, hd)
             v = v_buf[slot]
-            if quantized:
+            if quantized and not paged:
                 pltpu.make_async_copy(
                     ks_hbm.at[b, kv, :, pl.ds(0, BK)], ks_buf.at[slot], sem_ks.at[slot]
                 ).wait()
@@ -212,25 +231,46 @@ def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
-def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float):
+def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float,
+               k_scale=None, v_scale=None):
     B, KV, G, hd = q.shape
+    quantized = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((2, BK, hd), k_pages.dtype),
+        pltpu.VMEM((2, BK, hd), v_pages.dtype),
+    ]
+    args = [lengths.astype(jnp.int32), page_table.astype(jnp.int32),
+            q, k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),  # k scale pool
+            pl.BlockSpec(memory_space=pl.ANY),  # v scale pool
+        ]
+        scratch += [
+            pltpu.VMEM((2, 1, BK), jnp.float32),
+            pltpu.VMEM((2, 1, BK), jnp.float32),
+        ]
+        # (n_pages, KV, BK, 1) -> (n_pages, KV, 1, BK): same element order
+        # (free reshape); the page chunk becomes a lane-major (1, BK) tile
+        args += [
+            k_scale.reshape(k_scale.shape[:2] + (1, -1)),
+            v_scale.reshape(v_scale.shape[:2] + (1, -1)),
+        ]
+    scratch += [pltpu.SemaphoreType.DMA((2,))] * (4 if quantized else 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # lengths + page table
         grid=(B, KV),
-        in_specs=[
-            pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, BK, hd), k_pages.dtype),
-            pltpu.VMEM((2, BK, hd), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(_kernel, scale=scale, quantized=False, paged=True)
+    kernel = functools.partial(_kernel, scale=scale, quantized=quantized,
+                               paged=True)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
@@ -239,16 +279,18 @@ def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float):
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(lengths.astype(jnp.int32), page_table.astype(jnp.int32), q, k_pages, v_pages)
+    )(*args)
 
 
-def paged_decode_attention(q, k_pages, v_pages, page_table, lengths, scale: float):
+def paged_decode_attention(q, k_pages, v_pages, page_table, lengths,
+                           scale: float, k_scale=None, v_scale=None):
     """Decode attention over a PAGED cache pool (vLLM-style block tables).
 
     q (B, 1, H, hd); k_pages/v_pages (n_pages, KV, BK, hd); page_table
     (B, max_pages) int32 physical page per logical chunk; lengths (B,).
-    The engine-side page-pool allocator is future work (ROADMAP #1); the
-    serving slot pool uses the contiguous variant with an identity layout.
+    With k_scale/v_scale (n_pages, KV, BK, 1) the pool is int8 and pages
+    dequantize in-register — the int8 pool's halved HBM rides the kernel
+    instead of paying an XLA gather+materialize per step (VERDICT r2 #4).
     """
     B, T, H, hd = q.shape
     if T != 1:
@@ -262,7 +304,7 @@ def paged_decode_attention(q, k_pages, v_pages, page_table, lengths, scale: floa
         return None
     G = H // KV
     out = _run_paged(q.reshape(B, KV, G, hd), k_pages, v_pages, page_table,
-                     lengths, scale)
+                     lengths, scale, k_scale, v_scale)
     return out.reshape(B, 1, H * hd)
 
 
