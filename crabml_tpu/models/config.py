@@ -32,6 +32,10 @@ ARCH_FEATURES = {
     # GGUF families in the wild the reference cannot load):
     # qwen3: qk RMS norms per head, decoupled head_dim, no qkv bias
     "qwen3": dict(rope_mode="neox", act="silu", qk_norm=True),
+    # phi3: fused qkv (no bias) + fused gate|up in ffn_up, neox rope,
+    # SiLU-gated FFN, rms norms — llama.cpp build_phi3 semantics
+    "phi3": dict(rope_mode="neox", act="silu", fused_qkv=True,
+                 fused_gate_up=True),
     # gemma2: post-attention/post-ffn norms, logit softcapping, sliding
     # window on alternating layers, gelu-tanh
     "gemma2": dict(
@@ -66,6 +70,7 @@ class ModelConfig:
     act: str = "silu"
     qkv_bias: bool = False
     fused_qkv: bool = False
+    fused_gate_up: bool = False  # phi3: ffn_up holds [gate|up] rows
     parallel_residual: bool = False
     norm_bias: bool = False
     attn_out_bias: bool = False
@@ -80,9 +85,13 @@ class ModelConfig:
     # llama.cpp's build_phi2.
 
     # rope scaling (llama3.1 etc.): inv_freq /= per-frequency factors from
-    # the rope_freqs.weight tensor; "linear" divides positions by `factor`
-    rope_scaling_type: str = "none"  # none | linear (yarn: not yet)
+    # the rope_freqs.weight tensor; "linear" divides positions by `factor`;
+    # "yarn" folds into per-frequency divisors at load (ops.rope) plus the
+    # attention-magnitude mscale below
+    rope_scaling_type: str = "none"  # none | linear | yarn
     rope_scaling_factor: float = 1.0
+    rope_scaling_orig_ctx: int = 0  # yarn original_context_length
+    rope_attn_factor: float = 1.0  # yarn attn_factor metadata
     # mixture-of-experts (mixtral: llama arch + expert metadata)
     n_experts: int = 0  # 0 = dense FFN
     n_experts_used: int = 2  # top-k routing
@@ -94,6 +103,14 @@ class ModelConfig:
     # scales by 1/sqrt(n_embd/n_head) (=1/sqrt(144)) while head_dim=128 —
     # llama.cpp special-cases the 27b the same way.
     query_scale: float | None = None
+
+    @property
+    def rope_mscale(self) -> float:
+        if self.rope_scaling_type == "yarn":
+            from ..ops.rope import yarn_mscale
+
+            return yarn_mscale(self.rope_scaling_factor, self.rope_attn_factor)
+        return 1.0
 
     @property
     def attn_scale(self) -> float:
@@ -149,6 +166,13 @@ def config_from_gguf(metadata) -> ModelConfig:
     if sc_type == "linear" and sc_factor:
         extra["rope_scaling_type"] = "linear"
         extra["rope_scaling_factor"] = sc_factor
+    elif sc_type == "yarn" and sc_factor:
+        extra["rope_scaling_type"] = "yarn"
+        extra["rope_scaling_factor"] = sc_factor
+        extra["rope_scaling_orig_ctx"] = metadata.get_int(
+            f"{p}.rope.scaling.original_context_length", 0)
+        extra["rope_attn_factor"] = metadata.get_float(
+            f"{p}.rope.scaling.attn_factor", 1.0)
     # gemma2 softcaps + sliding window
     cap = metadata.get_float(f"{p}.attn_logit_softcapping", 0.0)
     if cap:

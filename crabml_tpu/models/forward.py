@@ -415,9 +415,9 @@ def forward(
             ps = (1.0 / cfg.rope_scaling_factor
                   if cfg.rope_scaling_type == "linear" else 1.0)
             q = apply_rope(q, positions, rope_dim, cfg.rope_mode, cfg.rope_base,
-                           freq_factors=ff, pos_scale=ps)
+                           freq_factors=ff, pos_scale=ps, mscale=cfg.rope_mscale)
             k = apply_rope(k, positions, rope_dim, cfg.rope_mode, cfg.rope_base,
-                           freq_factors=ff, pos_scale=ps)
+                           freq_factors=ff, pos_scale=ps, mscale=cfg.rope_mscale)
 
         # write new k/v into the cache at each sequence's own offset
         def upd(cache_b, new_b, p):  # cache_b (KV, S, hd); new_b (KV, T, hd)

@@ -131,6 +131,12 @@ def write_synthetic_gguf(
     if cfg.rope_scaling_type == "linear":
         w.add_metadata(f"{a}.rope.scaling.type", "linear")
         w.add_metadata(f"{a}.rope.scaling.factor", cfg.rope_scaling_factor)
+    elif cfg.rope_scaling_type == "yarn":
+        w.add_metadata(f"{a}.rope.scaling.type", "yarn")
+        w.add_metadata(f"{a}.rope.scaling.factor", cfg.rope_scaling_factor)
+        if cfg.rope_scaling_orig_ctx:
+            w.add_metadata(f"{a}.rope.scaling.original_context_length",
+                           cfg.rope_scaling_orig_ctx)
     if cfg.attn_logit_softcap:
         w.add_metadata(f"{a}.attn_logit_softcapping", cfg.attn_logit_softcap)
     if cfg.final_logit_softcap:
@@ -149,6 +155,14 @@ def write_synthetic_gguf(
 
     t("token_embd.weight", (V, D))
     for l in range(L):
+        if a == "phi3":  # fused qkv (no bias) + fused gate|up
+            t(f"blk.{l}.attn_qkv.weight", (D + 2 * kv, D))
+            t(f"blk.{l}.attn_output.weight", (D, D))
+            t(f"blk.{l}.ffn_up.weight", (2 * HD, D))
+            t(f"blk.{l}.ffn_down.weight", (D, HD))
+            t(f"blk.{l}.attn_norm.weight", (D,), GGMLType.F32, 1.0)
+            t(f"blk.{l}.ffn_norm.weight", (D,), GGMLType.F32, 1.0)
+            continue
         if a == "phi2":  # fused qkv + biases (model.rs:356-415)
             t(f"blk.{l}.attn_qkv.weight", (D + 2 * kv, D))
             t(f"blk.{l}.attn_qkv.bias", (D + 2 * kv,), GGMLType.F32)

@@ -227,6 +227,30 @@ def load_weights(
         if arch == "gemma2":  # post-attention/post-ffn norms
             layers["post_attn_norm"] = stack_f32("blk.{}.post_attention_norm.weight")
             layers["post_ffn_norm"] = stack_f32("blk.{}.post_ffw_norm.weight")
+    elif arch == "phi3":
+        # llama.cpp build_phi3: fused qkv rows [q|k|v] (no bias) and fused
+        # ffn_up rows [gate|up] (SWIGLU). Split at load — row slicing is
+        # safe (quant blocks run along k) — so fusion/TP machinery sees
+        # the standard llama schema.
+        wq, wk, wv, gates, ups = [], [], [], [], []
+        HD = cfg.hidden_dim
+        for l in range(L):
+            qkv = _qtensor(gf, f"blk.{l}.attn_qkv.weight")
+            wq.append(_slice_rows(qkv, 0, dim))
+            wk.append(_slice_rows(qkv, dim, dim + kv_dim))
+            wv.append(_slice_rows(qkv, dim + kv_dim, dim + 2 * kv_dim))
+            gu = _qtensor(gf, f"blk.{l}.ffn_up.weight")
+            gates.append(_slice_rows(gu, 0, HD))
+            ups.append(_slice_rows(gu, HD, 2 * HD))
+        layers["wq"] = stack_qtensors(wq)
+        layers["wk"] = stack_qtensors(wk)
+        layers["wv"] = stack_qtensors(wv)
+        layers["ffn_gate"] = stack_qtensors(gates)
+        layers["ffn_up"] = stack_qtensors(ups)
+        layers["wo"] = stack_q("blk.{}.attn_output.weight")
+        layers["ffn_down"] = stack_q("blk.{}.ffn_down.weight")
+        layers["attn_norm"] = stack_f32("blk.{}.attn_norm.weight")
+        layers["ffn_norm"] = stack_f32("blk.{}.ffn_norm.weight")
     elif arch == "phi2":
         wq, wk, wv, bq, bk, bv = [], [], [], [], [], []
         for l in range(L):
@@ -256,12 +280,23 @@ def load_weights(
     else:
         raise ValueError(f"unsupported architecture {arch}")
 
+    # llama3.1-style per-frequency rope divisors from the file; YaRN
+    # synthesizes equivalent divisors at load (position-independent, so it
+    # IS a freq_factors tensor — ops.rope.yarn_freq_factors)
+    rope_freqs = (
+        _dense_f32(gf, "rope_freqs.weight") if "rope_freqs.weight" in gf else None
+    )
+    if rope_freqs is None and cfg.rope_scaling_type == "yarn":
+        from ..ops.rope import yarn_freq_factors
+
+        rope_freqs = yarn_freq_factors(
+            cfg.effective_rope_dim, cfg.rope_base, cfg.rope_scaling_factor,
+            cfg.rope_scaling_orig_ctx or cfg.seq_len,
+        )
+
     weights = {
         "token_embed": _qtensor(gf, "token_embd.weight"),
-        # llama3.1-style per-frequency rope factors (divisors), if present
-        "rope_freqs": (
-            _dense_f32(gf, "rope_freqs.weight") if "rope_freqs.weight" in gf else None
-        ),
+        "rope_freqs": rope_freqs,
         "final_norm": _dense_f32(gf, "output_norm.weight"),
         "final_norm_b": _dense_f32(gf, "output_norm.bias") if arch == "phi2" else None,
         # gemma has no output.weight -> tied embeddings (model.rs:433-434)

@@ -26,29 +26,69 @@ import jax.numpy as jnp
 
 
 def rope_angles(positions, rope_dim: int, base: float = 10000.0,
-                freq_factors=None, pos_scale: float = 1.0):
+                freq_factors=None, pos_scale: float = 1.0,
+                mscale: float = 1.0):
     """(…,) positions -> cos/sin of shape (…, rope_dim//2), f32.
 
     `freq_factors`: optional (rope_dim//2,) per-frequency DIVISORS — the
     llama3.1 `rope_freqs.weight` tensor (llama.cpp ggml_rope_ext
     freq_factors semantics). `pos_scale`: positions multiply by this
-    (1/factor for "linear" rope scaling)."""
+    (1/factor for "linear" rope scaling). `mscale`: YaRN attention
+    magnitude scale multiplying both cos and sin (ggml rope_yarn)."""
     i = jnp.arange(rope_dim // 2, dtype=jnp.float32)
     inv_freq = jnp.float32(base) ** (-2.0 * i / jnp.float32(rope_dim))
     if freq_factors is not None:
         inv_freq = inv_freq / freq_factors.astype(jnp.float32)
     pos = positions.astype(jnp.float32) * jnp.float32(pos_scale)
     theta = pos[..., None] * inv_freq  # (..., rd/2)
-    return jnp.cos(theta), jnp.sin(theta)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    if mscale != 1.0:
+        cos = cos * jnp.float32(mscale)
+        sin = sin * jnp.float32(mscale)
+    return cos, sin
+
+
+def yarn_freq_factors(rope_dim: int, base: float, factor: float,
+                      orig_ctx: int, beta_fast: float = 32.0,
+                      beta_slow: float = 1.0):
+    """YaRN NTK-by-parts interpolation as per-frequency DIVISORS (numpy,
+    computed once at load): high-frequency dims (many rotations inside the
+    original context) extrapolate unchanged, low-frequency dims interpolate
+    by `factor`, with a linear ramp between the beta_fast/beta_slow
+    correction dims. Returns (rope_dim//2,) float32 divisors compatible
+    with `freq_factors` (llama.cpp ggml_rope_yarn corr_dims semantics)."""
+    import numpy as np
+
+    def corr_dim(n_rot):
+        return (rope_dim * np.log(orig_ctx / (n_rot * 2 * np.pi))
+                / (2 * np.log(base)))
+
+    low = max(np.floor(corr_dim(beta_fast)), 0.0)
+    high = min(np.ceil(corr_dim(beta_slow)), rope_dim - 1.0)
+    i2 = 2.0 * np.arange(rope_dim // 2, dtype=np.float32)
+    ramp = np.clip((i2 - low) / max(high - low, 1e-3), 0.0, 1.0)
+    # ramp 0 = extrapolation (divisor 1); ramp 1 = interpolation (divisor
+    # `factor`, i.e. inv_freq / factor)
+    return (1.0 + ramp * (factor - 1.0)).astype(np.float32)
+
+
+def yarn_mscale(factor: float, attn_factor: float = 1.0) -> float:
+    """YaRN attention scale: attn_factor * (1 + 0.1 ln(factor))."""
+    import numpy as np
+
+    if factor <= 1.0:
+        return float(attn_factor)
+    return float(attn_factor * (1.0 + 0.1 * np.log(factor)))
 
 
 def apply_rope(x, positions, rope_dim: int, mode: str, base: float = 10000.0,
-               freq_factors=None, pos_scale: float = 1.0):
+               freq_factors=None, pos_scale: float = 1.0, mscale: float = 1.0):
     """x: (B, T, H, head_dim); positions: (B, T) absolute positions."""
     head_dim = x.shape[-1]
     dt = x.dtype
     xf = x.astype(jnp.float32)
-    cos, sin = rope_angles(positions, rope_dim, base, freq_factors, pos_scale)
+    cos, sin = rope_angles(positions, rope_dim, base, freq_factors, pos_scale,
+                           mscale)
     cos = cos[:, :, None, :]  # (B, T, 1, rd/2)
     sin = sin[:, :, None, :]
 

@@ -59,9 +59,9 @@ def _layer_body(lw, l, x, positions, cfg, compute_dtype, attend, write_kv,
     ps = (1.0 / cfg.rope_scaling_factor
           if cfg.rope_scaling_type == "linear" else 1.0)
     q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                   cfg.rope_base, freq_factors=rope_ff, pos_scale=ps)
+                   cfg.rope_base, freq_factors=rope_ff, pos_scale=ps, mscale=cfg.rope_mscale)
     k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                   cfg.rope_base, freq_factors=rope_ff, pos_scale=ps)
+                   cfg.rope_base, freq_factors=rope_ff, pos_scale=ps, mscale=cfg.rope_mscale)
     k_t = k.transpose(0, 2, 1, 3).astype(k_l.dtype)  # (B, KV, T, hd)
     v_t = v.transpose(0, 2, 1, 3).astype(v_l.dtype)
     k_l, v_l = write_kv(k_l, v_l, k_t, v_t)
@@ -201,9 +201,9 @@ def _sp_prefill_chunk_local(weights, cache: KVCache, tokens_l, t0, last_row,
         ps = (1.0 / cfg.rope_scaling_factor
               if cfg.rope_scaling_type == "linear" else 1.0)
         q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=ff, pos_scale=ps)
+                       cfg.rope_base, freq_factors=ff, pos_scale=ps, mscale=cfg.rope_mscale)
         k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=ff, pos_scale=ps)
+                       cfg.rope_base, freq_factors=ff, pos_scale=ps, mscale=cfg.rope_mscale)
         k_t = k.transpose(0, 2, 1, 3)  # (B, KV, Cl, hd)
         v_t = v.transpose(0, 2, 1, 3)
 

@@ -145,9 +145,11 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
             q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
             k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
         q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps)
+                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
+                       mscale=cfg.rope_mscale)
         k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps)
+                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
+                       mscale=cfg.rope_mscale)
 
         # scatter this token's K/V into each sequence's current page
         kt = k[:, 0]  # (B, KV, hd)
@@ -302,9 +304,11 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
             q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
             k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
         q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps)
+                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
+                       mscale=cfg.rope_mscale)
         k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps)
+                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
+                       mscale=cfg.rope_mscale)
 
         # write the whole chunk straight into its page: (KV, PAGE, hd)
         kt = k[0].transpose(1, 0, 2)

@@ -37,6 +37,8 @@ def load_dense(path):
         head_dim=md.get_int(f"{a}.attention.key_length", 0) or None,
         rope_scaling_type=md.get_str(f"{a}.rope.scaling.type", ""),
         rope_scaling_factor=md.get_float(f"{a}.rope.scaling.factor", 0.0),
+        rope_orig_ctx=md.get_int(f"{a}.rope.scaling.original_context_length", 0),
+        ctx=md.get_int(f"{a}.context_length", 0),
         n_experts=md.get_int(f"{a}.expert_count", 0),
         n_experts_used=md.get_int(f"{a}.expert_used_count", 2),
         attn_softcap=md.get_float(f"{a}.attn_logit_softcapping", 0.0),
@@ -51,7 +53,7 @@ def rms_norm(x, w, eps):
 
 
 def rope_llama_inplace(v, pos, head_dim, rope_dim, freq_factors=None,
-                       pos_scale=1.0):
+                       pos_scale=1.0, mscale=1.0):
     # adjacent pairs (rope.rs:47-63); optional per-frequency divisors
     # (llama3.1 rope_freqs) + linear position scaling
     for h in range(v.shape[0]):
@@ -60,14 +62,14 @@ def rope_llama_inplace(v, pos, head_dim, rope_dim, freq_factors=None,
             if freq_factors is not None:
                 inv = inv / np.float32(freq_factors[j])
             theta = np.float32(pos) * np.float32(pos_scale) * inv
-            c, s = np.cos(theta), np.sin(theta)
+            c, s = np.cos(theta) * mscale, np.sin(theta) * mscale
             x0, x1 = v[h, i], v[h, i + 1]
             v[h, i] = x0 * c - x1 * s
             v[h, i + 1] = x0 * s + x1 * c
 
 
 def rope_neox_inplace(v, pos, head_dim, rope_dim, freq_factors=None,
-                      pos_scale=1.0):
+                      pos_scale=1.0, mscale=1.0):
     # split halves: pairs (i, i + rope_dim/2) (rope.rs:65-81); optional
     # per-frequency divisors (llama3.1 rope_freqs) + linear position scale
     half = rope_dim // 2
@@ -77,7 +79,7 @@ def rope_neox_inplace(v, pos, head_dim, rope_dim, freq_factors=None,
             if freq_factors is not None:
                 inv = inv / np.float32(freq_factors[i])
             theta = np.float32(pos) * np.float32(pos_scale) * inv
-            c, s = np.cos(theta), np.sin(theta)
+            c, s = np.cos(theta) * mscale, np.sin(theta) * mscale
             x0, x1 = v[h, i], v[h, i + half]
             v[h, i] = x0 * c - x1 * s
             v[h, i + half] = x0 * s + x1 * c
@@ -113,8 +115,27 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
     rope = rope_llama_inplace if arch == "llama" else rope_neox_inplace
     freq_factors = w.get("rope_freqs.weight")
     pos_scale = 1.0
+    mscale = 1.0
     if cfg.get("rope_scaling_type") == "linear" and cfg.get("rope_scaling_factor"):
         pos_scale = 1.0 / cfg["rope_scaling_factor"]
+    elif cfg.get("rope_scaling_type") == "yarn" and cfg.get("rope_scaling_factor"):
+        # YaRN NTK-by-parts: ramp between beta_fast/beta_slow correction
+        # dims; divisor 1 (extrapolate) -> factor (interpolate)
+        factor = cfg["rope_scaling_factor"]
+        rd = cfg["rope_dim"] or hd
+        orig = cfg.get("rope_orig_ctx") or cfg.get("ctx") or 2048
+        base = 10000.0
+
+        def corr(n_rot):
+            return rd * np.log(orig / (n_rot * 2 * np.pi)) / (2 * np.log(base))
+
+        low = max(np.floor(corr(32.0)), 0.0)
+        high = min(np.ceil(corr(1.0)), rd - 1.0)
+        i2 = 2.0 * np.arange(rd // 2, dtype=np.float32)
+        ramp = np.clip((i2 - low) / max(high - low, 1e-3), 0.0, 1.0)
+        if freq_factors is None:
+            freq_factors = (1.0 + ramp * (factor - 1.0)).astype(np.float32)
+        mscale = 1.0 + 0.1 * np.log(factor)
     attn_cap = cfg.get("attn_softcap", 0.0)
     win = cfg.get("sliding_window", 0)
     x = w["token_embd.weight"][token].astype(np.float32).copy()
@@ -129,6 +150,11 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
                 cfg["eps"],
             )
             qkv = w[f"blk.{l}.attn_qkv.weight"] @ h + w[f"blk.{l}.attn_qkv.bias"]
+            q, k, v = qkv[:dim], qkv[dim : dim + kv_dim], qkv[dim + kv_dim :]
+        elif arch == "phi3":
+            # fused qkv, NO bias (llama.cpp build_phi3)
+            h = rms_norm(x, w[f"blk.{l}.attn_norm.weight"], cfg["eps"])
+            qkv = w[f"blk.{l}.attn_qkv.weight"] @ h
             q, k, v = qkv[:dim], qkv[dim : dim + kv_dim], qkv[dim + kv_dim :]
         else:
             h = rms_norm(x, w[f"blk.{l}.attn_norm.weight"], cfg["eps"])
@@ -146,8 +172,8 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
                 q[head] = rms_norm(q[head], w[f"blk.{l}.attn_q_norm.weight"], cfg["eps"])
             for head in range(KV):
                 k[head] = rms_norm(k[head], w[f"blk.{l}.attn_k_norm.weight"], cfg["eps"])
-        rope(q, pos, hd, cfg["rope_dim"] or hd, freq_factors, pos_scale)
-        rope(k, pos, hd, cfg["rope_dim"] or hd, freq_factors, pos_scale)
+        rope(q, pos, hd, cfg["rope_dim"] or hd, freq_factors, pos_scale, mscale)
+        rope(k, pos, hd, cfg["rope_dim"] or hd, freq_factors, pos_scale, mscale)
         k_caches[l].append(k.copy())
         v_caches[l].append(v.reshape(KV, hd).copy())
 
@@ -195,6 +221,13 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
                 u = ue[e] @ h
                 act = g / (1.0 + np.exp(-g))
                 down = down + wk * (de[e] @ (act * u))
+        elif arch == "phi3":
+            # fused gate|up rows in ffn_up (SWIGLU: silu(first half)*second)
+            gu = w[f"blk.{l}.ffn_up.weight"] @ h
+            HD2 = gu.shape[0] // 2
+            gate, up = gu[:HD2], gu[HD2:]
+            act = gate / (1.0 + np.exp(-gate))
+            down = w[f"blk.{l}.ffn_down.weight"] @ (act * up)
         else:
             gate = w[f"blk.{l}.ffn_gate.weight"] @ h
             up = w[f"blk.{l}.ffn_up.weight"] @ h

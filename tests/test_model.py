@@ -547,3 +547,89 @@ def test_moe_topk_gather_decode_matches_dense_and_oracle(tmp_path):
     got_k = np.asarray(logits_d[0, -1])
     scale = max(np.abs(want_q).max(), 1e-6)
     assert np.abs(got_k - want_q).max() / scale < 0.05
+
+
+def test_phi3_matches_numpy_reference(tmp_path):
+    """phi3 (fused qkv, fused gate|up SWIGLU) vs the numpy oracle."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import load_weights
+
+    from ref_forward import run_tokens
+
+    cfg = ModelConfig(
+        architecture="phi3", model_name="syn-phi3",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=64, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["phi3"],
+    )
+    path = str(tmp_path / "phi3.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=47)
+
+    tokens = [1, 7, 42, 99, 5]
+    want = run_tokens(path, tokens)
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    assert lcfg.architecture == "phi3"
+    w = load_weights(gf, lcfg)
+    assert "ffn_gate" in w["layers"]  # fused gate|up split at load
+    cache = KVCache.create(lcfg, 1, 16)
+    logits, _ = forward(w, cache, jnp.asarray([tokens], jnp.int32),
+                        jnp.zeros(1, jnp.int32), lcfg)
+    np.testing.assert_allclose(np.asarray(logits[0, -1]), want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_yarn_rope_scaling_matches_numpy_reference(tmp_path):
+    """YaRN rope scaling: load-time divisor synthesis + mscale vs the
+    oracle's independent NTK-by-parts implementation. The deep positions
+    make an unscaled run diverge, so the test is sensitive."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import load_weights
+
+    from ref_forward import run_tokens
+
+    cfg = ModelConfig(
+        architecture="llama", model_name="syn-yarn",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=128, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["llama"],
+        rope_scaling_type="yarn", rope_scaling_factor=4.0,
+        rope_scaling_orig_ctx=32,
+    )
+    path = str(tmp_path / "yarn.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=53)
+
+    tokens = [1, 7, 42, 99, 5, 12, 63, 8, 3, 44]
+    want = run_tokens(path, tokens)
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    assert lcfg.rope_scaling_type == "yarn"
+    assert lcfg.rope_mscale > 1.0
+    w = load_weights(gf, lcfg)
+    assert w["rope_freqs"] is not None  # synthesized yarn divisors
+    cache = KVCache.create(lcfg, 1, 16)
+    logits, _ = forward(w, cache, jnp.asarray([tokens], jnp.int32),
+                        jnp.zeros(1, jnp.int32), lcfg)
+    np.testing.assert_allclose(np.asarray(logits[0, -1]), want,
+                               rtol=2e-4, atol=2e-4)
+
+    # sensitivity: without yarn the logits differ materially
+    plain = ModelConfig(**{**cfg.__dict__, "rope_scaling_type": "none"})
+    path2 = str(tmp_path / "plain.gguf")
+    write_synthetic_gguf(path2, plain, GGMLType.F32, seed=53)
+    want_plain = run_tokens(path2, tokens)
+    assert np.abs(want_plain - want).max() > 1e-3
