@@ -193,8 +193,9 @@ def default_synth_gguf(model, quant):
     """Build (once) and return the cached full-size synthetic GGUF."""
     import os
 
+    # v2: the 7b shape changed to Mistral-style GQA (BASELINE's config)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        ".cache", f"synth-{model}-{quant}.gguf")
+                        ".cache", f"synth-{model}-{quant}-v2.gguf")
     if not os.path.exists(path):
         from crabml_tpu.gguf.constants import GGMLType
         from crabml_tpu.tools.synth_gguf import build_synth_gguf
@@ -207,7 +208,8 @@ def default_synth_gguf(model, quant):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="7b", choices=["7b", "13b", "1b", "tiny", "mixtral"])
+    ap.add_argument("--model", default="7b",
+                    choices=["7b", "7b-mha", "13b", "1b", "tiny", "mixtral"])
     ap.add_argument("--quant", default="q4_k")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1)

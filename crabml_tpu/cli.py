@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "sequence axis over N devices (ring-attention "
                          "prefill), for contexts beyond one chip's HBM")
     ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "w4a8"])
+    ap.add_argument("--prefill-w8", action="store_true",
+                    help="attach W8 prefill planes: unpack-free prefill "
+                         "tiles at 82%% of the chip's matmul rate, costing "
+                         "+8 bits/weight of HBM")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mlock", action="store_true",
                     help="mlock(2) the weight mmap (reference --mlock parity)")
@@ -69,8 +73,11 @@ def main(argv=None):
         from .parallel.sp import SequenceParallelRunner
 
         sp_runner = SequenceParallelRunner(
-            args.model, sp=args.sp, seq_len=args.seq_len,
+            args.model, sp=args.sp, tp=(args.tp or 1), seq_len=args.seq_len,
             compute_dtype=dtypes[args.dtype],
+            sampler=(Sampler(temperature=args.temperature,
+                             topp=args.probability)
+                     if args.temperature > 0 else None),
         )
         t0 = time.perf_counter()
         print(args.prompt, end="", flush=True)
@@ -98,6 +105,7 @@ def main(argv=None):
         sharding=sharding,
         seed=args.seed,
         backend=args.backend,
+        prefill_w8=args.prefill_w8,
     )
 
     if args.chat:

@@ -29,7 +29,11 @@ from ..gguf.constants import GGUF_MAGIC, GGUFValueType
 
 MODEL_SHAPES = {
     # (dim, hidden, layers, heads, kv_heads, vocab, ctx)
-    "7b": (4096, 11008, 32, 32, 32, 32000, 4096),
+    # 7b = Mistral-7B shape (GQA kv 8, ffn 14336) — BASELINE.json's target
+    # config and the shape every kernel number is quoted against
+    "7b": (4096, 14336, 32, 32, 8, 32000, 4096),
+    # llama1/2-7B classic shape (MHA, ffn 11008)
+    "7b-mha": (4096, 11008, 32, 32, 32, 32000, 4096),
     "13b": (5120, 13824, 40, 40, 40, 32000, 4096),
     "1b": (2048, 5632, 22, 32, 4, 32000, 4096),
     "tiny": (256, 512, 4, 4, 2, 512, 512),  # K-quant-compatible rows (k % 256)

@@ -401,3 +401,89 @@ def test_sp_x_tp_mesh_generation(stories260k_path):
     assert sp.mesh.shape == {"sp": 2, "tp": 2}
     got = "".join(sp.prefill_and_generate(prompt, steps=10))
     assert got == want
+
+
+def test_expert_parallel_ffn_matches_dense(tmp_path):
+    """"ep" mesh axis (VERDICT r2 #3): expert planes sharded over 4
+    devices; the ep FFN must equal the single-device dense MoE FFN."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig
+    from crabml_tpu.models.forward import moe_ffn
+    from crabml_tpu.models.synthetic import make_weights
+    from crabml_tpu.parallel.ep import (EXPERT_TENSORS, ep_weight_specs,
+                                        expert_parallel_ffn, localize_experts)
+
+    cfg = ModelConfig(
+        architecture="llama", model_name="ep-test",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=128, seq_len=32, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["llama"], n_experts=4, n_experts_used=2,
+    )
+    w = make_weights(cfg, GGMLType.F32, seed=61)
+    lw = dict(w["layers"])
+    rng = np.random.default_rng(3)
+    # expert tensors (make_weights builds the dense-FFN schema only)
+    from crabml_tpu.quant.codecs import quantize
+    from crabml_tpu.quant.planar import stack_qtensors, to_planar
+
+    E, HD, D, L = cfg.n_experts, cfg.hidden_dim, cfg.embedding_dim, cfg.n_layers
+
+    def stack_exp(m, k):
+        outs = []
+        for _ in range(L):
+            a = (rng.standard_normal((m, k)) * 0.05).astype(np.float32)
+            outs.append(to_planar(GGMLType.F32, quantize(GGMLType.F32, a), (m, k)))
+        return stack_qtensors(outs)
+
+    lw["ffn_gate_inp"] = (rng.standard_normal((L, E, D)) * 0.1).astype(np.float32)
+    lw["ffn_gate_exps"] = stack_exp(E * HD, D)
+    lw["ffn_up_exps"] = stack_exp(E * HD, D)
+    lw["ffn_down_exps"] = stack_exp(E * D, HD)
+    x = jnp.asarray(rng.standard_normal((2, 3, 64)), jnp.float32)
+
+    want = np.asarray(moe_ffn(lw, 1, x, cfg, jnp.float32))
+
+    ep = 4
+    mesh = Mesh(np.asarray(jax.devices()[:ep]), ("ep",))
+    moe_names = [n for n in EXPERT_TENSORS if n in lw]
+    sharded = {}
+    specs = {}
+    for name in list(lw):
+        val = lw[name]
+        if name in moe_names:
+            sp_ = ep_weight_specs(val)
+            sharded[name] = jax.tree.map(
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+                val, sp_)
+            specs[name] = sp_
+        else:
+            sharded[name] = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P())), val)
+            specs[name] = jax.tree.map(lambda _: P(), val)
+
+    local = {n: (localize_experts(v, ep) if n in moe_names else v)
+             for n, v in sharded.items()}
+
+    def body(lw_in, x_in):
+        lw_loc = {
+            n: (QT(v.kind, local[n].shape, v.planes)
+                if n in moe_names else v)
+            for n, v in lw_in.items()
+        }
+        return expert_parallel_ffn(lw_loc, 1, x_in, cfg, jnp.float32)
+
+    from crabml_tpu.quant.planar import QTensor as QT
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+        check_rep=False,
+    ))
+    got = np.asarray(fn(sharded, x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
