@@ -50,6 +50,33 @@ def test_quant_sweep_kquants_synthetic(tmp_path):
     assert abs(out["q6_k"]["rel_delta"]) <= abs(out["q4_k"]["rel_delta"]) + 0.05
 
 
+def test_w4a8_decode_gate():
+    """Gate the W4A8 default kernels' end-to-end accuracy against the bf16
+    dequant kernels from the checked-in sweep artifacts (VERDICT r2 #8):
+    both sweeps ran the IDENTICAL decode path (T=1 scan, 409,941 held-out
+    tokens, all 10 schemes) on the real chip — the int8-activation cost per
+    scheme must stay within the +0.2% rel-NLL budget."""
+    import json
+    import pathlib
+
+    bench = pathlib.Path(__file__).parent.parent / "benchmarks"
+    bf16 = json.loads((bench / "quant_sweep_r3_pallas_decode.json").read_text())
+    w4a8 = json.loads((bench / "quant_sweep_r3_w4a8_decode.json").read_text())
+
+    assert bf16["backend"] == "pallas" and w4a8["backend"] == "w4a8"
+    assert bf16["path"] == w4a8["path"] == "decode"
+    # identical eval: same baseline, same token count
+    assert bf16["f32_baseline"] == w4a8["f32_baseline"]
+
+    schemes = [k for k in bf16 if k not in
+               ("backend", "path", "prefill_w8", "f32_baseline")]
+    assert len(schemes) == 10
+    for s in schemes:
+        a, b = bf16[s]["nll_per_token"], w4a8[s]["nll_per_token"]
+        rel = (b - a) / a
+        assert rel < 0.002, (s, rel)  # the ≤ +0.2% rel gate
+
+
 def test_decode_path_perplexity_matches_prefill(stories260k_path):
     """The decode-path NLL (T=1 steps) must agree with the prefill-window
     NLL at f32 — same math, different kernels. Also pins the sweep's new
