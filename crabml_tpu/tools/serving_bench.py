@@ -1,0 +1,188 @@
+"""Paged-vs-dense serving benchmark on one chip.
+
+VERDICT r2 #4's done-criterion measurement: paged-int8 serving throughput
+>= dense-int8 at B=16 through the round-3 paged path (scale-aware int8
+pool kernel reading through the block table + direct-to-page prefill),
+replacing the stale round-1 numbers (bf16 kernels, XLA gather fallback:
+304 paged vs 317 dense).
+
+Unlike `bench.py --mode serving` (a raw decode_loop over a full batch —
+the kernel-limit number), this drives the REAL engines end to end:
+admission, chunked prefill, page allocation, per-slot sampling,
+finish/free, multi-token ticks. Byte-level paged==dense output parity is
+pinned separately by tests/test_paged_serving.py; this tool measures the
+throughput side of the same comparison.
+
+Usage:
+    python -m crabml_tpu.tools.serving_bench --gguf auto [--engines dense,paged]
+        [--slots 16] [--prompt 512] [--max-tokens 192] [--tick 8]
+
+Prints one JSON line per engine plus a `paged_vs_dense` summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _mk_prompts(n_requests: int, prompt_len: int, vocab: int, seed: int):
+    """Fixed-length synthetic token prompts (bypasses the tokenizer so both
+    engines see byte-identical admission work)."""
+    rng = np.random.default_rng(seed)
+    return [
+        [1] + rng.integers(2, vocab, prompt_len - 1).tolist()
+        for _ in range(n_requests)
+    ]
+
+
+def run_workload(make_engine, prompts, max_tokens: int, tick: int) -> dict:
+    """Admit all prompts, drain with run_forever's tick policy (fused
+    multi-token ticks while no admission is pending), wall-clock the whole
+    thing. Engines fetch sampled tokens to host every tick, so the timing
+    is self-synchronizing (no reliance on block_until_ready)."""
+    from ..serving.engine import Request
+
+    eng = make_engine()
+    reqs = []
+    for toks in prompts:
+        r = Request(prompt="", max_tokens=max_tokens, temperature=0.0)
+        r.prompt_tokens = list(toks)
+        reqs.append(r)
+        eng.submit(r)
+    t0 = time.perf_counter()
+    while any(eng.slots) or not eng.pending.empty():
+        idle_admission = eng.pending.empty() and not eng._prefilling
+        eng.step(tick if idle_admission else 1)
+    dt = time.perf_counter() - t0
+    assert all(r.done for r in reqs)
+    out_toks = sum(len(r.output_tokens) for r in reqs)
+    cache = eng.cache
+    pool_bytes = sum(
+        a.size * a.dtype.itemsize
+        for a in (cache.k, cache.v,
+                  getattr(cache, "k_scale", None), getattr(cache, "v_scale", None))
+        if a is not None
+    )
+    return {
+        "completion_tokens": out_toks,
+        "seconds": round(dt, 2),
+        "tok_s": round(out_toks / dt, 2),
+        "dispatched_tok_s": round(eng.tokens_generated / dt, 2),
+        "kv_pool_bytes": int(pool_bytes),
+        "finish_reasons": sorted({r.finish_reason for r in reqs}),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="crabml-tpu-serving-bench")
+    ap.add_argument("--gguf", default="auto",
+                    help="GGUF path; 'auto' = bench.py's cached synthetic 7B")
+    ap.add_argument("--model", default="7b", help="synth model for --gguf auto")
+    ap.add_argument("--quant", default="q4_k")
+    ap.add_argument("--backend", default="w4a8",
+                    choices=["auto", "xla", "pallas", "w4a8"])
+    ap.add_argument("--engines", default="dense,paged")
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--prompt", type=int, default=512)
+    ap.add_argument("--max-tokens", type=int, default=192)
+    ap.add_argument("--tick", type=int, default=8)
+    ap.add_argument("--seq-len", type=int, default=1024)
+    ap.add_argument("--kv-dtype", default="int8", choices=["int8", "bf16"])
+    ap.add_argument("--compute-dtype", default="bf16",
+                    choices=["bf16", "f32"],
+                    help="f32 for CPU smoke runs (XLA:CPU lacks bf16 dots)")
+    ap.add_argument("--warmup", action="store_true", default=True)
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..ops import matmul as matmul_mod
+    from ..utils import enable_compilation_cache
+
+    matmul_mod.set_backend(args.backend)
+    enable_compilation_cache()
+
+    # weight loading: the same real mmap->repack->cache->device path as
+    # bench.py (import from the repo root)
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    from bench import default_synth_gguf, load_gguf_weights
+
+    path = (default_synth_gguf(args.model, args.quant)
+            if args.gguf == "auto" else args.gguf)
+    weights, cfg, load_t = load_gguf_weights(path, matmul_mod._BACKEND)
+    print(f"loaded {path}: {load_t}", file=sys.stderr)
+
+    kv_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
+    seq_len = args.seq_len
+    # every request's positions stay >= tick below the seq_len edge so the
+    # fused-scan length (and its executable) never varies mid-run
+    assert args.prompt + args.max_tokens + args.tick < seq_len, \
+        "workload would clamp the fused tick at the seq_len edge"
+
+    from ..ops.pallas.decode_attention import BK as PAGE
+    from ..serving.engine import ServingEngine
+    from ..serving.paged import PagedServingEngine
+
+    per_seq_pages = -(-(args.prompt + args.max_tokens + args.tick) // PAGE)
+    n_pages = args.slots * per_seq_pages + 8 + 1  # + slack + scratch page
+
+    def mk(kind):
+        compute = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
+        common = dict(weights=weights, cfg=cfg, tokenizer=None,
+                      n_slots=args.slots, seq_len=seq_len,
+                      compute_dtype=compute, kv_dtype=kv_dtype,
+                      tick_tokens=args.tick)
+        if kind == "dense":
+            return lambda: ServingEngine(**common)
+        return lambda: PagedServingEngine(n_pages=n_pages, **common)
+
+    results = {}
+    for kind in args.engines.split(","):
+        prompts = _mk_prompts(args.requests, args.prompt, cfg.vocab_size,
+                              seed=0)
+        if args.warmup:
+            # identical shapes on a fresh engine: compiles prefill chunks,
+            # the fused scan, single ticks, and every attention window the
+            # timed run will touch
+            run_workload(mk(kind), prompts[: args.slots], args.max_tokens,
+                         args.tick)
+        res = run_workload(mk(kind), prompts, args.max_tokens, args.tick)
+        res.update({
+            "metric": f"serving_engine_{kind}_tok_s",
+            "engine": kind,
+            "slots": args.slots,
+            "requests": args.requests,
+            "prompt_tokens": args.prompt,
+            "max_tokens": args.max_tokens,
+            "tick": args.tick,
+            "kv_dtype": args.kv_dtype,
+            "backend": matmul_mod._BACKEND,
+        })
+        if kind == "paged":
+            res["page_size"] = PAGE
+            res["n_pages"] = n_pages
+        results[kind] = res
+        print(json.dumps(res))
+    if "dense" in results and "paged" in results:
+        print(json.dumps({
+            "metric": "paged_vs_dense",
+            "value": round(results["paged"]["tok_s"]
+                           / results["dense"]["tok_s"], 4),
+            "kv_pool_ratio": round(results["paged"]["kv_pool_bytes"]
+                                   / results["dense"]["kv_pool_bytes"], 4),
+        }))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -183,6 +183,27 @@ def test_paged_int8_pages_match_dense_int8(runner):
         assert g[:11] == b[:11], f"{g!r} vs float {b!r}"
 
 
+def test_multi_page_prefill_chunks_match_dense(runner):
+    """Direct-to-page prefill with multi-page chunks (the default: 4 pages
+    = 512 tokens per dispatch) + a ragged tail chunk: a 300-token prompt
+    runs one 2-page chunk then one bucketed 2-page chunk whose padded tail
+    writes land on the scratch page — outputs must match the dense engine
+    token for token."""
+    toks = [1] + (runner.tokenizer.encode("Tom and Jane went to the garden. ",
+                                          bos=False) * 40)
+    toks = toks[: 2 * PAGE + 44]  # 300 tokens: ragged over page boundaries
+
+    dense = ServingEngine(runner, n_slots=1, seq_len=512)
+    r1 = dense.submit(Request(prompt="", prompt_tokens=list(toks), max_tokens=10))
+    dense.drain()
+
+    paged = PagedServingEngine(runner, n_slots=1, seq_len=512, n_pages=8)
+    assert paged.prefill_chunk == 4 * PAGE and paged._direct_prefill
+    r2 = paged.submit(Request(prompt="", prompt_tokens=list(toks), max_tokens=10))
+    paged.drain()
+    assert r2.output_tokens == r1.output_tokens
+
+
 # feature-arch parity: the paged step wires qwen3 qk-norm, gemma2
 # post-norms/softcaps/sliding-window, and llama3.1 rope scaling the same
 # as the dense forward (advisor r2 finding: it used to silently omit them)
