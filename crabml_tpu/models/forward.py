@@ -264,6 +264,17 @@ def project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=None):
     return down_proj(_activation(gate, cfg.act) * up)
 
 
+def _window_eff(local_window: int, use_local):
+    """Per-call effective sliding window for the Pallas kernels: int32
+    scalar, 0 = global attention. `use_local` may be traced (gemma2's
+    alternating layers toggle it inside the scanned layer body)."""
+    if not local_window:
+        return None
+    if use_local is None:
+        return jnp.int32(local_window)
+    return jnp.where(use_local, jnp.int32(local_window), jnp.int32(0))
+
+
 def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None,
               softcap: float = 0.0, local_window: int = 0, use_local=None):
     """Masked GQA attention over the full cache.
@@ -274,13 +285,15 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None,
     `softcap`: gemma2 attention-logit soft capping (cap*tanh(s/cap); 0=off).
     `local_window`/`use_local`: sliding-window width and a (traced) bool
     enabling it — gemma2 alternates local/global layers inside one scan.
-    Either option forces the XLA path (the Pallas kernels don't take them).
+    Both ride the Pallas kernels (softcap static, window via scalar
+    prefetch); only `probe` forces the XLA path.
     """
     B, T, H, hd = q.shape
     KV, S = k_cache.shape[1], k_cache.shape[2]
     G = H // KV
 
-    if probe is None and softcap == 0.0 and not local_window:
+    w_eff = _window_eff(local_window, use_local)
+    if probe is None:
         from ..ops import matmul as _mm
 
         if _mm._BACKEND == "pallas":
@@ -288,13 +301,15 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None,
                 from ..ops.pallas.flash_attention import flash_attention
 
                 out = flash_attention(q, k_cache, v_cache, pos, scale,
-                                      s_limit=window)
+                                      s_limit=window, softcap=softcap,
+                                      local_window=w_eff)
                 if out is not None:
                     return out
             else:  # decode: manual-DMA kernel reads only each seq's live prefix
                 from ..ops.pallas.decode_attention import decode_attention
 
-                out = decode_attention(q, k_cache, v_cache, pos, scale)
+                out = decode_attention(q, k_cache, v_cache, pos, scale,
+                                       softcap=softcap, local_window=w_eff)
                 if out is not None:
                     return out
 
@@ -452,16 +467,20 @@ def forward(
             from ..ops import matmul as _mm
 
             attn = None
-            # gemma2 features force the dequant fallback: the decode kernel
-            # takes neither softcap nor a sliding window
-            plain_attn = not cfg.attn_logit_softcap and not cfg.sliding_window
-            if T == 1 and plain_attn and _mm._BACKEND == "pallas":
+            if T == 1 and _mm._BACKEND == "pallas":
                 # decode kernel reads the int8 cache + scales directly:
-                # half the bytes of bf16, and only the live prefix
+                # half the bytes of bf16, and only the live prefix;
+                # gemma2 softcap/sliding-window ride the kernel too
                 from ..ops.pallas.decode_attention import decode_attention
 
-                attn = decode_attention(q, k_l, v_l, pos, scale,
-                                        k_scale=ks_l, v_scale=vs_l)
+                attn = decode_attention(
+                    q, k_l, v_l, pos, scale, k_scale=ks_l, v_scale=vs_l,
+                    softcap=cfg.attn_logit_softcap,
+                    local_window=_window_eff(
+                        cfg.sliding_window,
+                        (l % 2 == 0) if cfg.alternating_window else None,
+                    ),
+                )
             if attn is None:
                 # dequantize only the windowed view, then attend over it
                 win = attn_window if attn_window is not None else k_l.shape[2]

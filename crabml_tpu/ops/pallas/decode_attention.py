@@ -34,28 +34,37 @@ NEG_INF = -1e30
 BK = 128  # tokens per DMA chunk (matches the 128-token window buckets)
 
 
-def _kernel(*refs, scale: float, quantized: bool, paged: bool):
+def _kernel(*refs, scale: float, quantized: bool, paged: bool,
+            softcap: float):
     if paged and quantized:
         # int8 page pools carry per-(page-slot, head) scale pools that DMA
         # through the table exactly like the payload pages
-        (len_ref, table_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
-         k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks, sem_vs) = refs
+        (len_ref, win_ref, table_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,
+         o_ref, k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks,
+         sem_vs) = refs
     elif paged:
         # page-table indirection: chunk i of sequence b lives in physical
         # page table[b, i] of a (n_pages, KV, BK, hd) pool
-        (len_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
+        (len_ref, win_ref, table_ref, q_ref, k_hbm, v_hbm, o_ref,
          k_buf, v_buf, sem_k, sem_v) = refs
         ks_buf = vs_buf = None
     elif quantized:
-        (len_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
+        (len_ref, win_ref, q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
          k_buf, v_buf, ks_buf, vs_buf, sem_k, sem_v, sem_ks, sem_vs) = refs
     else:
-        (len_ref, q_ref, k_hbm, v_hbm, o_ref,
+        (len_ref, win_ref, q_ref, k_hbm, v_hbm, o_ref,
          k_buf, v_buf, sem_k, sem_v) = refs
         ks_buf = vs_buf = None
     b = pl.program_id(0)
     kv = pl.program_id(1)
     length = len_ref[b]
+    # sliding window (gemma2): only cols >= length - win are visible, so
+    # whole leading chunks are SKIPPED (win=0 disables; traced because
+    # alternating local/global layers toggle it per scan step)
+    win = win_ref[0]
+    first = jnp.where(
+        win > 0, jax.lax.div(jnp.maximum(length - win, 0), BK), 0
+    )
     n_chunks = jax.lax.div(length + BK - 1, BK)
 
     def copy_in(i, slot):
@@ -91,7 +100,7 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool):
 
     @pl.when(n_chunks > 0)
     def _run():
-        copy_in(0, 0)
+        copy_in(first, jax.lax.rem(first, 2))
         q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, hd)
         G = q.shape[0]
 
@@ -155,13 +164,17 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool):
                 # int8 payload feeds the dot untouched and no (BK, 1)
                 # sublane tile or transpose is ever needed
                 s = s * ks_buf[slot]  # (1, BK) broadcast over G
+            if softcap:  # gemma2: cap*tanh(s/cap) BEFORE masking
+                s = softcap * jnp.tanh(s / softcap)
             col = i * BK + jax.lax.broadcasted_iota(jnp.int32, (G, BK), 1)
-            s = jnp.where(col < length, s, NEG_INF)
+            live = col < length
+            live &= (win == 0) | (col >= length - win)
+            s = jnp.where(live, s, NEG_INF)
 
             m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(s - m_new)
-            p = jnp.where(col < length, p, 0.0)
+            p = jnp.where(live, p, 0.0)
             l = l * alpha + p.sum(axis=1, keepdims=True)
             if quantized:  # fold V's per-token scale into the probs
                 p = p * vs_buf[slot]
@@ -175,17 +188,18 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool):
         m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((G, 1), jnp.float32)
         acc0 = jnp.zeros((G, hd), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
         o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None):
+@functools.partial(jax.jit, static_argnames=("scale", "softcap"))
+def _run(q, k_cache, v_cache, lengths, win, scale: float, k_scale=None,
+         v_scale=None, softcap: float = 0.0):
     B, KV, G, hd = q.shape
     quantized = k_scale is not None
     grid = (B, KV)
     in_specs = [
-        pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
+        pl.BlockSpec((1, 1, G, hd), lambda b, kv, *_: (b, kv, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
     ]
@@ -193,7 +207,7 @@ def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None)
         pltpu.VMEM((2, BK, hd), k_cache.dtype),
         pltpu.VMEM((2, BK, hd), v_cache.dtype),
     ]
-    args = [lengths.astype(jnp.int32), q, k_cache, v_cache]
+    args = [lengths.astype(jnp.int32), win, q, k_cache, v_cache]
     if quantized:
         in_specs += [
             pl.BlockSpec(memory_space=pl.ANY),  # k scales (B, KV, S, 1)
@@ -211,14 +225,14 @@ def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None)
         ]
     scratch += [pltpu.SemaphoreType.DMA((2,))] * (4 if quantized else 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # lengths + sliding window
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref: (b, kv, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, *_: (b, kv, 0, 0)),
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_kernel, scale=scale, quantized=quantized,
-                               paged=False)
+                               paged=False, softcap=softcap)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
@@ -230,13 +244,13 @@ def _run(q, k_cache, v_cache, lengths, scale: float, k_scale=None, v_scale=None)
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float,
-               k_scale=None, v_scale=None):
+@functools.partial(jax.jit, static_argnames=("scale", "softcap"))
+def _run_paged(q, k_pages, v_pages, page_table, lengths, win, scale: float,
+               k_scale=None, v_scale=None, softcap: float = 0.0):
     B, KV, G, hd = q.shape
     quantized = k_scale is not None
     in_specs = [
-        pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
+        pl.BlockSpec((1, 1, G, hd), lambda b, kv, *_: (b, kv, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -244,7 +258,7 @@ def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float,
         pltpu.VMEM((2, BK, hd), k_pages.dtype),
         pltpu.VMEM((2, BK, hd), v_pages.dtype),
     ]
-    args = [lengths.astype(jnp.int32), page_table.astype(jnp.int32),
+    args = [lengths.astype(jnp.int32), win, page_table.astype(jnp.int32),
             q, k_pages, v_pages]
     if quantized:
         in_specs += [
@@ -263,14 +277,14 @@ def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float,
         ]
     scratch += [pltpu.SemaphoreType.DMA((2,))] * (4 if quantized else 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # lengths + page table
+        num_scalar_prefetch=3,  # lengths + sliding window + page table
         grid=(B, KV),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, len_ref, tab_ref: (b, kv, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, G, hd), lambda b, kv, *_: (b, kv, 0, 0)),
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_kernel, scale=scale, quantized=quantized,
-                               paged=True)
+                               paged=True, softcap=softcap)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
@@ -282,8 +296,14 @@ def _run_paged(q, k_pages, v_pages, page_table, lengths, scale: float,
     )(*args)
 
 
+def _win_arr(local_window):
+    return (jnp.zeros((1,), jnp.int32) if local_window is None
+            else jnp.asarray(local_window, jnp.int32).reshape(1))
+
+
 def paged_decode_attention(q, k_pages, v_pages, page_table, lengths,
-                           scale: float, k_scale=None, v_scale=None):
+                           scale: float, k_scale=None, v_scale=None,
+                           softcap: float = 0.0, local_window=None):
     """Decode attention over a PAGED cache pool (vLLM-style block tables).
 
     q (B, 1, H, hd); k_pages/v_pages (n_pages, KV, BK, hd); page_table
@@ -291,6 +311,7 @@ def paged_decode_attention(q, k_pages, v_pages, page_table, lengths,
     With k_scale/v_scale (n_pages, KV, BK, 1) the pool is int8 and pages
     dequantize in-register — the int8 pool's halved HBM rides the kernel
     instead of paying an XLA gather+materialize per step (VERDICT r2 #4).
+    `softcap`/`local_window` as in decode_attention.
     """
     B, T, H, hd = q.shape
     if T != 1:
@@ -304,12 +325,14 @@ def paged_decode_attention(q, k_pages, v_pages, page_table, lengths,
         return None
     G = H // KV
     out = _run_paged(q.reshape(B, KV, G, hd), k_pages, v_pages, page_table,
-                     lengths, scale, k_scale, v_scale)
+                     lengths, _win_arr(local_window), scale, k_scale, v_scale,
+                     float(softcap))
     return out.reshape(B, 1, H * hd)
 
 
 def decode_attention(q, k_cache, v_cache, pos, scale: float,
-                     k_scale=None, v_scale=None):
+                     k_scale=None, v_scale=None, softcap: float = 0.0,
+                     local_window=None):
     """q (B, 1, H, hd), cache (B, KV, S, hd), pos (B,) -> (B, 1, H*hd) or
     None when shapes aren't eligible (caller keeps the XLA path).
 
@@ -318,6 +341,10 @@ def decode_attention(q, k_cache, v_cache, pos, scale: float,
     With k_scale/v_scale (B, KV, S, 1), the cache is int8 and chunks
     dequantize in-register — long-context int8 decode reads half the
     bytes of a bf16 cache AND only the live prefix.
+
+    `softcap` (static): gemma2 logit capping. `local_window` (traced int32
+    scalar or None): sliding window; chunks fully before length-win are
+    never DMA'd, so local layers read O(window) bytes, not O(context).
     """
     B, T, H, hd = q.shape
     if T != 1:
@@ -337,5 +364,6 @@ def decode_attention(q, k_cache, v_cache, pos, scale: float,
         return None
     G = H // KV
     qg = q.reshape(B, KV, G, hd)
-    out = _run(qg, k_cache, v_cache, pos + 1, scale, k_scale, v_scale)
+    out = _run(qg, k_cache, v_cache, pos + 1, _win_arr(local_window), scale,
+               k_scale, v_scale, float(softcap))
     return out.reshape(B, 1, H * hd)

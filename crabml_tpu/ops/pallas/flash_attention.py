@@ -34,8 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, bq: int, bk: int, g: int, scale: float):
+def _kernel(pos_ref, win_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+            acc_ref, *, bq: int, bk: int, g: int, scale: float,
+            softcap: float):
     b = pl.program_id(0)
     qi = pl.program_id(2)
     kj = pl.program_id(3)
@@ -49,6 +50,9 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     pos = pos_ref[b]
+    # sliding window (gemma2): 0 disables; traced because alternating
+    # local/global layers toggle it per scan step
+    win = win_ref[0]
     # stacked row r = head-local g*bq + t; its token index uses r % bq
     row = pos + qi * bq + (
         jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0) % bq
@@ -58,6 +62,10 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     # prefix (cols < pos are earlier turns, visible; cols in this call's
     # range obey causality; cols beyond are unwritten slots).
     block_live = kj * bk <= pos + (qi + 1) * bq - 1
+    # window block-skip: a local block is dead when even its LAST column
+    # falls outside the window of the block's SMALLEST row — so local
+    # attention prefill gets cheaper, not just masked
+    block_live &= (win == 0) | ((kj + 1) * bk - 1 > pos + qi * bq - win)
 
     @pl.when(block_live)
     def _step():
@@ -71,7 +79,11 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ) * scale
-        s = jnp.where(col <= row, s, NEG_INF)
+        if softcap:  # gemma2: cap*tanh(s/cap) BEFORE masking
+            s = softcap * jnp.tanh(s / softcap)
+        live = col <= row
+        live &= (win == 0) | (col > row - win)
+        s = jnp.where(live, s, NEG_INF)
 
         m_prev = m_ref[:, :1]  # (BQ, 1), lanes replicated
         m_cur = s.max(axis=1, keepdims=True)
@@ -79,7 +91,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         # rows with no live column yet keep m = -inf; exp(-inf - -inf) guard:
         alpha = jnp.exp(jnp.minimum(m_prev - m_new, 0.0))
         p = jnp.exp(s - m_new)
-        p = jnp.where(col <= row, p, 0.0)
+        p = jnp.where(live, p, 0.0)
 
         l_new = l_ref[:, :1] * alpha + p.sum(axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -96,23 +108,25 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = out.reshape(o_ref.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "bq", "bk", "s_limit"))
-def _flash(q, k_cache, v_cache, pos, scale: float, bq: int, bk: int,
-           s_limit: int):
+@functools.partial(
+    jax.jit, static_argnames=("scale", "bq", "bk", "s_limit", "softcap")
+)
+def _flash(q, k_cache, v_cache, pos, win, scale: float, bq: int, bk: int,
+           s_limit: int, softcap: float):
     # q arrives group-major (B, KV, G, T, hd); cache is (B, KV, S, hd)
     B, KV, G, T, hd = q.shape
 
     grid = (B, KV, T // bq, s_limit // bk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # pos + sliding window
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, G, bq, hd), lambda b, kv, i, j, pos_ref: (b, kv, 0, i, 0)),
-            pl.BlockSpec((1, 1, bk, hd), lambda b, kv, i, j, pos_ref: (b, kv, j, 0)),
-            pl.BlockSpec((1, 1, bk, hd), lambda b, kv, i, j, pos_ref: (b, kv, j, 0)),
+            pl.BlockSpec((1, 1, G, bq, hd), lambda b, kv, i, j, *_: (b, kv, 0, i, 0)),
+            pl.BlockSpec((1, 1, bk, hd), lambda b, kv, i, j, *_: (b, kv, j, 0)),
+            pl.BlockSpec((1, 1, bk, hd), lambda b, kv, i, j, *_: (b, kv, j, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, bq, hd), lambda b, kv, i, j, pos_ref: (b, kv, 0, i, 0)
+            (1, 1, G, bq, hd), lambda b, kv, i, j, *_: (b, kv, 0, i, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((G * bq, 128), jnp.float32),  # running max (lanes replicated)
@@ -120,7 +134,8 @@ def _flash(q, k_cache, v_cache, pos, scale: float, bq: int, bk: int,
             pltpu.VMEM((G * bq, hd), jnp.float32),  # output accumulator
         ],
     )
-    kernel = functools.partial(_kernel, bq=bq, bk=bk, g=G, scale=scale)
+    kernel = functools.partial(_kernel, bq=bq, bk=bk, g=G, scale=scale,
+                               softcap=softcap)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, T, hd), q.dtype),
@@ -129,15 +144,22 @@ def _flash(q, k_cache, v_cache, pos, scale: float, bq: int, bk: int,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(pos.astype(jnp.int32), q, k_cache, v_cache)
+    )(pos.astype(jnp.int32), win, q, k_cache, v_cache)
 
 
 def flash_attention(q, k_cache, v_cache, pos, scale: float, force: bool = False,
-                    s_limit: int | None = None):
+                    s_limit: int | None = None, softcap: float = 0.0,
+                    local_window=None):
     """Flash prefill over the cache, or None if shapes aren't eligible
     (caller keeps the XLA attention path — decode T=1 always falls back).
 
     q: (B, T, H, hd) -> (B, T, H*hd), matching models.forward.attention.
+
+    `softcap` (static): gemma2 attention-logit capping cap*tanh(s/cap).
+    `local_window` (traced int32 scalar or None): sliding-window width,
+    0 = global — traced so gemma2's alternating local/global layers work
+    inside one scanned layer body; out-of-window KV BLOCKS are skipped,
+    not just masked.
 
     Dispatch heuristic: below ~1.5M score elements per head-group the
     XLA-fused path wins (kernel grid overhead dominates); above it the
@@ -167,9 +189,11 @@ def flash_attention(q, k_cache, v_cache, pos, scale: float, force: bool = False,
         return None
     G = H // KV
     qg = q.reshape(B, T, KV, G, hd).transpose(0, 2, 3, 1, 4)  # (B, KV, G, T, hd)
+    win = (jnp.zeros((1,), jnp.int32) if local_window is None
+           else jnp.asarray(local_window, jnp.int32).reshape(1))
     out = _flash(
-        qg, k_cache.astype(q.dtype), v_cache.astype(q.dtype), pos, scale, bq, bk,
-        s_lim,
+        qg, k_cache.astype(q.dtype), v_cache.astype(q.dtype), pos, win, scale,
+        bq, bk, s_lim, float(softcap),
     )
     # (B, KV, G, T, hd) -> (B, T, KV, G, hd) -> (B, T, H*hd)
     return out.transpose(0, 3, 1, 2, 4).reshape(B, T, H * hd)

@@ -32,7 +32,8 @@ NEG_INF = -1e30
 
 
 def ring_attention(q, k, v, *, axis_name: str, scale: float,
-                   row_offset=None, col_offset=None, return_partials=False):
+                   row_offset=None, col_offset=None, return_partials=False,
+                   softcap: float = 0.0, local_window=None):
     """Blockwise-causal attention with ring-permuted KV (collective form).
 
     q: (B, Tq, H, hd) — this device's query rows (sequence-sharded).
@@ -47,6 +48,11 @@ def ring_attention(q, k, v, *, axis_name: str, scale: float,
     (B, KV, G, Tq, {1,1,hd}) instead of the normalized output, so the
     caller can merge with partials from other KV sources (the cache's
     earlier chunks).
+
+    `softcap` (static): gemma2 logit capping cap*tanh(s/cap).
+    `local_window` (traced int32 scalar or None, 0 = global): gemma2
+    sliding window — masked on GLOBAL row/col ids, so it composes with
+    the chunk offsets.
     """
     n = jax.lax.psum(1, axis_name)
     p = jax.lax.axis_index(axis_name)
@@ -75,7 +81,13 @@ def ring_attention(q, k, v, *, axis_name: str, scale: float,
             "btkgh,bksh->bkgts", qg, k_cur.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         ) * scale
+        if softcap:
+            s = softcap * jnp.tanh(s / softcap)
         mask = col[None, :] <= row[:, None]  # (Tq, Tk) causal, global ids
+        if local_window is not None:
+            mask &= (local_window == 0) | (
+                col[None, :] > row[:, None] - local_window
+            )
         s = jnp.where(mask[None, None, None], s, NEG_INF)
 
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))

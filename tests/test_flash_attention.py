@@ -83,3 +83,35 @@ def test_eligibility_matrix_and_fallback_log(caplog):
     kb = jnp.asarray(rng.standard_normal((B, KV, T, 81)), jnp.float32)
     assert flash_attention(qb, kb, kb, jnp.zeros(B, jnp.int32), 0.1,
                            force=True) is None
+
+
+@pytest.mark.parametrize("win", [64, 1024], ids=["local", "wider-than-ctx"])
+def test_flash_softcap_and_window(win):
+    """gemma2 features on the flash prefill kernel: softcap + sliding
+    window match the XLA path, incl. out-of-window block skipping and a
+    resumed cache offset."""
+    from crabml_tpu.models import forward as fwd
+
+    B, T, S, KV, G, hd = 2, 128, 512, 2, 2, 64
+    H = KV * G
+    softcap = 50.0
+    rng = np.random.default_rng(win)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    pos = jnp.asarray([0, 250], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    want = fwd.attention(q, k, v, pos, T, scale, softcap=softcap,
+                         local_window=win)
+    got = flash_attention(q, k, v, pos, scale, force=True, softcap=softcap,
+                          local_window=jnp.int32(win))
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # traced win=0 == global (gemma2 alternating layers toggle in-scan)
+    want_g = fwd.attention(q, k, v, pos, T, scale, softcap=softcap)
+    got_g = flash_attention(q, k, v, pos, scale, force=True, softcap=softcap,
+                            local_window=jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=2e-5, atol=2e-5)

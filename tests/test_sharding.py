@@ -487,3 +487,37 @@ def test_expert_parallel_ffn_matches_dense(tmp_path):
     ))
     got = np.asarray(fn(sharded, x))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_sp_gemma2_matches_dense(tmp_path):
+    """gemma2's block shape (post-norms, attn+final softcaps, alternating
+    sliding window) through SequenceParallelRunner: same greedy text as
+    the dense Runner. The window mask rides GLOBAL row/col ids, so it
+    composes with chunked prefill offsets and the sharded decode combine
+    (removes the r2 UnsupportedError guard)."""
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.parallel.sp import SequenceParallelRunner
+    from crabml_tpu.runtime.runner import Runner
+
+    cfg = ModelConfig(
+        architecture="gemma2", model_name="syn-g2-sp",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=128, rms_norm_eps=1e-5,
+        **{**ARCH_FEATURES["gemma2"], "attn_logit_softcap": 5.0,
+           "final_logit_softcap": 10.0, "sliding_window": 8},
+    )
+    path = str(tmp_path / "g2sp.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=41)
+
+    prompt = "Lily is a cat who likes to play with yarn " * 2
+    dense = Runner(path, seq_len=128)
+    want = "".join(dense.prefill_and_generate(prompt, steps=12))
+
+    sp = SequenceParallelRunner(path, sp=4, seq_len=128)
+    n_prompt = len(sp.tokenizer.encode(prompt, bos=True))
+    assert n_prompt > 128 // 4, "prompt must exceed one shard's cache range"
+    assert n_prompt > 8, "prompt must exceed the sliding window"
+    got = "".join(sp.prefill_and_generate(prompt, steps=12))
+    assert got == want, f"{got!r} != {want!r}"
