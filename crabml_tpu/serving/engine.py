@@ -184,10 +184,14 @@ class ServingEngine:
         tick_tokens: int = 1,
         prefill_chunk: int | None = 256,
     ):
+        self.mesh = None
         if runner is not None:
             weights, cfg, tokenizer = runner.weights, runner.cfg, runner.tokenizer
             compute_dtype = runner.compute_dtype
             kv_dtype = kv_dtype or runner.kv_dtype
+            # a GSPMD-sharded Runner (sharding=make_mesh(tp=...)) carries
+            # its mesh here so the engine's cache shards over it too
+            self.mesh = getattr(runner, "_sharding", None)
         assert weights is not None and cfg is not None
         self.weights = weights
         self.cfg = cfg
@@ -273,7 +277,12 @@ class ServingEngine:
     def _make_cache(self):
         """Cache-construction hook (PagedServingEngine overrides: the slot
         pool's dense n_slots x seq_len allocation must never happen there)."""
-        return KVCache.create(self.cfg, self.n_slots, self.seq_len, self.kv_dtype)
+        cache = KVCache.create(self.cfg, self.n_slots, self.seq_len, self.kv_dtype)
+        if self.mesh is not None:
+            from ..parallel.sharding import cache_sharding
+
+            cache = jax.device_put(cache, cache_sharding(self.mesh))
+        return cache
 
     # -- admission ----------------------------------------------------------
 

@@ -491,9 +491,26 @@ class PagedServingEngine(ServingEngine):
             partial(forward, cfg=self.cfg, compute_dtype=self.compute_dtype),
             donate_argnames=("cache",),
         )
-        return PagedKVCache.create(
+        cache = PagedKVCache.create(
             self.cfg, self.n_pages, self.n_slots, self.max_pages, self.kv_dtype
         )
+        if self.mesh is not None:
+            # TP-sharded pool (ROADMAP #3): pages split over KV heads, so
+            # pool HBM divides by tp instead of replicating per device; the
+            # block table (tiny, host-authored) stays replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pool = NamedSharding(self.mesh, P(None, None, "tp", None, None))
+            rep = NamedSharding(self.mesh, P(None, None))
+            cache = PagedKVCache(
+                jax.device_put(cache.k, pool), jax.device_put(cache.v, pool),
+                jax.device_put(cache.table, rep),
+                None if cache.k_scale is None
+                else jax.device_put(cache.k_scale, pool),
+                None if cache.v_scale is None
+                else jax.device_put(cache.v_scale, pool),
+            )
+        return cache
 
     def _reset_device_state(self):
         super()._reset_device_state()  # calls _make_cache: pool state rebuilt
@@ -507,8 +524,14 @@ class PagedServingEngine(ServingEngine):
         return [self._free.pop() for _ in range(n)]
 
     def _push_table(self):
-        self.cache = PagedKVCache(self.cache.k, self.cache.v,
-                                  jnp.asarray(self._table),
+        table = jnp.asarray(self._table)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            table = jax.device_put(
+                table, NamedSharding(self.mesh, P(None, None))
+            )
+        self.cache = PagedKVCache(self.cache.k, self.cache.v, table,
                                   self.cache.k_scale, self.cache.v_scale)
 
     def _trim_prompt(self, req: Request) -> list[int]:

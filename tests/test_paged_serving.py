@@ -238,3 +238,27 @@ def test_paged_matches_dense_on_feature_archs(variant, tmp_path):
     paged = PagedServingEngine(r, n_slots=2, seq_len=256, n_pages=16)
     got = paged.generate(["tok3 tok5 tok7"], max_tokens=10)[0]
     assert got == want
+
+
+def test_paged_pool_tp_sharded(stories260k_path):
+    """ROADMAP r3: a GSPMD tp mesh shards the page pool over KV heads —
+    pool HBM per device divides by tp — and generation matches the
+    unsharded paged engine byte-for-byte."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from crabml_tpu.parallel import make_mesh
+
+    plain = PagedServingEngine(Runner(stories260k_path, seq_len=256),
+                               n_slots=2, seq_len=256, n_pages=16)
+    want = plain.generate([PROMPTS[0], PROMPTS[1]], max_tokens=12)
+
+    mesh = make_mesh(tp=2, dp=1)
+    r = Runner(stories260k_path, seq_len=256, sharding=mesh)
+    eng = PagedServingEngine(r, n_slots=2, seq_len=256, n_pages=16)
+    KV = r.cfg.n_kv_heads
+    shard = next(iter(eng.cache.k.addressable_shards))
+    assert shard.data.shape[2] == KV // 2, "pool not sharded over KV heads"
+    got = eng.generate([PROMPTS[0], PROMPTS[1]], max_tokens=12)
+    assert got == want

@@ -234,3 +234,27 @@ def test_logit_bias_rest_field(runner):
     finally:
         server.shutdown()
         eng.shutdown()
+
+
+def test_engine_cache_tp_sharded(stories260k_path):
+    """A GSPMD tp-sharded Runner propagates its mesh into ServingEngine:
+    the slot-pool cache shards over KV heads and outputs match unsharded."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from crabml_tpu.parallel import make_mesh
+    from crabml_tpu.runtime.runner import Runner
+    from crabml_tpu.serving import ServingEngine
+
+    plain = ServingEngine(Runner(stories260k_path, seq_len=128),
+                          n_slots=2, seq_len=128)
+    want = plain.generate(["Lily is a cat"], max_tokens=10)[0]
+
+    mesh = make_mesh(tp=2, dp=1)
+    r = Runner(stories260k_path, seq_len=128, sharding=mesh)
+    eng = ServingEngine(r, n_slots=2, seq_len=128)
+    shard = next(iter(eng.cache.k.addressable_shards))
+    assert shard.data.shape[2] == r.cfg.n_kv_heads // 2
+    assert eng.generate(["Lily is a cat"], max_tokens=10)[0] == want
