@@ -172,15 +172,21 @@ def moe_ffn(lw, l, ffn_in, cfg, compute_dtype):
     SiLU-gated experts (the reference has no MoE at all; semantics follow
     llama.cpp's build_moe_ffn).
 
-    Two regimes:
-    - single-row decode (B*T == 1): GATHER the top-k experts — each
+    Three regimes, by flattened row count B:
+    - B == 1 (single-row decode): GATHER the top-k experts — each
       selected expert's planes are addressed via the flattened
       layer*E + expert scalar-prefetch index (`_expert_view`), so weight
       traffic is k/E of the dense path (the bandwidth term that dominates
       B=1 decode).
-    - batched rows: all experts compute and mix by routing weight
-      (jit-static; rows route to different experts, so a shared gather
-      index does not exist).
+    - 1 < B, B*K < E (batched decode on a wide-expert model): static
+      unroll over ALL experts, each expert's three matmuls under a
+      `lax.cond` on "any row routed here" — an unselected expert's
+      weights are never read, so HBM traffic ∝ distinct experts used
+      (≤ min(B*K, E); the guard B*K < E makes it a guaranteed win).
+    - otherwise (prefill / big batch): all experts compute in fused
+      calls and mix by routing weight (rows route to different experts,
+      so a shared gather index does not exist and every expert is
+      almost surely used anyway).
     """
     E, K = cfg.n_experts, cfg.n_experts_used
     HD, D = cfg.hidden_dim, cfg.embedding_dim
@@ -216,6 +222,55 @@ def moe_ffn(lw, l, ffn_in, cfg, compute_dtype):
         return out
 
     route = (jax.nn.one_hot(topi, E, dtype=jnp.float32) * topw[..., None]).sum(-2)
+
+    if rows * K < E and aligned:
+        return _moe_cond_experts(lw, l, ffn_in, route, cfg, compute_dtype)
+
+    return _moe_all_experts(lw, l, ffn_in, route, cfg, compute_dtype)
+
+
+def _moe_cond_experts(lw, l, ffn_in, route, cfg, compute_dtype):
+    """Batched-decode expert gather (ROADMAP #6): per-expert compute
+    under `lax.cond(any row routed to e)`.  XLA conditionals on TPU
+    execute only the taken branch, so an expert no row selected costs
+    zero weight reads — decode weight traffic is bounded by the number
+    of DISTINCT experts the batch uses instead of E.  Rows not routed to
+    expert e carry routing weight 0 and contribute nothing; compute per
+    executed expert is a full-batch GEMM, which is noise at decode-class
+    row counts (the regime's matmuls are bandwidth-bound)."""
+    E = cfg.n_experts
+    D = cfg.embedding_dim
+    lead = ffn_in.shape[:-1]
+    gv = _expert_view(lw["ffn_gate_exps"], E)
+    uv = _expert_view(lw["ffn_up_exps"], E)
+    dv = _expert_view(lw["ffn_down_exps"], E)
+
+    def _zero():
+        return jnp.zeros(lead + (D,), compute_dtype)
+
+    out = _zero()
+    for e in range(E):  # static unroll; e is a static plane index
+        w_e = route[..., e]  # (...,) 0.0 for rows not routed to e
+
+        def _used(e=e, w_e=w_e):
+            idx = l * E + e
+            g = qmatmul(ffn_in, gv, compute_dtype, layer=idx)
+            u = qmatmul(ffn_in, uv, compute_dtype, layer=idx)
+            hj = _activation(g, cfg.act) * u
+            yj = qmatmul(hj, dv, compute_dtype, layer=idx)
+            return (yj * w_e[..., None].astype(yj.dtype)).astype(compute_dtype)
+
+        out = out + jax.lax.cond(jnp.any(w_e != 0.0), _used, _zero)
+    return out
+
+
+def _moe_all_experts(lw, l, ffn_in, route, cfg, compute_dtype):
+    """All-experts mix: fused gate/up over (E*HD) columns, static unroll
+    of the down projection over expert row slices. The prefill path —
+    at large row counts every expert is used, so fused full reads beat
+    per-expert dispatch."""
+    E = cfg.n_experts
+    HD, D = cfg.hidden_dim, cfg.embedding_dim
 
     # gate/up for ALL experts in one fused call each: (..., E*HD)
     gate = qmatmul(ffn_in, lw["ffn_gate_exps"], compute_dtype, layer=l)

@@ -549,6 +549,86 @@ def test_moe_topk_gather_decode_matches_dense_and_oracle(tmp_path):
     assert np.abs(got_k - want_q).max() / scale < 0.05
 
 
+def test_moe_batched_cond_gather_matches_single_row(tmp_path):
+    """ROADMAP #6 (batched-decode expert gather): at 1 < B with B*K < E
+    the per-expert lax.cond path must equal (a) B separate single-row
+    top-k gather calls and (b) the all-experts dense path, on both the
+    XLA layout (f32, through the scanned full forward) and the kernel
+    layout (q8_0 pallas)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward, moe_ffn
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import load_weights, repack_weights
+    from crabml_tpu.ops import matmul as mm
+
+    # E=16 top-2: B=4 rows give B*K=8 < 16, engaging the cond path;
+    # dims tile-aligned (256) so the kernel layout engages too
+    cfg = ModelConfig(
+        architecture="llama", model_name="syn-moe-cond",
+        embedding_dim=256, hidden_dim=256, n_layers=2, n_heads=4,
+        n_kv_heads=2, vocab_size=512, seq_len=64, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["llama"], n_experts=16, n_experts_used=2,
+    )
+    path = str(tmp_path / "moe16.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=43)
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    w = load_weights(gf, lcfg)
+    lw = w["layers"]
+    D = lcfg.embedding_dim
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, D)).astype(np.float32) * 0.1)
+
+    got = np.asarray(moe_ffn(lw, 1, x, lcfg, jnp.float32))  # cond path (rows=4)
+    # (a) four single-row gather calls
+    per_row = np.stack(
+        [np.asarray(moe_ffn(lw, 1, x[b], lcfg, jnp.float32)) for b in range(4)]
+    )
+    np.testing.assert_allclose(got, per_row, rtol=1e-5, atol=1e-6)
+    # (b) all-experts dense path: pad rows until B*K >= E, compare prefix
+    x9 = jnp.concatenate([x, jnp.tile(x[:1], (5, 1))], axis=0)  # rows=9, 18>=16
+    dense = np.asarray(moe_ffn(lw, 1, x9, lcfg, jnp.float32))[:4]
+    np.testing.assert_allclose(got, dense, rtol=1e-4, atol=1e-5)
+
+    # through the scanned full forward: B=4 decode vs per-sequence B=1
+    toks = np.asarray([[5], [9], [250], [42]], np.int32)
+    cache = KVCache.create(lcfg, 4, 16)
+    lb, _ = forward(w, cache, jnp.asarray(toks), jnp.zeros(4, jnp.int32), lcfg)
+    for b in range(4):
+        c1 = KVCache.create(lcfg, 1, 16)
+        l1, _ = forward(w, c1, jnp.asarray(toks[b : b + 1]),
+                        jnp.zeros(1, jnp.int32), lcfg)
+        np.testing.assert_allclose(
+            np.asarray(lb[b]), np.asarray(l1[0]), rtol=2e-4, atol=2e-4)
+
+    # kernel layout: q8_0 planes, pallas backend
+    path_q = str(tmp_path / "moe16_q8.gguf")
+    write_synthetic_gguf(path_q, cfg, GGMLType.Q8_0, seed=43)
+    gf_q = GGUFFile(path_q)
+    lcfg_q = config_from_gguf(gf_q.metadata)
+    w_q = load_weights(gf_q, lcfg_q)
+    mm.set_backend("pallas")
+    try:
+        wk = repack_weights(w_q, lcfg_q)
+        lwk = wk["layers"]
+        xb = x.astype(jnp.bfloat16)
+        got_k = np.asarray(moe_ffn(lwk, 1, xb, lcfg_q, jnp.bfloat16), np.float32)
+        per_row_k = np.stack(
+            [np.asarray(moe_ffn(lwk, 1, xb[b], lcfg_q, jnp.bfloat16), np.float32)
+             for b in range(4)]
+        )
+    finally:
+        mm.set_backend("xla")
+    scale = max(np.abs(per_row_k).max(), 1e-6)
+    assert np.abs(got_k - per_row_k).max() / scale < 0.03
+
+
 def test_phi3_matches_numpy_reference(tmp_path):
     """phi3 (fused qkv, fused gate|up SWIGLU) vs the numpy oracle."""
     import jax.numpy as jnp
