@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="attach W8 prefill planes: unpack-free prefill "
                          "tiles at 82%% of the chip's matmul rate, costing "
                          "+8 bits/weight of HBM")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="prompt-lookup speculative decoding with draft "
+                         "length K (greedy only): drafts come from the "
+                         "sequence's own history and verify in one fused "
+                         "step, so accepted tokens ride the already-paid "
+                         "weight streaming. Output is byte-identical to "
+                         "plain greedy")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mlock", action="store_true",
                     help="mlock(2) the weight mmap (reference --mlock parity)")
@@ -106,6 +113,7 @@ def main(argv=None):
         seed=args.seed,
         backend=args.backend,
         prefill_w8=args.prefill_w8,
+        speculative=args.speculative,
     )
 
     if args.chat:

@@ -44,6 +44,7 @@ class Runner:
         scale_dtype=None,
         weight_cache: bool | None = None,
         prefill_w8: bool = False,
+        speculative: int = 0,
     ):
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg: ModelConfig = config_from_gguf(gf.metadata)
@@ -135,6 +136,13 @@ class Runner:
         # nondeterministic generations under host load).
         self.pos = np.zeros(batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
+        # prompt-lookup speculative decoding: draft length (0 = off).
+        # Greedy, B=1, single-device only; other configs fall back.
+        self.speculative = speculative
+        # token consumed at each cache position (drives the on-device
+        # n-gram draft; correctness never depends on it — see
+        # runtime.speculative — so a stale list only costs acceptance)
+        self._consumed: list[int] = []
 
         if self._tp_step is not None:
             self._step = self._tp_step  # shard_map TP forward (parallel.tp)
@@ -161,6 +169,7 @@ class Runner:
             self.cache = jax.device_put(self.cache, cache_sharding(self._sharding))
         self.pos = np.zeros(self.batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
+        self._consumed = []
 
     MAX_PREFILL_CHUNK = 512  # bounds compile buckets AND activation memory
 
@@ -215,6 +224,7 @@ class Runner:
                 self.weights, self.cache, jnp.asarray(padded), jnp.asarray(self.pos)
             )
         self.pos = self.pos + np.asarray([n] + [0] * (self.batch_size - 1), np.int32)
+        self._consumed.extend(token_ids)
         return logits[:1, n - 1]
 
     def prefill(self, prompt: str, bos: bool = True) -> tuple[int, int, int]:
@@ -250,6 +260,16 @@ class Runner:
 
         yield self.tokenizer.decode(token, self._decode_buf)
         current = token
+        if (
+            self.speculative > 0
+            and self._tp_step is None
+            and self.batch_size == 1
+            and self.sampler.temperature == 0.0
+        ):
+            yield from self._generate_speculative(
+                current, max_steps, self.speculative
+            )
+            return
         if tick > 1 and self._tp_step is None:
             yield from self._generate_ticked(current, max_steps, tick)
             return
@@ -282,7 +302,8 @@ class Runner:
                     topp=self.sampler.topp, attn_window=win,
                 )
                 out = np.asarray(toks)[0]
-            for j, t in enumerate(int(v) for v in out):
+            toks = [int(v) for v in out]
+            for j, t in enumerate(toks):
                 self.metrics.count("tokens")
                 if t == self.tokenizer.eos_token:
                     # roll pos back to just after the EOS: positions beyond
@@ -291,13 +312,67 @@ class Runner:
                     self.pos = np.asarray(
                         [pos0 + j + 1] + [0] * (self.batch_size - 1), np.int32
                     )
+                    self._consumed.extend([current] + toks[:j])
                     return
                 yield self.tokenizer.decode(t, self._decode_buf)
             self.pos = self.pos + np.asarray(
                 [n] + [0] * (self.batch_size - 1), np.int32
             )
-            current = int(out[-1])
+            self._consumed.extend([current] + toks[:-1])
+            current = toks[-1]
             remaining -= n
+
+    def _generate_speculative(self, current: int, max_steps: int, draft: int,
+                              rounds: int = 4):
+        """Prompt-lookup speculative decode (runtime.speculative): each
+        dispatch runs `rounds` on-device draft+verify rounds, emitting
+        1..draft+1 greedy-exact tokens per round. Falls back to the
+        ticked loop near the cache end (a dispatch needs headroom for
+        its worst-case rounds*(draft+1) advance)."""
+        from .speculative import speculative_loop
+
+        S = self.seq_len
+        emitted = 0
+        while emitted < max_steps:
+            pos0 = int(self.pos[0])
+            if S - 1 - pos0 < rounds * (draft + 1):
+                yield from self._generate_ticked(current, max_steps - emitted, 8)
+                return
+            hist = np.zeros(S, np.int32)
+            ncon = min(len(self._consumed), pos0)
+            if ncon:
+                hist[pos0 - ncon : pos0] = self._consumed[-ncon:]
+            win = min(_bucket(pos0 + rounds * (draft + 1), 128), S)
+            with self.metrics.track("decode"):
+                outs, counts, self.cache, _, _, _ = speculative_loop(
+                    self.weights, self.cache, jnp.asarray(hist),
+                    jnp.int32(current), jnp.int32(pos0), rounds, draft,
+                    self.cfg, self.compute_dtype, attn_window=win,
+                )
+                outs = np.asarray(outs)
+                counts = np.asarray(counts)
+            toks: list[int] = []
+            for r in range(rounds):
+                toks.extend(int(t) for t in outs[r, : int(counts[r])])
+            self.metrics.count("spec_rounds", rounds)
+            self.metrics.count("spec_tokens", len(toks))
+            for j, t in enumerate(toks):
+                self.metrics.count("tokens")
+                if t == self.tokenizer.eos_token:
+                    self.pos = np.asarray([pos0 + j + 1], np.int32)
+                    self._consumed.extend([current] + toks[:j])
+                    return
+                yield self.tokenizer.decode(t, self._decode_buf)
+                emitted += 1
+                if emitted >= max_steps:
+                    # steps cap hit: t was yielded but never consumed;
+                    # roll pos back exactly like the EOS case
+                    self.pos = np.asarray([pos0 + j + 1], np.int32)
+                    self._consumed.extend([current] + toks[:j])
+                    return
+            self.pos = np.asarray([pos0 + len(toks)], np.int32)
+            self._consumed.extend([current] + toks[:-1])
+            current = toks[-1]
 
     def save_session(self, path: str):
         """Persist the KV cache + position (chat session state) to .npz.
@@ -342,6 +417,9 @@ class Runner:
             self.cache = jax.device_put(self.cache, cache_sharding(self._sharding))
         self.pos = data["pos"].astype(np.int32)
         self._decode_buf = Utf8Buf()
+        # token history is not part of the session file; an empty list
+        # only lowers speculative acceptance, never correctness
+        self._consumed = []
 
     def prefill_and_generate(self, prompt: str, steps: int):
         _, _, token = self.prefill(prompt, bos=True)
