@@ -222,10 +222,16 @@ def main():
     ap.add_argument("--backend", default="w4a8",
                     choices=["auto", "xla", "pallas", "w4a8"])
     ap.add_argument("--mode", default="decode",
-                    choices=["decode", "serving", "prefill", "coldstart"],
+                    choices=["decode", "serving", "prefill", "coldstart",
+                             "speculative"],
                     help="decode: B=1 latency (headline); serving: aggregate "
                          "slot-batch throughput; prefill: prompt tokens/sec; "
-                         "coldstart: full real-GGUF start -> first token")
+                         "coldstart: full real-GGUF start -> first token; "
+                         "speculative: B=1 prompt-lookup draft+verify decode "
+                         "(effective tok/s can beat the B=1 weight-streaming "
+                         "roofline; acceptance-rate-dependent)")
+    ap.add_argument("--draft", type=int, default=7,
+                    help="speculative mode: draft length per verify step")
     ap.add_argument("--gguf", default="auto",
                     help="GGUF file to benchmark (default 'auto': build/use "
                          "the cached full-size synthetic file, so every "
@@ -383,6 +389,73 @@ def main():
                 "batch": B,
                 "step_ms": round(dt * 1e3, 1),
                 "approx_mxu_tflops": round(mxu_flops / dt / 1e12, 1),
+                "device": jax.devices()[0].device_kind,
+            },
+        }
+        print(json.dumps(result))
+        return
+
+    if args.mode == "speculative":
+        # B=1 prompt-lookup speculative decode (runtime.speculative): the
+        # verify pass streams the same weight bytes as one decode step, so
+        # effective tok/s = plain-decode rate × tokens-per-round. Greedy on
+        # a synthetic-weights model settles into repetitive output, which
+        # the n-gram draft predicts well — report the acceptance rate so
+        # the number can be discounted for less repetitive text.
+        from crabml_tpu.runtime.speculative import speculative_loop
+
+        draft = args.draft
+        S = cache.seq_len
+        rng = np.random.default_rng(0)
+        # varied prompt with one repeated block so matching has signal
+        block = rng.integers(1, cfg.vocab_size, 32, dtype=np.int32)
+        prompt = np.concatenate([block, block])[: args.prefill]
+        tokens = jnp.asarray(prompt[None, :])
+        pos0_i = len(prompt)
+        logits, cache = step(weights, cache, tokens, jnp.zeros(1, jnp.int32))
+        tok0 = int(np.asarray(jnp.argmax(logits[0, -1])))
+        hist = np.zeros(S, np.int32)
+        hist[:pos0_i] = prompt
+        r1, r2 = 8, 40
+        win = bucket(pos0_i + r2 * (draft + 1))
+
+        def timed_spec(rounds, reps=3):
+            nonlocal cache
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                outs, counts, cache, _, _, _ = speculative_loop(
+                    weights, cache, jnp.asarray(hist), jnp.int32(tok0),
+                    jnp.int32(pos0_i), rounds, draft, cfg, compute,
+                    attn_window=win,
+                )
+                n_tok = int(np.asarray(counts).sum())
+                dt = time.perf_counter() - t0
+                best = (dt, n_tok) if best is None else min(best, (dt, n_tok))
+            return best
+
+        timed_spec(r1, reps=1)  # compile
+        timed_spec(r2, reps=1)
+        t1, k1 = timed_spec(r1)
+        t2, k2 = timed_spec(r2)
+        per = max((t2 - t1) / max(k2 - k1, 1), 1e-9)
+        tok_s = 1.0 / per
+        bpt = weight_bytes_per_token(weights, cfg)
+        bw = measured_bw()
+        roofline = bw / bpt
+        result = {
+            "metric": f"speculative_decode_tokens_per_sec_{args.model}_{args.quant}",
+            "value": round(tok_s, 2),
+            "unit": "tokens/sec/chip",
+            # >1 means speculation beat the B=1 weight-streaming roofline
+            "vs_baseline": round(tok_s / roofline, 4),
+            "detail": {
+                "draft": draft,
+                "rounds": [r1, r2],
+                "tokens_emitted": [k1, k2],
+                "accept_tokens_per_round": round((k2 - k1) / (r2 - r1), 2),
+                "hbm_roofline_tok_s": round(roofline, 1),
+                "measured_hbm_bw_gbps": round(bw / 1e9, 1),
                 "device": jax.devices()[0].device_kind,
             },
         }
