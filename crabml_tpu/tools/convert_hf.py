@@ -1,0 +1,341 @@
+"""HuggingFace checkpoint (safetensors) -> GGUF converter.
+
+The reference consumes GGUF files produced by llama.cpp's converter
+ecosystem; a user switching to this framework needs the same on-ramp
+without leaving it. This is a from-scratch equivalent of the relevant
+slice of llama.cpp's convert_hf_to_gguf.py: read config.json +
+*.safetensors (+ sharded index) + tokenizer.json, map tensor names to
+the GGUF schema this loader reads (models/weights.py), apply the
+rope-layout permutation for interleaved-rope architectures, and write a
+GGUF v3 via gguf.writer (quantized on the fly to --outtype).
+
+Supported model_types: llama, mistral (-> llama), qwen2, qwen3, gemma,
+gemma2. MoE checkpoints are rejected with a clear error (use GGUF files
+converted by llama.cpp for those until expert stacking lands here).
+
+Format notes (all byte-level, no deps):
+- safetensors: 8-byte LE header length, JSON header {name: {dtype,
+  shape, data_offsets}}, raw little-endian data. BF16 widens via a
+  uint16 -> uint32<<16 reinterpret.
+- HF llama q/k projections are stored for rotate-half ("neox") rope;
+  GGUF's llama arch ropes interleaved pairs, so rows permute per head:
+  (head, 2, hd/2, :) -> (head, hd/2, 2, :) — the same permutation
+  llama.cpp applies on convert. neox-rope archs (qwen*, gemma*) pass
+  through unchanged.
+- gemma/gemma2 HF RMSNorm computes x * (1 + w); ggml stores the
+  already-offset weight, so +1 is added to every norm tensor.
+- HF "llama3" rope scaling becomes a rope_freqs.weight tensor of
+  per-frequency divisors (the GGUF convention our loader reads).
+
+Usage: python -m crabml_tpu.tools.convert_hf <hf_dir> <out.gguf>
+       [--outtype f32|f16|q8_0|q4_0|q4_k|q5_k|q6_k|...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import struct
+import sys
+
+import numpy as np
+
+from ..errors import FormatError, UnsupportedError
+from ..gguf.constants import GGMLType
+from ..gguf.writer import GGUFWriter
+from ..quant.codecs import quantize
+
+_ST_DTYPES = {
+    "F32": (np.float32, 4),
+    "F16": (np.float16, 2),
+    "BF16": (np.uint16, 2),
+    "F64": (np.float64, 8),
+}
+
+
+def read_safetensors(path: str) -> dict[str, np.ndarray]:
+    """Parse one .safetensors file into float32 arrays."""
+    out = {}
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+    mm = np.memmap(path, np.uint8, mode="r")
+    data_start = 8 + hlen
+    for name, info in header.items():
+        if name == "__metadata__":
+            continue
+        dt = info["dtype"]
+        if dt not in _ST_DTYPES:
+            raise UnsupportedError(f"safetensors dtype {dt} ({name})")
+        npdt, _ = _ST_DTYPES[dt]
+        b0, b1 = info["data_offsets"]
+        raw = np.frombuffer(mm[data_start + b0 : data_start + b1].tobytes(), npdt)
+        if dt == "BF16":
+            arr = (raw.astype(np.uint32) << 16).view(np.float32)
+        else:
+            arr = raw.astype(np.float32)
+        out[name] = arr.reshape(info["shape"])
+    return out
+
+
+def load_hf_tensors(hf_dir: str) -> dict[str, np.ndarray]:
+    """All tensors from a HF dir: single file or sharded via index.json."""
+    idx = os.path.join(hf_dir, "model.safetensors.index.json")
+    if os.path.exists(idx):
+        with open(idx) as f:
+            files = sorted(set(json.load(f)["weight_map"].values()))
+        out = {}
+        for fn in files:
+            out.update(read_safetensors(os.path.join(hf_dir, fn)))
+        return out
+    single = os.path.join(hf_dir, "model.safetensors")
+    if not os.path.exists(single):
+        raise FormatError(f"no model.safetensors[.index.json] in {hf_dir}")
+    return read_safetensors(single)
+
+
+def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """Rotate-half (HF) -> interleaved-pair (ggml llama rope) row order."""
+    hd = w.shape[0] // n_head
+    return (
+        w.reshape((n_head, 2, hd // 2) + w.shape[1:])
+        .swapaxes(1, 2)
+        .reshape(w.shape)
+    )
+
+
+def llama3_rope_freqs(rs: dict, head_dim: int, rope_base: float) -> np.ndarray:
+    """Per-frequency divisors for HF rope_scaling type 'llama3' — the
+    piecewise smooth interpolation llama.cpp bakes into rope_freqs.weight."""
+    factor = rs.get("factor", 8.0)
+    low = rs.get("low_freq_factor", 1.0)
+    high = rs.get("high_freq_factor", 4.0)
+    orig = rs.get("original_max_position_embeddings", 8192)
+    freqs = rope_base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    wavelen = 2 * np.pi * freqs  # wavelength of each inv_freq component
+    out = np.ones_like(wavelen)
+    out[wavelen > orig / low] = factor  # low-frequency: full scaling
+    mid = (wavelen <= orig / low) & (wavelen >= orig / high)
+    smooth = (orig / wavelen[mid] - low) / (high - low)
+    out[mid] = 1.0 / ((1 - smooth) / factor + smooth)
+    return out.astype(np.float32)
+
+
+_ARCH_MAP = {
+    "llama": "llama",
+    "mistral": "llama",
+    "qwen2": "qwen2",
+    "qwen3": "qwen3",
+    "gemma": "gemma",
+    "gemma2": "gemma2",
+}
+
+# per-layer HF suffix -> GGUF suffix (weight implied); None = skip
+_LAYER_MAP = {
+    "self_attn.q_proj": "attn_q",
+    "self_attn.k_proj": "attn_k",
+    "self_attn.v_proj": "attn_v",
+    "self_attn.o_proj": "attn_output",
+    "mlp.gate_proj": "ffn_gate",
+    "mlp.up_proj": "ffn_up",
+    "mlp.down_proj": "ffn_down",
+    "input_layernorm": "attn_norm",
+    "self_attn.q_norm": "attn_q_norm",
+    "self_attn.k_norm": "attn_k_norm",
+}
+
+
+def convert_hf(hf_dir: str, out_path: str, outtype: str = "f16",
+               verbose: bool = True) -> dict:
+    with open(os.path.join(hf_dir, "config.json")) as f:
+        hf = json.load(f)
+    mt = hf.get("model_type")
+    if mt not in _ARCH_MAP:
+        raise UnsupportedError(
+            f"model_type {mt!r} (supported: {sorted(_ARCH_MAP)})")
+    if hf.get("num_local_experts") or hf.get("num_experts"):
+        raise UnsupportedError(
+            "MoE checkpoints are not supported by this converter yet")
+    arch = _ARCH_MAP[mt]
+    gemma = arch in ("gemma", "gemma2")
+
+    D = hf["hidden_size"]
+    n_head = hf["num_attention_heads"]
+    n_kv = hf.get("num_key_value_heads", n_head)
+    head_dim = hf.get("head_dim") or D // n_head
+    L = hf["num_hidden_layers"]
+    typ = GGMLType[outtype.upper()]
+
+    w = GGUFWriter()
+    w.add_metadata("general.architecture", arch)
+    w.add_metadata("general.name", hf.get("_name_or_path", "") or
+                   os.path.basename(os.path.abspath(hf_dir)))
+    w.add_metadata(f"{arch}.embedding_length", D)
+    w.add_metadata(f"{arch}.feed_forward_length", hf["intermediate_size"])
+    w.add_metadata(f"{arch}.block_count", L)
+    w.add_metadata(f"{arch}.attention.head_count", n_head)
+    w.add_metadata(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_metadata(f"{arch}.context_length", hf.get("max_position_embeddings", 4096))
+    w.add_metadata(f"{arch}.attention.layer_norm_rms_epsilon",
+                   float(hf.get("rms_norm_eps", 1e-5)))
+    w.add_metadata(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
+    w.add_metadata(f"{arch}.rope.dimension_count", head_dim)
+    if head_dim != D // n_head:
+        w.add_metadata(f"{arch}.attention.key_length", head_dim)
+        w.add_metadata(f"{arch}.attention.value_length", head_dim)
+    if arch == "gemma2":
+        if hf.get("attn_logit_softcapping"):
+            w.add_metadata(f"{arch}.attn_logit_softcapping",
+                           float(hf["attn_logit_softcapping"]))
+        if hf.get("final_logit_softcapping"):
+            w.add_metadata(f"{arch}.final_logit_softcapping",
+                           float(hf["final_logit_softcapping"]))
+        if hf.get("sliding_window"):
+            w.add_metadata(f"{arch}.attention.sliding_window",
+                           int(hf["sliding_window"]))
+
+    rope_freqs = None
+    rs = hf.get("rope_scaling") or {}
+    rs_type = rs.get("rope_type") or rs.get("type")
+    if rs_type == "linear":
+        w.add_metadata(f"{arch}.rope.scaling.type", "linear")
+        w.add_metadata(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+    elif rs_type == "yarn":
+        w.add_metadata(f"{arch}.rope.scaling.type", "yarn")
+        w.add_metadata(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+        w.add_metadata(f"{arch}.rope.scaling.original_context_length",
+                       int(rs.get("original_max_position_embeddings", 0)))
+    elif rs_type == "llama3":
+        rope_freqs = llama3_rope_freqs(rs, head_dim,
+                                       float(hf.get("rope_theta", 10000.0)))
+    elif rs_type not in (None, "default"):
+        raise UnsupportedError(f"rope_scaling type {rs_type!r}")
+
+    _add_tokenizer_metadata(w, hf_dir, hf)
+
+    tensors = load_hf_tensors(hf_dir)
+    interleave = arch == "llama"  # ggml llama rope = interleaved pairs
+
+    def emit(name: str, x: np.ndarray, force_f32: bool = False):
+        t = GGMLType.F32 if (force_f32 or x.ndim == 1) else typ
+        if t not in (GGMLType.F32, GGMLType.F16) and x.shape[-1] % 256:
+            t = GGMLType.F16  # K-quant superblocks need k % 256
+        w.add_tensor(name, t, x.shape, quantize(t, np.ascontiguousarray(x)))
+        if verbose:
+            print(f"  {name} {tuple(x.shape)} -> {t.name}", file=sys.stderr)
+
+    def norm(x):
+        return x + 1.0 if gemma else x  # HF gemma: x * (1 + w)
+
+    emit("token_embd.weight", tensors.pop("model.embed_tokens.weight"))
+    emit("output_norm.weight", norm(tensors.pop("model.norm.weight")),
+         force_f32=True)
+    if "lm_head.weight" in tensors and not hf.get("tie_word_embeddings"):
+        emit("output.weight", tensors.pop("lm_head.weight"))
+    else:
+        tensors.pop("lm_head.weight", None)  # tied: loader falls back
+    if rope_freqs is not None:
+        emit("rope_freqs.weight", rope_freqs, force_f32=True)
+
+    for l in range(L):
+        pre = f"model.layers.{l}."
+        for hf_suffix, gg in _layer_items(arch):
+            for kind in ("weight", "bias"):
+                key = f"{pre}{hf_suffix}.{kind}"
+                if key not in tensors:
+                    continue
+                x = tensors.pop(key)
+                if hf_suffix == "self_attn.q_proj" and interleave:
+                    x = permute_rope(x, n_head)
+                elif hf_suffix == "self_attn.k_proj" and interleave:
+                    x = permute_rope(x, n_kv)
+                if "norm" in hf_suffix:
+                    x = norm(x)
+                emit(f"blk.{l}.{gg}.{kind}", x, force_f32=kind == "bias")
+
+    leftovers = [t for t in tensors if "rotary_emb" not in t]
+    if leftovers:
+        raise UnsupportedError(f"unmapped tensors: {sorted(leftovers)[:8]}")
+
+    w.write(out_path)
+    return {"arch": arch, "layers": L, "outtype": typ.name,
+            "bytes": os.path.getsize(out_path)}
+
+
+def _layer_items(arch: str):
+    items = dict(_LAYER_MAP)
+    if arch == "gemma2":
+        items["post_attention_layernorm"] = "post_attention_norm"
+        items["pre_feedforward_layernorm"] = "ffn_norm"
+        items["post_feedforward_layernorm"] = "post_ffw_norm"
+    else:
+        items["post_attention_layernorm"] = "ffn_norm"
+    return items.items()
+
+
+def _add_tokenizer_metadata(w: GGUFWriter, hf_dir: str, hf: dict):
+    """tokenizer.json (BPE) -> gpt2-style GGUF tokenizer metadata, the
+    same parse the runtime facade uses for its HF passthrough."""
+    from ..tokenizer.gpt2_bpe import TOKEN_TYPE_CONTROL, TOKEN_TYPE_NORMAL
+    from ..tokenizer.facade import _hf_bos_eos
+
+    tj_path = os.path.join(hf_dir, "tokenizer.json")
+    if not os.path.exists(tj_path):
+        raise UnsupportedError(
+            "no tokenizer.json in checkpoint (sentencepiece-only "
+            "checkpoints are not supported by this converter yet)")
+    with open(tj_path) as f:
+        tj = json.load(f)
+    model = tj.get("model", {})
+    if model.get("type") != "BPE":
+        raise UnsupportedError(
+            f"tokenizer.json model type {model.get('type')!r}: only BPE")
+    vocab = model["vocab"]
+    tokens: list[str | None] = [None] * len(vocab)
+    for t, i in vocab.items():
+        tokens[i] = t
+    added = tj.get("added_tokens", [])
+    for a in added:
+        i = a["id"]
+        if i >= len(tokens):
+            tokens.extend([None] * (i + 1 - len(tokens)))
+        tokens[i] = a["content"]
+    if any(t is None for t in tokens):
+        raise FormatError("tokenizer.json has vocab id gaps")
+    types = np.full(len(tokens), TOKEN_TYPE_NORMAL, np.int32)
+    for a in added:
+        if a.get("special", True):
+            types[a["id"]] = TOKEN_TYPE_CONTROL
+    merges = [m if isinstance(m, str) else " ".join(m)
+              for m in model.get("merges", [])]
+    ids = {t: i for i, t in enumerate(tokens)}
+    bos, eos = _hf_bos_eos(tj, ids)
+    if hf.get("bos_token_id") is not None:
+        bos = int(hf["bos_token_id"])
+    if hf.get("eos_token_id") is not None and not isinstance(hf["eos_token_id"], list):
+        eos = int(hf["eos_token_id"])
+    w.add_metadata("tokenizer.ggml.model", "gpt2")
+    w.add_metadata("tokenizer.ggml.tokens", [str(t) for t in tokens])
+    w.add_metadata("tokenizer.ggml.merges", merges)
+    w.add_metadata("tokenizer.ggml.token_type", types)
+    w.add_metadata("tokenizer.ggml.bos_token_id", bos)
+    w.add_metadata("tokenizer.ggml.eos_token_id", eos)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("crabml-tpu-convert-hf", description=__doc__)
+    ap.add_argument("hf_dir", help="HF checkpoint directory")
+    ap.add_argument("out", help="output .gguf path")
+    ap.add_argument("--outtype", default="f16",
+                    help="weight dtype/quant scheme (f32, f16, q8_0, q4_0, "
+                         "q4_k, q5_k, q6_k, ...)")
+    ap.add_argument("-q", "--quiet", action="store_true")
+    args = ap.parse_args(argv)
+    info = convert_hf(args.hf_dir, args.out, args.outtype,
+                      verbose=not args.quiet)
+    print(json.dumps(info))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""HF safetensors -> GGUF converter (tools.convert_hf).
+
+Differential gate: build a tiny random HF checkpoint with transformers,
+convert it, and the converted GGUF's forward must match the torch
+forward logits — this pins the tensor name map, the rope-layout
+permutation (HF rotate-half -> ggml interleaved for llama), metadata
+keys, and the tokenizer conversion end to end.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _mk_tokenizer_json(path, vocab_size):
+    """Minimal valid byte-level BPE tokenizer.json with byte alphabet +
+    specials, padded with filler tokens to exactly vocab_size ids."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+
+    alphabet = pre_tokenizers.ByteLevel.alphabet()
+    tokens = sorted(alphabet)
+    vocab = {"<s>": 0, "</s>": 1}
+    for t in tokens:
+        vocab[t] = len(vocab)
+    i = 0
+    while len(vocab) < vocab_size:
+        vocab[f"<fill{i}>"] = len(vocab)
+        i += 1
+    tok = Tokenizer(models.BPE(vocab=vocab, merges=[]))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    tok.save(str(path))
+    # declare the specials the way HF checkpoints do
+    tj = json.loads(open(path).read())
+    tj["added_tokens"] = [
+        {"id": 0, "content": "<s>", "special": True},
+        {"id": 1, "content": "</s>", "special": True},
+    ]
+    with open(path, "w") as f:
+        json.dump(tj, f)
+
+
+def _convert_and_compare(hf_dir, tmp_path, model, tokens, rtol=2e-4, atol=2e-4):
+    import jax.numpy as jnp
+
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.weights import load_weights
+    from crabml_tpu.tools.convert_hf import convert_hf
+
+    out = str(tmp_path / "converted.gguf")
+    info = convert_hf(str(hf_dir), out, outtype="f32", verbose=False)
+    assert info["bytes"] > 0
+
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    gf = GGUFFile(out)
+    cfg = config_from_gguf(gf.metadata)
+    w = load_weights(gf, cfg)
+    cache = KVCache.create(cfg, 1, 64)
+    logits, _ = forward(w, cache, jnp.asarray([tokens], jnp.int32),
+                        jnp.zeros(1, jnp.int32), cfg)
+    got = np.asarray(logits[0])
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+    return gf
+
+
+def test_convert_llama_matches_torch(tmp_path):
+    """llama model_type: exercises the q/k rope permutation (ggml llama
+    rope is interleaved; HF is rotate-half — an un-permuted convert
+    produces garbage logits, so closeness here pins it)."""
+    V = 280  # byte alphabet 256 + 2 specials + filler
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    _mk_tokenizer_json(hf_dir / "tokenizer.json", V)
+
+    tokens = [0, 5, 99, 260, 17]
+    gf = _convert_and_compare(hf_dir, tmp_path, model, tokens)
+
+    # metadata round-trip essentials
+    md = gf.metadata
+    assert md.get_str("general.architecture") == "llama"
+    assert md.get_int("llama.attention.head_count") == 4
+    assert md.get_int("llama.attention.head_count_kv") == 2
+    # config.json's declared ids win over the tokenizer.json heuristic
+    assert md.get_int("tokenizer.ggml.bos_token_id") == model.config.bos_token_id
+    # the tokenizer in the GGUF must actually work
+    from crabml_tpu.tokenizer import tokenizer_from_gguf
+
+    tok = tokenizer_from_gguf(md)
+    ids = tok.encode("hi there", bos=False)
+    # (the facade adds a llama.cpp-style prefix space on encode)
+    assert ids and tok.decode_tokens(ids).lstrip() == "hi there"
+
+
+def test_convert_qwen2_matches_torch(tmp_path):
+    """qwen2: neox rope (no permutation) + qkv biases."""
+    V = 272
+    cfg = transformers.Qwen2Config(
+        vocab_size=V, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6, rope_theta=100000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.Qwen2ForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    _mk_tokenizer_json(hf_dir / "tokenizer.json", V)
+
+    _convert_and_compare(hf_dir, tmp_path, model, [1, 7, 42, 200])
+
+
+def test_convert_quantized_outtype(tmp_path):
+    """--outtype q8_0 writes a loadable quantized GGUF whose logits stay
+    close to the f32 torch forward (q8_0 error budget)."""
+    import jax.numpy as jnp
+
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.weights import load_weights
+    from crabml_tpu.tools.convert_hf import convert_hf
+
+    V = 272
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    _mk_tokenizer_json(hf_dir / "tokenizer.json", V)
+
+    out = str(tmp_path / "q8.gguf")
+    convert_hf(str(hf_dir), out, outtype="q8_0", verbose=False)
+    tokens = [3, 14, 159]
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0, -1].float().numpy()
+    gf = GGUFFile(out)
+    mcfg = config_from_gguf(gf.metadata)
+    w = load_weights(gf, mcfg)
+    cache = KVCache.create(mcfg, 1, 32)
+    logits, _ = forward(w, cache, jnp.asarray([tokens], jnp.int32),
+                        jnp.zeros(1, jnp.int32), mcfg)
+    got = np.asarray(logits[0, -1])
+    scale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / scale < 0.02
