@@ -9,9 +9,9 @@ the GGUF schema this loader reads (models/weights.py), apply the
 rope-layout permutation for interleaved-rope architectures, and write a
 GGUF v3 via gguf.writer (quantized on the fly to --outtype).
 
-Supported model_types: llama, mistral (-> llama), qwen2, qwen3, gemma,
-gemma2. MoE checkpoints are rejected with a clear error (use GGUF files
-converted by llama.cpp for those until expert stacking lands here).
+Supported model_types: llama, mistral, mixtral (-> llama; experts
+stacked into the 3D ffn_*_exps tensors + expert_count metadata), qwen2,
+qwen3, gemma, gemma2. Shared-expert MoE (qwen-moe) is rejected.
 
 Format notes (all byte-level, no deps):
 - safetensors: 8-byte LE header length, JSON header {name: {dtype,
@@ -125,6 +125,7 @@ def llama3_rope_freqs(rs: dict, head_dim: int, rope_base: float) -> np.ndarray:
 _ARCH_MAP = {
     "llama": "llama",
     "mistral": "llama",
+    "mixtral": "llama",  # llama arch + expert metadata (config.py:190-194)
     "qwen2": "qwen2",
     "qwen3": "qwen3",
     "gemma": "gemma",
@@ -154,9 +155,13 @@ def convert_hf(hf_dir: str, out_path: str, outtype: str = "f16",
     if mt not in _ARCH_MAP:
         raise UnsupportedError(
             f"model_type {mt!r} (supported: {sorted(_ARCH_MAP)})")
-    if hf.get("num_local_experts") or hf.get("num_experts"):
+    n_experts = int(hf.get("num_local_experts") or 0)
+    if hf.get("num_experts") and not n_experts:
+        # qwen-moe style checkpoints carry shared experts our forward
+        # doesn't model — reject rather than convert something wrong
         raise UnsupportedError(
-            "MoE checkpoints are not supported by this converter yet")
+            "shared-expert MoE (qwen-moe) is not supported; "
+            "mixtral-style (num_local_experts) is")
     arch = _ARCH_MAP[mt]
     gemma = arch in ("gemma", "gemma2")
 
@@ -184,6 +189,10 @@ def convert_hf(hf_dir: str, out_path: str, outtype: str = "f16",
     if head_dim != D // n_head:
         w.add_metadata(f"{arch}.attention.key_length", head_dim)
         w.add_metadata(f"{arch}.attention.value_length", head_dim)
+    if n_experts:
+        w.add_metadata(f"{arch}.expert_count", n_experts)
+        w.add_metadata(f"{arch}.expert_used_count",
+                       int(hf.get("num_experts_per_tok", 2)))
     if arch == "gemma2":
         if hf.get("attn_logit_softcapping"):
             w.add_metadata(f"{arch}.attn_logit_softcapping",
@@ -240,6 +249,19 @@ def convert_hf(hf_dir: str, out_path: str, outtype: str = "f16",
 
     for l in range(L):
         pre = f"model.layers.{l}."
+        if n_experts:
+            # mixtral: router (E, D) f32 + per-expert w1/w3/w2 stacked into
+            # the 3D ffn_*_exps tensors the loader reads (weights.py:199-212)
+            emit(f"blk.{l}.ffn_gate_inp.weight",
+                 tensors.pop(f"{pre}block_sparse_moe.gate.weight"),
+                 force_f32=True)
+            for hf_w, gg_exp in (("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                                 ("w2", "ffn_down_exps")):
+                stacked = np.stack([
+                    tensors.pop(f"{pre}block_sparse_moe.experts.{e}.{hf_w}.weight")
+                    for e in range(n_experts)
+                ])
+                emit(f"blk.{l}.{gg_exp}.weight", stacked)
         for hf_suffix, gg in _layer_items(arch):
             for kind in ("weight", "bias"):
                 key = f"{pre}{hf_suffix}.{kind}"

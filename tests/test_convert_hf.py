@@ -162,3 +162,25 @@ def test_convert_quantized_outtype(tmp_path):
     got = np.asarray(logits[0, -1])
     scale = max(np.abs(want).max(), 1e-6)
     assert np.abs(got - want).max() / scale < 0.02
+
+def test_convert_mixtral_matches_torch(tmp_path):
+    """mixtral: router + per-expert w1/w3/w2 stacked into the 3D
+    ffn_*_exps tensors, expert_count metadata, llama rope permutation."""
+    V = 272
+    cfg = transformers.MixtralConfig(
+        vocab_size=V, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    model = transformers.MixtralForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    _mk_tokenizer_json(hf_dir / "tokenizer.json", V)
+
+    gf = _convert_and_compare(hf_dir, tmp_path, model, [2, 9, 77, 201, 30],
+                              rtol=5e-4, atol=5e-4)
+    md = gf.metadata
+    assert md.get_int("llama.expert_count") == 4
+    assert md.get_int("llama.expert_used_count") == 2
