@@ -296,17 +296,120 @@ def _layer_items(arch: str):
     return items.items()
 
 
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, i
+        shift += 7
+
+
+def _proto_fields(buf: bytes):
+    """Iterate (field_number, wire_type, value) over a protobuf message.
+    Length-delimited values yield bytes; varints ints; fixed32/64 raw."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        fn, wt = key >> 3, key & 7
+        if wt == 0:
+            v, i = _read_varint(buf, i)
+        elif wt == 1:
+            v, i = buf[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            v, i = buf[i : i + ln], i + ln
+        elif wt == 5:
+            v, i = buf[i : i + 4], i + 4
+        else:
+            raise FormatError(f"unsupported protobuf wire type {wt}")
+        yield fn, wt, v
+
+
+def parse_spm_model(path: str):
+    """Minimal sentencepiece ModelProto parse: pieces' text, score, type.
+
+    The proto schema slice used (sentencepiece_model.proto): ModelProto
+    field 1 = repeated SentencePiece {1: piece (string), 2: score (float),
+    3: type (enum, same numbering GGUF token_type uses: NORMAL=1 ...
+    BYTE=6)}. No sentencepiece dependency — 30 lines of wire format.
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    tokens, scores, types = [], [], []
+    for fn, wt, v in _proto_fields(buf):
+        if fn != 1 or wt != 2:
+            continue
+        piece, score, typ = "", 0.0, 1
+        for pfn, pwt, pv in _proto_fields(v):
+            if pfn == 1 and pwt == 2:
+                piece = pv.decode("utf-8")
+            elif pfn == 2 and pwt == 5:
+                score = struct.unpack("<f", pv)[0]
+            elif pfn == 3 and pwt == 0:
+                typ = pv
+        tokens.append(piece)
+        scores.append(score)
+        types.append(typ)
+    if not tokens:
+        raise FormatError(f"{path}: no sentencepiece pieces found")
+    return tokens, scores, types
+
+
+def _chat_template(hf_dir: str) -> str | None:
+    """HF chat template: tokenizer_config.json's chat_template field
+    (string, or the multi-template list form) or chat_template.jinja."""
+    tc_path = os.path.join(hf_dir, "tokenizer_config.json")
+    if os.path.exists(tc_path):
+        with open(tc_path) as f:
+            ct = json.load(f).get("chat_template")
+        if isinstance(ct, str):
+            return ct
+        if isinstance(ct, list):  # [{name, template}, ...]; "default" wins
+            for entry in ct:
+                if entry.get("name") == "default":
+                    return entry.get("template")
+            if ct and isinstance(ct[0], dict):
+                return ct[0].get("template")
+    jinja = os.path.join(hf_dir, "chat_template.jinja")
+    if os.path.exists(jinja):
+        with open(jinja) as f:
+            return f.read()
+    return None
+
+
 def _add_tokenizer_metadata(w: GGUFWriter, hf_dir: str, hf: dict):
-    """tokenizer.json (BPE) -> gpt2-style GGUF tokenizer metadata, the
-    same parse the runtime facade uses for its HF passthrough."""
+    """tokenizer.json (BPE) -> gpt2-style GGUF tokenizer metadata (the
+    same parse the runtime facade uses for its HF passthrough), or
+    tokenizer.model (sentencepiece) -> llama-style metadata."""
     from ..tokenizer.gpt2_bpe import TOKEN_TYPE_CONTROL, TOKEN_TYPE_NORMAL
     from ..tokenizer.facade import _hf_bos_eos
 
+    ct = _chat_template(hf_dir)
+    if ct:
+        w.add_metadata("tokenizer.chat_template", ct)
+
     tj_path = os.path.join(hf_dir, "tokenizer.json")
+    spm_path = os.path.join(hf_dir, "tokenizer.model")
+    if not os.path.exists(tj_path) and os.path.exists(spm_path):
+        tokens, scores, types = parse_spm_model(spm_path)
+        bos = int(hf.get("bos_token_id") or 1)
+        eos_raw = hf.get("eos_token_id")
+        eos = int(eos_raw[0] if isinstance(eos_raw, list) else (eos_raw or 2))
+        w.add_metadata("tokenizer.ggml.model", "llama")
+        w.add_metadata("tokenizer.ggml.tokens", tokens)
+        w.add_metadata("tokenizer.ggml.scores", np.asarray(scores, np.float32))
+        w.add_metadata("tokenizer.ggml.token_type",
+                       np.asarray(types, np.int32))
+        w.add_metadata("tokenizer.ggml.bos_token_id", bos)
+        w.add_metadata("tokenizer.ggml.eos_token_id", eos)
+        return
     if not os.path.exists(tj_path):
         raise UnsupportedError(
-            "no tokenizer.json in checkpoint (sentencepiece-only "
-            "checkpoints are not supported by this converter yet)")
+            "no tokenizer.json or tokenizer.model in checkpoint")
     with open(tj_path) as f:
         tj = json.load(f)
     model = tj.get("model", {})

@@ -184,3 +184,70 @@ def test_convert_mixtral_matches_torch(tmp_path):
     md = gf.metadata
     assert md.get_int("llama.expert_count") == 4
     assert md.get_int("llama.expert_used_count") == 2
+
+def _mk_spm_model(path, pieces):
+    """Hand-serialize a sentencepiece ModelProto (inverse of the
+    converter's minimal parser): field 1 repeated SentencePiece."""
+    import struct as _struct
+
+    def varint(v):
+        out = b""
+        while True:
+            b, v = v & 0x7F, v >> 7
+            out += bytes([b | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    blob = b""
+    for piece, score, typ in pieces:
+        p = piece.encode()
+        sp = (bytes([0x0A]) + varint(len(p)) + p          # 1: piece
+              + bytes([0x15]) + _struct.pack("<f", score)  # 2: score
+              + bytes([0x18]) + varint(typ))               # 3: type
+        blob += bytes([0x0A]) + varint(len(sp)) + sp
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def test_convert_spm_tokenizer_and_chat_template(tmp_path):
+    """sentencepiece-only checkpoint: tokenizer.model parsed by the
+    minimal proto reader into llama-style GGUF metadata; chat_template
+    from tokenizer_config.json carried through."""
+    V = 272
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+
+    # llama-style SPM vocab: specials, byte fallbacks, word pieces
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+    pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(256)]
+    pieces += [(c, -5.0, 1) for c in sorted(set("▁there hi"))
+               if c != " "]
+    pieces += [("▁hi", -1.0, 1), ("▁there", -2.0, 1),
+               ("hi", -3.0, 1)]
+    pieces += [(f"<fill{i}>", -10.0, 1) for i in range(V - len(pieces))]
+    _mk_spm_model(hf_dir / "tokenizer.model", pieces)
+    with open(hf_dir / "tokenizer_config.json", "w") as f:
+        json.dump({"chat_template": "{{ messages }}"}, f)
+
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.tools.convert_hf import convert_hf
+
+    out = str(tmp_path / "spm.gguf")
+    convert_hf(str(hf_dir), out, outtype="f32", verbose=False)
+    md = GGUFFile(out).metadata
+    assert md.get_str("tokenizer.ggml.model") == "llama"
+    assert md.get_str("tokenizer.chat_template") == "{{ messages }}"
+    assert md.get_int("tokenizer.ggml.bos_token_id") == model.config.bos_token_id
+
+    from crabml_tpu.tokenizer import tokenizer_from_gguf
+
+    tok = tokenizer_from_gguf(md)
+    ids = tok.encode("hi there", bos=False)
+    assert ids and tok.decode_tokens(ids).lstrip() == "hi there"
