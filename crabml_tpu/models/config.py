@@ -183,9 +183,10 @@ def config_from_gguf(metadata) -> ModelConfig:
     win = metadata.get_int(f"{p}.attention.sliding_window", 0)
     if win:
         extra["sliding_window"] = win
-    # gemma2-27b: query scale follows n_embd/n_head, not the decoupled
-    # head_dim (llama.cpp's build_gemma2 27b special case)
-    if arch == "gemma2" and "head_dim_override" in extra:
+    # gemma2-27b ONLY (identified by its 46 blocks, as llama.cpp does):
+    # query scale follows n_embd/n_head, not the decoupled head_dim.
+    # gemma2-2b/9b also decouple head_dim but keep 1/sqrt(head_dim).
+    if arch == "gemma2" and metadata.get_int(f"{p}.block_count") == 46:
         extra["query_scale"] = float(1.0 / ((dim / n_heads) ** 0.5))
     # mixtral MoE: llama arch + expert counts
     n_exp = metadata.get_int(f"{p}.expert_count", 0)

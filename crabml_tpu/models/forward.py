@@ -140,11 +140,19 @@ def _slice_expert(qt: QTensor, e: int, rows_per_expert: int) -> QTensor:
                 f"kernel m-tile {TM}; keep this tensor on the planar path"
             )
         mt_per = rows_per_expert // TM
-        planes = {n: p[:, e * mt_per : (e + 1) * mt_per] for n, p in qt.planes.items()}
+        # w8/dw prefill planes use a wider m-tile (2048) — slicing them by
+        # TM units would corrupt them; drop them so expert slices ride the
+        # regular quant kernels (same exclusion as _expert_view)
+        planes = {
+            n: p[:, e * mt_per : (e + 1) * mt_per]
+            for n, p in qt.planes.items()
+            if n not in ("w8", "dw")
+        }
     else:
         planes = {
             n: p[:, e * rows_per_expert : (e + 1) * rows_per_expert]
             for n, p in qt.planes.items()
+            if n not in ("w8", "dw")
         }
     return QTensor(qt.kind, (L, rows_per_expert, k), planes)
 

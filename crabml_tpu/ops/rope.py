@@ -65,11 +65,16 @@ def yarn_freq_factors(rope_dim: int, base: float, factor: float,
 
     low = max(np.floor(corr_dim(beta_fast)), 0.0)
     high = min(np.ceil(corr_dim(beta_slow)), rope_dim - 1.0)
-    i2 = 2.0 * np.arange(rope_dim // 2, dtype=np.float32)
-    ramp = np.clip((i2 - low) / max(high - low, 1e-3), 0.0, 1.0)
+    # corr_dim is in PAIR-index space: ggml's rope_yarn_ramp compares it
+    # against i0/2 (i0 steps by 2 over elements) and HF's ramp uses
+    # arange(dim//2) — so the ramp variable is the pair index, not 2*pair
+    pair = np.arange(rope_dim // 2, dtype=np.float32)
+    ramp = np.clip((pair - low) / max(high - low, 1e-3), 0.0, 1.0)
     # ramp 0 = extrapolation (divisor 1); ramp 1 = interpolation (divisor
-    # `factor`, i.e. inv_freq / factor)
-    return (1.0 + ramp * (factor - 1.0)).astype(np.float32)
+    # `factor`). Both ggml's rope_yarn and HF blend the two inv_freqs
+    # LINEARLY — inv = ex*(1-ramp) + (ex/factor)*ramp — so the divisor is
+    # the reciprocal of that blend, not a linear 1 -> factor ramp.
+    return (1.0 / ((1.0 - ramp) + ramp / factor)).astype(np.float32)
 
 
 def yarn_mscale(factor: float, attn_factor: float = 1.0) -> float:

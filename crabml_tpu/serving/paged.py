@@ -476,8 +476,11 @@ class PagedServingEngine(ServingEngine):
         self._n_pages_cfg = n_pages
         super().__init__(runner, **kw)
         # chunked admission writes pages directly when chunks are
-        # page-multiples; other chunk sizes keep the dense-scratch path
-        self._direct_prefill = self.prefill_chunk % PAGE == 0
+        # page-multiples; other chunk sizes (and prefill_chunk=None —
+        # legacy synchronous admission) keep the dense-scratch path
+        self._direct_prefill = (
+            self.prefill_chunk is not None and self.prefill_chunk % PAGE == 0
+        )
 
     def _make_cache(self):
         self.max_pages = -(-self.seq_len // PAGE)

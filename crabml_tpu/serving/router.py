@@ -102,6 +102,12 @@ class Router:
                 resp = urllib.request.urlopen(req, timeout=self.timeout)
                 r.mark_ok()
                 return r, resp
+            except urllib.error.HTTPError as e:
+                # the replica ANSWERED (4xx/5xx) — it is alive; pass the
+                # response through instead of treating it as replica death
+                # (an HTTPError is a response object: status/headers/read)
+                r.mark_ok()
+                return r, e
             except (urllib.error.URLError, ConnectionError, OSError) as e:
                 self.release(r)
                 r.mark_failed()

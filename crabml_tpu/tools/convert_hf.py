@@ -54,45 +54,69 @@ _ST_DTYPES = {
 }
 
 
-def read_safetensors(path: str) -> dict[str, np.ndarray]:
-    """Parse one .safetensors file into float32 arrays."""
-    out = {}
-    with open(path, "rb") as f:
-        (hlen,) = struct.unpack("<Q", f.read(8))
-        header = json.loads(f.read(hlen))
-    mm = np.memmap(path, np.uint8, mode="r")
-    data_start = 8 + hlen
-    for name, info in header.items():
-        if name == "__metadata__":
-            continue
-        dt = info["dtype"]
-        if dt not in _ST_DTYPES:
-            raise UnsupportedError(f"safetensors dtype {dt} ({name})")
+class LazyHFTensors:
+    """safetensors tensors materialized one at a time on `pop`.
+
+    Eagerly decoding a whole checkpoint to float32 costs 2x an f16
+    checkpoint's size in RAM (~28 GB for a 7B, ~190 GB for 8x7B); this
+    keeps only uint8 memmaps open and decodes a tensor when the writer
+    is ready for it, bounding peak memory at one tensor."""
+
+    def __init__(self):
+        self._entries: dict[str, tuple] = {}
+
+    def add_file(self, path: str):
+        with open(path, "rb") as f:
+            (hlen,) = struct.unpack("<Q", f.read(8))
+            header = json.loads(f.read(hlen))
+        mm = np.memmap(path, np.uint8, mode="r")
+        data_start = 8 + hlen
+        for name, info in header.items():
+            if name == "__metadata__":
+                continue
+            dt = info["dtype"]
+            if dt not in _ST_DTYPES:
+                raise UnsupportedError(f"safetensors dtype {dt} ({name})")
+            b0, b1 = info["data_offsets"]
+            self._entries[name] = (
+                mm, dt, info["shape"], data_start + b0, data_start + b1)
+
+    def __contains__(self, name) -> bool:
+        return name in self._entries
+
+    def __iter__(self):
+        return iter(self._entries)
+
+    def pop(self, name: str, *default) -> np.ndarray:
+        if name not in self._entries:
+            if default:
+                return default[0]
+            raise KeyError(name)
+        mm, dt, shape, s, e = self._entries.pop(name)
         npdt, _ = _ST_DTYPES[dt]
-        b0, b1 = info["data_offsets"]
-        raw = np.frombuffer(mm[data_start + b0 : data_start + b1].tobytes(), npdt)
+        raw = np.frombuffer(mm[s:e].tobytes(), npdt)
         if dt == "BF16":
             arr = (raw.astype(np.uint32) << 16).view(np.float32)
         else:
             arr = raw.astype(np.float32)
-        out[name] = arr.reshape(info["shape"])
-    return out
+        return arr.reshape(shape)
 
 
-def load_hf_tensors(hf_dir: str) -> dict[str, np.ndarray]:
+def load_hf_tensors(hf_dir: str) -> LazyHFTensors:
     """All tensors from a HF dir: single file or sharded via index.json."""
+    out = LazyHFTensors()
     idx = os.path.join(hf_dir, "model.safetensors.index.json")
     if os.path.exists(idx):
         with open(idx) as f:
             files = sorted(set(json.load(f)["weight_map"].values()))
-        out = {}
         for fn in files:
-            out.update(read_safetensors(os.path.join(hf_dir, fn)))
+            out.add_file(os.path.join(hf_dir, fn))
         return out
     single = os.path.join(hf_dir, "model.safetensors")
     if not os.path.exists(single):
         raise FormatError(f"no model.safetensors[.index.json] in {hf_dir}")
-    return read_safetensors(single)
+    out.add_file(single)
+    return out
 
 
 def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
@@ -215,6 +239,9 @@ def convert_hf(hf_dir: str, out_path: str, outtype: str = "f16",
         w.add_metadata(f"{arch}.rope.scaling.factor", float(rs["factor"]))
         w.add_metadata(f"{arch}.rope.scaling.original_context_length",
                        int(rs.get("original_max_position_embeddings", 0)))
+        if rs.get("attention_factor") is not None:
+            w.add_metadata(f"{arch}.rope.scaling.attn_factor",
+                           float(rs["attention_factor"]))
     elif rs_type == "llama3":
         rope_freqs = llama3_rope_freqs(rs, head_dim,
                                        float(hf.get("rope_theta", 10000.0)))
@@ -396,9 +423,13 @@ def _add_tokenizer_metadata(w: GGUFWriter, hf_dir: str, hf: dict):
     spm_path = os.path.join(hf_dir, "tokenizer.model")
     if not os.path.exists(tj_path) and os.path.exists(spm_path):
         tokens, scores, types = parse_spm_model(spm_path)
-        bos = int(hf.get("bos_token_id") or 1)
+        # id 0 is a legitimate token id — test against None, not falsiness
+        bos_raw = hf.get("bos_token_id")
+        bos = int(bos_raw) if bos_raw is not None else 1
         eos_raw = hf.get("eos_token_id")
-        eos = int(eos_raw[0] if isinstance(eos_raw, list) else (eos_raw or 2))
+        if isinstance(eos_raw, list):
+            eos_raw = eos_raw[0] if eos_raw else None
+        eos = int(eos_raw) if eos_raw is not None else 2
         w.add_metadata("tokenizer.ggml.model", "llama")
         w.add_metadata("tokenizer.ggml.tokens", tokens)
         w.add_metadata("tokenizer.ggml.scores", np.asarray(scores, np.float32))

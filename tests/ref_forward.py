@@ -131,10 +131,13 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
 
         low = max(np.floor(corr(32.0)), 0.0)
         high = min(np.ceil(corr(1.0)), rd - 1.0)
-        i2 = 2.0 * np.arange(rd // 2, dtype=np.float32)
-        ramp = np.clip((i2 - low) / max(high - low, 1e-3), 0.0, 1.0)
+        # pair-index ramp (ggml compares corr dims against i0/2);
+        # inv_freqs blend linearly between extrapolation and interpolation
+        pair = np.arange(rd // 2, dtype=np.float32)
+        ramp = np.clip((pair - low) / max(high - low, 1e-3), 0.0, 1.0)
         if freq_factors is None:
-            freq_factors = (1.0 + ramp * (factor - 1.0)).astype(np.float32)
+            freq_factors = (1.0 / ((1.0 - ramp) + ramp / factor)).astype(
+                np.float32)
         mscale = 1.0 + 0.1 * np.log(factor)
     attn_cap = cfg.get("attn_softcap", 0.0)
     win = cfg.get("sliding_window", 0)

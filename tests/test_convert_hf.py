@@ -251,3 +251,37 @@ def test_convert_spm_tokenizer_and_chat_template(tmp_path):
     tok = tokenizer_from_gguf(md)
     ids = tok.encode("hi there", bos=False)
     assert ids and tok.decode_tokens(ids).lstrip() == "hi there"
+
+
+def test_convert_yarn_attn_factor_and_spm_id_zero(tmp_path):
+    """Two edge pins: HF rope_scaling.attention_factor must land in
+    {arch}.rope.scaling.attn_factor (the loader reads it into yarn
+    mscale), and an SPM checkpoint declaring bos/eos id 0 must keep 0
+    (falsy-zero must not fall back to the 1/2 defaults)."""
+    V = 260
+    cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        bos_token_id=0, eos_token_id=0,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 32,
+                      "attention_factor": 1.23},
+    )
+    torch.manual_seed(5)
+    transformers.LlamaForCausalLM(cfg).eval().save_pretrained(
+        str(tmp_path / "hf"), safe_serialization=True)
+    pieces = [("<unk>", 0.0, 2), ("<s>", 0.0, 3), ("</s>", 0.0, 3)]
+    pieces += [(f"<0x{b:02X}>", 0.0, 6) for b in range(256)]
+    pieces += [("a", -1.0, 1)]
+    _mk_spm_model(tmp_path / "hf" / "tokenizer.model", pieces)
+
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.tools.convert_hf import convert_hf
+
+    out = str(tmp_path / "y.gguf")
+    convert_hf(str(tmp_path / "hf"), out, outtype="f32", verbose=False)
+    md = GGUFFile(out).metadata
+    assert md.get_float("llama.rope.scaling.attn_factor") == pytest.approx(1.23)
+    assert md.get_int("tokenizer.ggml.bos_token_id") == 0
+    assert md.get_int("tokenizer.ggml.eos_token_id") == 0

@@ -422,30 +422,39 @@ def test_int8_kv_gemma2_keeps_softcap_and_window(tmp_path):
 
 
 def test_gemma2_27b_query_scale_override():
-    """gemma2-27b scales queries by 1/sqrt(n_embd/n_head), not
-    1/sqrt(head_dim) (llama.cpp build_gemma2 special case)."""
-    import io
-
-    from crabml_tpu.gguf.constants import GGMLType
-    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
-    from crabml_tpu.models.synthetic import write_synthetic_gguf
-    from crabml_tpu.gguf.reader import GGUFFile
-    import tempfile, os
-
-    cfg = ModelConfig(
-        architecture="gemma2", model_name="syn-g2-27b",
-        embedding_dim=96, hidden_dim=64, n_layers=1, n_heads=4, n_kv_heads=2,
-        vocab_size=300, seq_len=32, rms_norm_eps=1e-5,
-        **ARCH_FEATURES["gemma2"], head_dim_override=32,
-    )
-    with tempfile.TemporaryDirectory() as d:
-        path = os.path.join(d, "g2.gguf")
-        write_synthetic_gguf(path, cfg, GGMLType.F32, seed=3)
-        lcfg = config_from_gguf(GGUFFile(path).metadata)
-    assert lcfg.head_dim == 32
+    """ONLY gemma2-27b (46 blocks, llama.cpp's identification) scales
+    queries by 1/sqrt(n_embd/n_head); gemma2-2b/9b also decouple
+    head_dim but keep 1/sqrt(head_dim) — over-applying the 27b rule
+    mis-scales every attention score on those sizes."""
     import numpy as np
 
+    from crabml_tpu.gguf.reader import GGUFMetadata
+    from crabml_tpu.models.config import ModelConfig, config_from_gguf
+
+    def g2_meta(n_layers):
+        return GGUFMetadata({
+            "general.architecture": "gemma2",
+            "general.name": "g2",
+            "gemma2.embedding_length": 96,
+            "gemma2.feed_forward_length": 64,
+            "gemma2.block_count": n_layers,
+            "gemma2.attention.head_count": 4,
+            "gemma2.attention.head_count_kv": 2,
+            "gemma2.context_length": 64,
+            "gemma2.attention.layer_norm_rms_epsilon": 1e-5,
+            "gemma2.rope.freq_base": 10000.0,
+            "gemma2.rope.dimension_count": 32,
+            "gemma2.attention.key_length": 32,
+            "tokenizer.ggml.tokens": ["<pad>"] * 300,
+        })
+
+    lcfg = config_from_gguf(g2_meta(46))  # 27b-shaped
+    assert lcfg.head_dim == 32
     assert np.isclose(lcfg.attn_scale, 1.0 / np.sqrt(96 / 4))
+    # 9b-shaped (42 blocks, decoupled head_dim): NO override
+    lcfg9 = config_from_gguf(g2_meta(42))
+    assert lcfg9.head_dim == 32
+    assert np.isclose(lcfg9.attn_scale, 1.0 / np.sqrt(32))
     # plain config: no override
     assert np.isclose(
         ModelConfig(architecture="llama", embedding_dim=64, n_heads=4).attn_scale,
@@ -771,3 +780,45 @@ def test_gemma2_decode_rides_kernels(tmp_path, kv_dtype):
     got = run("pallas")
     scale = np.abs(want).max()
     assert np.abs(want - got).max() / scale < tol
+
+
+def test_moe_prefill_with_w8_planes(tmp_path):
+    """W8 prefill planes use a wider m-tile than the expert slicer's TM
+    units — _slice_expert must drop them (like _expert_view does) instead
+    of slicing garbage. Pins: mixtral + prefill_w8 forward == plain."""
+    import os
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.synthetic import tiny_config, write_synthetic_gguf
+    from crabml_tpu.models.weights import augment_w8_weights, load_weights
+    from crabml_tpu.ops import matmul as mm
+
+    cfg = tiny_config(
+        embedding_dim=256, hidden_dim=256, n_layers=1, n_heads=4,
+        n_kv_heads=2, vocab_size=512, seq_len=64,
+        n_experts=2, n_experts_used=2,
+    )
+    path = os.path.join(str(tmp_path), "moe.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.Q8_0, seed=11)
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    # T >= W8_MIN_ROWS so qmatmul actually routes into the W8 path
+    tokens = jnp.asarray([[1, 5, 9, 13, 2, 7, 11, 3] * 32], jnp.int32)  # T=256
+    pos = jnp.zeros(1, jnp.int32)
+
+    mm.set_backend("pallas")
+    try:
+        wk = load_weights(gf, lcfg, layout="kernel")
+        cfg = lcfg
+        cache = KVCache.create(cfg, 1, 256)
+        logits_plain, _ = forward(wk, cache, tokens, pos, cfg, jnp.bfloat16)
+
+        w8 = augment_w8_weights(wk)
+        cache = KVCache.create(cfg, 1, 256)
+        logits_w8, _ = forward(w8, cache, tokens, pos, cfg, jnp.bfloat16)
+    finally:
+        mm.set_backend("xla")
+
+    a, b = np.asarray(logits_plain, np.float32), np.asarray(logits_w8, np.float32)
+    scale = max(np.abs(a).max(), 1e-6)
+    assert np.abs(a - b).max() / scale < 0.05

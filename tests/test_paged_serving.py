@@ -262,3 +262,15 @@ def test_paged_pool_tp_sharded(stories260k_path):
     assert shard.data.shape[2] == KV // 2, "pool not sharded over KV heads"
     got = eng.generate([PROMPTS[0], PROMPTS[1]], max_tokens=12)
     assert got == want
+
+
+def test_paged_sync_admission_mode(runner):
+    """prefill_chunk=None (legacy synchronous admission, supported on the
+    base engine) must construct and generate, not TypeError at init."""
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16,
+                             prefill_chunk=None)
+    want = PagedServingEngine(runner, n_slots=2, seq_len=256,
+                              n_pages=16).generate(["Lily is a cat"],
+                                                   max_tokens=8)
+    got = eng.generate(["Lily is a cat"], max_tokens=8)
+    assert got == want

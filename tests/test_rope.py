@@ -88,3 +88,29 @@ def test_llama_mode_adjacent_pairs():
     t1 = 2 * 10000.0 ** (-2.0 / 4)
     exp = np.array([np.cos(t0), np.sin(t0), -np.sin(t1), np.cos(t1)], np.float32)
     np.testing.assert_allclose(out[0, 0, 0], exp, atol=1e-5)
+
+
+def test_yarn_divisors_match_transformers():
+    """External pin for the YaRN NTK-by-parts ramp: the divisors must
+    reproduce transformers' yarn inv_freq (pair-index correction range —
+    an element-index ramp shifts the interpolation boundary 2x)."""
+    import numpy as np
+    import torch
+    from transformers import LlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    from crabml_tpu.ops.rope import yarn_freq_factors
+
+    base, rd, orig, factor = 10000.0, 128, 32768, 8.0
+    cfg = LlamaConfig(
+        hidden_size=rd * 4, num_attention_heads=4,
+        max_position_embeddings=orig * int(factor), rope_theta=base,
+        rope_scaling={"rope_type": "yarn", "factor": factor,
+                      "original_max_position_embeddings": orig},
+    )
+    want_inv, _ = ROPE_INIT_FUNCTIONS["yarn"](cfg, device="cpu")
+    want_inv = want_inv.float().numpy()
+
+    div = yarn_freq_factors(rd, base, factor, orig)
+    inv = (1.0 / base ** (np.arange(0, rd, 2) / rd)).astype(np.float64) / div
+    np.testing.assert_allclose(inv, want_inv, rtol=1e-5)

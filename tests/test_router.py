@@ -183,3 +183,39 @@ def test_scaling_harness_drive(two_replicas):
     assert out["completed"] == 4 and not out["errors"]
     assert out["tokens"] == 4 * 5
     assert out["tok_s"] > 0
+
+
+def test_http_error_passes_through_and_replica_stays_alive():
+    """A 4xx reply from a replica is a RESPONSE, not replica death: the
+    router must return it to the client and keep the replica in rotation
+    (previously one malformed request marked every replica failed)."""
+    import http.server
+    import socketserver
+
+    class Bad(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            body = b'{"error": "bad logit_bias"}'
+            self.send_response(400)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Bad) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            router = Router([f"127.0.0.1:{port}"])
+            replica, resp = router.forward({"prompt": "x", "logit_bias": "x"})
+            assert resp.status == 400
+            assert b"bad logit_bias" in resp.read()
+            resp.close()
+            router.release(replica)
+            assert replica.alive  # NOT marked failed
+        finally:
+            srv.shutdown()
