@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "step, so accepted tokens ride the already-paid "
                          "weight streaming. Output is byte-identical to "
                          "plain greedy")
+    ap.add_argument("--draft", metavar="GGUF", default=None,
+                    help="two-model speculative decoding: path to a small "
+                         "draft GGUF sharing the target's tokenizer; "
+                         "implies --speculative 4 unless set. Greedy-exact")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mlock", action="store_true",
                     help="mlock(2) the weight mmap (reference --mlock parity)")
@@ -114,6 +118,7 @@ def main(argv=None):
         backend=args.backend,
         prefill_w8=args.prefill_w8,
         speculative=args.speculative,
+        draft_model=args.draft,
     )
 
     if args.chat:

@@ -45,6 +45,7 @@ class Runner:
         weight_cache: bool | None = None,
         prefill_w8: bool = False,
         speculative: int = 0,
+        draft_model: "str | GGUFFile | None" = None,
     ):
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg: ModelConfig = config_from_gguf(gf.metadata)
@@ -136,9 +137,36 @@ class Runner:
         # nondeterministic generations under host load).
         self.pos = np.zeros(batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
-        # prompt-lookup speculative decoding: draft length (0 = off).
-        # Greedy, B=1, single-device only; other configs fall back.
+        # speculative decoding: draft length (0 = off). Greedy, B=1,
+        # single-device only; other configs fall back. Drafts come from
+        # prompt lookup by default, or from a second small GGUF when
+        # `draft_model` is given (two-model speculative decoding).
         self.speculative = speculative
+        self._draft: "Runner | None" = None
+        if draft_model is not None:
+            if sharding is not None:
+                from ..errors import UnsupportedError
+
+                raise UnsupportedError(
+                    "draft_model speculative decoding is single-device "
+                    "(the speculative path requires an unsharded runner)"
+                )
+            self._draft = Runner(
+                draft_model, seq_len=self.seq_len, batch_size=1,
+                compute_dtype=compute_dtype, kv_dtype=kv_dtype,
+                backend=backend, scale_dtype=scale_dtype,
+                weight_cache=weight_cache,
+            )
+            if self._draft.cfg.vocab_size != self.cfg.vocab_size:
+                from ..errors import UnsupportedError
+
+                raise UnsupportedError(
+                    f"draft model vocab {self._draft.cfg.vocab_size} != "
+                    f"target vocab {self.cfg.vocab_size} — speculative "
+                    "verify requires a shared tokenizer"
+                )
+            if self.speculative == 0:
+                self.speculative = 4
         # token consumed at each cache position (drives the on-device
         # n-gram draft; correctness never depends on it — see
         # runtime.speculative — so a stale list only costs acceptance)
@@ -170,6 +198,8 @@ class Runner:
         self.pos = np.zeros(self.batch_size, dtype=np.int32)
         self._decode_buf = Utf8Buf()
         self._consumed = []
+        if self._draft is not None:
+            self._draft.reset()
 
     MAX_PREFILL_CHUNK = 512  # bounds compile buckets AND activation memory
 
@@ -234,7 +264,15 @@ class Runner:
         if not tokens:
             raise ValueError("expected at least 1 prompt token")
         with self.metrics.track("prefill"):
+            pos_before = self.pos.copy()
             logits = self._forward_tokens(tokens)
+            if self._draft is not None:
+                # the draft model consumes the same prompt from the same
+                # position so its cache tracks the target's (stale draft
+                # state only costs acceptance, never correctness — see
+                # runtime.speculative.draft_model_loop)
+                self._draft.pos = pos_before
+                self._draft._forward_tokens(tokens)
             token = int(self._sample(logits)[0])
         return int(self.pos[0]), tokens[-1], token
 
@@ -328,8 +366,11 @@ class Runner:
         dispatch runs `rounds` on-device draft+verify rounds, emitting
         1..draft+1 greedy-exact tokens per round. Falls back to the
         ticked loop near the cache end (a dispatch needs headroom for
-        its worst-case rounds*(draft+1) advance)."""
-        from .speculative import speculative_loop
+        its worst-case rounds*(draft+1) advance). With a `draft_model`
+        runner attached, drafts come from the small model's own greedy
+        decode (runtime.speculative.draft_model_loop) instead of n-gram
+        lookup — still greedy-exact."""
+        from .speculative import draft_model_loop, speculative_loop
 
         S = self.seq_len
         emitted = 0
@@ -338,17 +379,25 @@ class Runner:
             if S - 1 - pos0 < rounds * (draft + 1):
                 yield from self._generate_ticked(current, max_steps - emitted, 8)
                 return
-            hist = np.zeros(S, np.int32)
-            ncon = min(len(self._consumed), pos0)
-            if ncon:
-                hist[pos0 - ncon : pos0] = self._consumed[-ncon:]
             win = min(_bucket(pos0 + rounds * (draft + 1), 128), S)
             with self.metrics.track("decode"):
-                outs, counts, self.cache, _, _, _ = speculative_loop(
-                    self.weights, self.cache, jnp.asarray(hist),
-                    jnp.int32(current), jnp.int32(pos0), rounds, draft,
-                    self.cfg, self.compute_dtype, attn_window=win,
-                )
+                if self._draft is not None:
+                    d = self._draft
+                    outs, counts, self.cache, d.cache, _, _ = draft_model_loop(
+                        self.weights, self.cache, d.weights, d.cache,
+                        jnp.int32(current), jnp.int32(pos0), rounds, draft,
+                        self.cfg, d.cfg, self.compute_dtype, attn_window=win,
+                    )
+                else:
+                    hist = np.zeros(S, np.int32)
+                    ncon = min(len(self._consumed), pos0)
+                    if ncon:
+                        hist[pos0 - ncon : pos0] = self._consumed[-ncon:]
+                    outs, counts, self.cache, _, _, _ = speculative_loop(
+                        self.weights, self.cache, jnp.asarray(hist),
+                        jnp.int32(current), jnp.int32(pos0), rounds, draft,
+                        self.cfg, self.compute_dtype, attn_window=win,
+                    )
                 outs = np.asarray(outs)
                 counts = np.asarray(counts)
             toks: list[int] = []

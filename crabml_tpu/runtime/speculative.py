@@ -115,3 +115,82 @@ def speculative_loop(
         body, (cache, hist, token, pos), length=rounds
     )
     return outs, counts, cache, hist, token, pos
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rounds", "draft", "cfg", "dcfg", "compute_dtype",
+                     "attn_window"),
+    donate_argnames=("cache", "dcache"),
+)
+def draft_model_loop(
+    weights,
+    cache: KVCache,
+    dweights,
+    dcache: KVCache,
+    token,  # () int32 — token to consume at `pos` (last sampled)
+    pos,  # () int32 — current cache length (both models)
+    rounds: int,
+    draft: int,
+    cfg,
+    dcfg,
+    compute_dtype=jnp.float32,
+    attn_window: int | None = None,
+):
+    """Two-model speculative decoding, fully on device (B=1, greedy).
+
+    A small DRAFT model autoregressively proposes `draft` tokens; the
+    target verifies all draft+1 in one forward (streaming its weight
+    bytes once) and accepts the longest prefix matching its own argmax,
+    plus the standard bonus token. Emission is therefore byte-identical
+    to plain greedy decode of the target — the draft model can only
+    change SPEED, never output (pinned by test).
+
+    Like the prompt-lookup loop above, all `rounds` draft+verify+accept
+    rounds run inside one jit (host dispatch per round would pay the
+    high-RTT round trip the fused loops exist to hide).
+
+    Cache hygiene under partial accepts needs no correction pass:
+    - target cache: verify writes draft+1 positions; entries above the
+      accepted frontier are junk but masked (module docstring argument).
+    - draft cache: round r writes positions pos..pos+draft-1 while
+      drafting; entries above the new frontier pos' are junk, but round
+      r+1's draft scan overwrites position p before any step attends it
+      (step at p writes p, attends <= p), inductively from pos'.
+    - a STALE draft cache (e.g. after a fallback segment) only lowers
+      acceptance: wrong drafts are rejected by verify, and the bonus
+      token is always the target's own greedy choice.
+    """
+
+    def body(carry, _):
+        cache, dcache, token, pos = carry
+
+        def dstep(dc, _):
+            dcache, t, p = dc
+            dlogits, dcache = forward(
+                dweights, dcache, t[None, None], p[None], dcfg, compute_dtype,
+                attn_window=attn_window,
+            )
+            nt = jnp.argmax(dlogits[0, 0]).astype(jnp.int32)
+            return (dcache, nt, p + 1), nt
+
+        (dcache, _, _), dr = jax.lax.scan(
+            dstep, (dcache, token, pos), length=draft
+        )
+        tok_seq = jnp.concatenate([token[None], dr])  # (draft+1,)
+        logits, cache = forward(
+            weights, cache, tok_seq[None, :], pos[None], cfg, compute_dtype,
+            attn_window=attn_window,
+        )
+        g = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)  # (draft+1,)
+        ok = dr == g[:draft]
+        n_acc = jnp.argmin(jnp.concatenate([ok, jnp.zeros(1, bool)]))
+        count = n_acc + 1  # accepted drafts + bonus/correction token
+        token = g[n_acc]
+        pos = pos + count
+        return (cache, dcache, token, pos), (g, count)
+
+    (cache, dcache, token, pos), (outs, counts) = jax.lax.scan(
+        body, (cache, dcache, token, pos), length=rounds
+    )
+    return outs, counts, cache, dcache, token, pos
