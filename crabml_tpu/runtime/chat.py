@@ -79,6 +79,127 @@ class ChatTemplate(Enum):
             return f"{sys_p}<|im_start|>user\n{prompt}<|im_end|>{prefix}"
         raise AssertionError(self)
 
+    def apply_messages(
+        self, messages: "list[dict]", add_generation_prompt: bool = True
+    ) -> str:
+        """Render a full OpenAI-style conversation in this format.
+
+        Multi-turn generalization of `apply` (which renders one user
+        turn): a leading system message folds into the first user turn
+        the same way `apply(system_prompt=...)` does, assistant turns
+        close with the format's turn-end mark, and the assistant prefix
+        is appended once at the end when `add_generation_prompt`.
+        """
+        system = None
+        turns: list[tuple[str, str]] = []  # (role, content), system folded out
+        for m in messages:
+            if m["role"] == "system":
+                system = m["content"] if system is None else system + "\n" + m["content"]
+            else:
+                turns.append((m["role"], m["content"]))
+        out = []
+        first_user = True
+        for role, content in turns:
+            if role == "user":
+                if self == ChatTemplate.LLAMA2:
+                    sys_p = (
+                        f"<<SYS>>{system}<</SYS>>" if system and first_user else ""
+                    )
+                    out.append(f"[INST] {sys_p} {content} [/INST]")
+                elif self == ChatTemplate.LLAMA3:
+                    if system and first_user:
+                        out.append(
+                            "<|start_header_id|>system<|end_header_id|>\n\n"
+                            f"{system}<|eot_id|>"
+                        )
+                    out.append(
+                        "<|start_header_id|>user<|end_header_id|>\n\n"
+                        f"{content}<|eot_id|>"
+                    )
+                elif self == ChatTemplate.GEMMA:
+                    sys_p = f"{system} " if system and first_user else ""
+                    out.append(
+                        f"<start_of_turn>user\n{sys_p}{content}<end_of_turn>"
+                    )
+                elif self == ChatTemplate.CHATML:
+                    if system and first_user:
+                        out.append(f"<|im_start|>system\n{system}<|im_end|>")
+                    out.append(f"<|im_start|>user\n{content}<|im_end|>")
+                first_user = False
+            else:  # assistant
+                if self == ChatTemplate.LLAMA2:
+                    out.append(f" {content} ")
+                elif self == ChatTemplate.LLAMA3:
+                    out.append(
+                        "<|start_header_id|>assistant<|end_header_id|>\n\n"
+                        f"{content}<|eot_id|>"
+                    )
+                elif self == ChatTemplate.GEMMA:
+                    out.append(f"<start_of_turn>model\n{content}<end_of_turn>")
+                elif self == ChatTemplate.CHATML:
+                    out.append(f"<|im_start|>assistant\n{content}<|im_end|>")
+        if add_generation_prompt:
+            if self == ChatTemplate.LLAMA3:
+                out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+            elif self == ChatTemplate.GEMMA:
+                out.append("<start_of_turn>model\n")
+            elif self == ChatTemplate.CHATML:
+                out.append("<|im_start|>assistant\n")
+            # LLAMA2: generation continues right after [/INST]
+        return "".join(out)
+
+
+def render_messages(
+    cfg,
+    messages: "list[dict]",
+    tokenizer=None,
+    add_generation_prompt: bool = True,
+) -> "tuple[str, str]":
+    """Render OpenAI-style `messages` to (prompt_text, stop_mark).
+
+    When the GGUF carries `tokenizer.chat_template` (the HF Jinja
+    template the converter passes through — tools/convert_hf.py), it is
+    rendered exactly, in a sandboxed Jinja environment with the same
+    variables `transformers.apply_chat_template` provides (`messages`,
+    `add_generation_prompt`, `bos_token`, `eos_token`). Otherwise the
+    built-in four-format heuristic renders the conversation
+    (chat.rs:201-218 parity — the reference only has the heuristic).
+
+    The returned stop mark is the template family's turn-end string; the
+    caller passes it as a stop sequence so replies end at the turn
+    boundary even when the turn-end token differs from the model EOS
+    (llama3's <|eot_id|>, chatml's <|im_end|>).
+    """
+    for m in messages:
+        if not isinstance(m, dict) or not isinstance(m.get("content"), str):
+            raise ValueError("messages must be [{'role': .., 'content': str}]")
+        if m.get("role") not in ("system", "user", "assistant"):
+            raise ValueError(f"unsupported message role: {m.get('role')!r}")
+    tmpl = ChatTemplate.heuristic_guess(
+        cfg.model_name, cfg.architecture, cfg.chat_template
+    )
+    if cfg.chat_template:
+        from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+        def raise_exception(msg):  # HF template helper
+            raise ValueError(f"chat template error: {msg}")
+
+        env = ImmutableSandboxedEnvironment(trim_blocks=True, lstrip_blocks=True)
+        env.globals["raise_exception"] = raise_exception
+        tok_str = (
+            (lambda i: tokenizer.tokens[i] if 0 <= i < len(tokenizer.tokens) else "")
+            if tokenizer is not None and getattr(tokenizer, "tokens", None)
+            else (lambda i: "")
+        )
+        text = env.from_string(cfg.chat_template).render(
+            messages=messages,
+            add_generation_prompt=add_generation_prompt,
+            bos_token=tok_str(tokenizer.bos_token) if tokenizer else "",
+            eos_token=tok_str(tokenizer.eos_token) if tokenizer else "",
+        )
+        return text, tmpl.stop_mark
+    return tmpl.apply_messages(messages, add_generation_prompt), tmpl.stop_mark
+
 
 class MarkMatcher:
     """Streams tokens, merging multi-token stop marks (chat.rs:127-186)."""

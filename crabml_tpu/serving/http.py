@@ -4,8 +4,13 @@ Stdlib-only (http.server): POST /v1/completions with
   {"prompt": str, "max_tokens": int, "temperature": float, "top_p": float,
    "min_p": float, "repetition_penalty": float, "stop": [...], "stream": bool}
 -> {"id", "choices": [{"text", "finish_reason"}], "usage": {...}}, or
-chunked text/event-stream when "stream" is true. GET /health reports slot
-occupancy. The engine loop runs on a dedicated thread; handler threads only
+chunked text/event-stream when "stream" is true. POST /v1/chat/completions
+takes OpenAI "messages" instead of "prompt": the conversation renders
+through the GGUF's own tokenizer.chat_template (Jinja, sandboxed) when
+present, else the built-in four-format heuristic (runtime.chat), with the
+template's turn-end mark auto-added as a stop sequence; responses are
+"chat.completion" / streamed "chat.completion.chunk" deltas. GET /health
+reports slot occupancy. The engine loop runs on a dedicated thread; handler threads only
 enqueue and wait on per-request queues, so many in-flight requests
 continuously batch onto the slot pool.
 
@@ -64,60 +69,108 @@ def make_handler(engine: ServingEngine):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _build_request(self, payload, prompt: str, extra_stop=()):
+            """Shared sampling/stop/bias parsing for both POST routes."""
+            stop = payload.get("stop") or []
+            if isinstance(stop, str):  # OpenAI allows a bare string
+                stop = [stop]
+            if not all(isinstance(s, str) for s in stop):
+                raise ValueError("stop must be a string or list of strings")
+            stop = list(stop) + [s for s in extra_stop if s not in stop]
+            lb = payload.get("logit_bias") or {}
+            if not isinstance(lb, dict):
+                raise ValueError("logit_bias must be a {token_id: bias} map")
+            logit_bias = tuple(sorted((int(k), float(v)) for k, v in lb.items()))
+            return Request(
+                prompt=prompt,
+                max_tokens=int(payload.get("max_tokens", 256)),
+                temperature=float(payload.get("temperature", 0.0)),
+                topp=float(payload.get("top_p", 0.9)),
+                minp=float(payload.get("min_p", 0.0)),
+                repetition_penalty=float(payload.get("repetition_penalty", 1.0)),
+                frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
+                presence_penalty=float(payload.get("presence_penalty", 0.0)),
+                logit_bias=logit_bias,
+                stop=tuple(s for s in stop if s),
+            )
+
+        def _stream_sse(self, stream, make_event):
+            """Drain a token stream as chunked SSE; make_event(piece|None)
+            returns the JSON-able event (None piece = final event)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+            while True:
+                piece = stream.get()
+                if piece is None:
+                    break
+                ev = make_event(piece)
+                chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
+            final = make_event(None)
+            if final is not None:
+                chunk(b"data: " + json.dumps(final).encode() + b"\n\n")
+            chunk(b"data: [DONE]\n\n")
+            chunk(b"")
+
         def do_POST(self):
-            if self.path not in ("/v1/completions", "/generate"):
+            if self.path not in (
+                "/v1/completions", "/generate", "/v1/chat/completions"
+            ):
                 self._json(404, {"error": "not found"})
                 return
+            chat = self.path == "/v1/chat/completions"
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
-                stop = payload.get("stop") or []
-                if isinstance(stop, str):  # OpenAI allows a bare string
-                    stop = [stop]
-                if not all(isinstance(s, str) for s in stop):
-                    raise ValueError("stop must be a string or list of strings")
-                lb = payload.get("logit_bias") or {}
-                if not isinstance(lb, dict):
-                    raise ValueError("logit_bias must be a {token_id: bias} map")
-                logit_bias = tuple(
-                    sorted((int(k), float(v)) for k, v in lb.items())
-                )
-                req = Request(
-                    prompt=payload.get("prompt", ""),
-                    max_tokens=int(payload.get("max_tokens", 256)),
-                    temperature=float(payload.get("temperature", 0.0)),
-                    topp=float(payload.get("top_p", 0.9)),
-                    minp=float(payload.get("min_p", 0.0)),
-                    repetition_penalty=float(
-                        payload.get("repetition_penalty", 1.0)
-                    ),
-                    frequency_penalty=float(payload.get("frequency_penalty", 0.0)),
-                    presence_penalty=float(payload.get("presence_penalty", 0.0)),
-                    logit_bias=logit_bias,
-                    stop=tuple(s for s in stop if s),
-                )
+                if chat:
+                    from ..runtime.chat import render_messages
+
+                    messages = payload.get("messages")
+                    if not isinstance(messages, list) or not messages:
+                        raise ValueError("messages must be a non-empty list")
+                    prompt, stop_mark = render_messages(
+                        engine.cfg, messages, engine.tokenizer
+                    )
+                    req = self._build_request(payload, prompt, (stop_mark,))
+                else:
+                    req = self._build_request(payload, payload.get("prompt", ""))
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
 
             if payload.get("stream"):
                 stream = engine.enqueue_streaming(req)
-                self.send_response(200)
-                self.send_header("Content-Type", "text/event-stream")
-                self.send_header("Transfer-Encoding", "chunked")
-                self.end_headers()
-
-                def chunk(data: bytes):
-                    self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
-
-                while True:
-                    piece = stream.get()
-                    if piece is None:
-                        break
-                    data = b"data: " + json.dumps({"text": piece}).encode() + b"\n\n"
-                    chunk(data)
-                chunk(b"data: [DONE]\n\n")
-                chunk(b"")
+                if chat:
+                    base = {
+                        "id": f"chatcmpl-{req.request_id}",
+                        "object": "chat.completion.chunk",
+                        "model": engine.cfg.model_name,
+                    }
+                    self._stream_sse(
+                        stream,
+                        lambda piece: {
+                            **base,
+                            "choices": [
+                                {"index": 0, "delta": {"content": piece}}
+                                if piece is not None
+                                else {
+                                    "index": 0,
+                                    "delta": {},
+                                    "finish_reason": req.finish_reason,
+                                }
+                            ],
+                        },
+                    )
+                else:
+                    self._stream_sse(
+                        stream,
+                        lambda piece: {"text": piece} if piece is not None else None,
+                    )
                 return
 
             stream = engine.enqueue_streaming(req)
@@ -127,26 +180,46 @@ def make_handler(engine: ServingEngine):
                 if piece is None:
                     break
                 parts.append(piece)
-            self._json(
-                200,
-                {
-                    "id": f"cmpl-{req.request_id}",
-                    "object": "text_completion",
-                    "model": engine.cfg.model_name,
-                    "choices": [
-                        {
-                            "index": 0,
-                            "text": "".join(parts),
-                            "finish_reason": req.finish_reason,
-                        }
-                    ],
-                    "usage": {
-                        "prompt_tokens": len(req.prompt_tokens),
-                        "completion_tokens": len(req.output_tokens),
-                        "total_tokens": len(req.prompt_tokens) + len(req.output_tokens),
+            text = req.output_text if req.output_text is not None else "".join(parts)
+            usage = {
+                "prompt_tokens": len(req.prompt_tokens),
+                "completion_tokens": len(req.output_tokens),
+                "total_tokens": len(req.prompt_tokens) + len(req.output_tokens),
+            }
+            if chat:
+                self._json(
+                    200,
+                    {
+                        "id": f"chatcmpl-{req.request_id}",
+                        "object": "chat.completion",
+                        "model": engine.cfg.model_name,
+                        "choices": [
+                            {
+                                "index": 0,
+                                "message": {"role": "assistant", "content": text},
+                                "finish_reason": req.finish_reason,
+                            }
+                        ],
+                        "usage": usage,
                     },
-                },
-            )
+                )
+            else:
+                self._json(
+                    200,
+                    {
+                        "id": f"cmpl-{req.request_id}",
+                        "object": "text_completion",
+                        "model": engine.cfg.model_name,
+                        "choices": [
+                            {
+                                "index": 0,
+                                "text": "".join(parts),
+                                "finish_reason": req.finish_reason,
+                            }
+                        ],
+                        "usage": usage,
+                    },
+                )
 
     return Handler
 

@@ -66,3 +66,90 @@ def test_chat_session_context_overflow_restarts(stories260k_path):
     out = "".join(s.reply("And then?", max_tokens=8))  # overflow -> restart
     assert r.kv_cache_len() < 62  # fresh session
     assert isinstance(out, str)
+
+
+def test_apply_messages_multiturn_chatml():
+    from crabml_tpu.runtime.chat import ChatTemplate
+
+    msgs = [
+        {"role": "system", "content": "Be brief."},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"role": "user", "content": "bye"},
+    ]
+    got = ChatTemplate.CHATML.apply_messages(msgs)
+    assert got == (
+        "<|im_start|>system\nBe brief.<|im_end|>"
+        "<|im_start|>user\nhi<|im_end|>"
+        "<|im_start|>assistant\nhello<|im_end|>"
+        "<|im_start|>user\nbye<|im_end|>"
+        "<|im_start|>assistant\n"
+    )
+
+
+def test_apply_messages_all_formats_end_with_generation_prefix():
+    from crabml_tpu.runtime.chat import ChatTemplate
+
+    msgs = [{"role": "user", "content": "hi"}]
+    assert ChatTemplate.LLAMA2.apply_messages(msgs).endswith("[/INST]")
+    assert ChatTemplate.LLAMA3.apply_messages(msgs).endswith(
+        "<|start_header_id|>assistant<|end_header_id|>\n\n"
+    )
+    assert ChatTemplate.GEMMA.apply_messages(msgs).endswith("<start_of_turn>model\n")
+    assert ChatTemplate.CHATML.apply_messages(msgs).endswith(
+        "<|im_start|>assistant\n"
+    )
+    # single-turn render agrees with the legacy apply() for llama3
+    assert ChatTemplate.LLAMA3.apply_messages(msgs) == ChatTemplate.LLAMA3.apply("hi")
+
+
+def test_render_messages_jinja_template():
+    """A GGUF-carried HF Jinja template renders exactly, with bos/eos vars."""
+    from crabml_tpu.models.config import ModelConfig
+    from crabml_tpu.runtime.chat import render_messages
+
+    tmpl = (
+        "{{ bos_token }}{% for m in messages %}"
+        "<|im_start|>{{ m.role }}\n{{ m.content }}<|im_end|>\n"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+    )
+    cfg = ModelConfig(model_name="m", architecture="llama", chat_template=tmpl)
+
+    class Tok:
+        tokens = ["<s>", "</s>"]
+        bos_token = 0
+        eos_token = 1
+
+    text, stop = render_messages(
+        cfg, [{"role": "user", "content": "hi"}], Tok()
+    )
+    assert text == "<s><|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\n"
+    assert stop == "<|im_end|>"  # heuristic reads the template content
+
+
+def test_render_messages_rejects_bad_roles():
+    import pytest
+
+    from crabml_tpu.models.config import ModelConfig
+    from crabml_tpu.runtime.chat import render_messages
+
+    cfg = ModelConfig(model_name="m", architecture="llama")
+    with pytest.raises(ValueError):
+        render_messages(cfg, [{"role": "tool", "content": "x"}])
+    with pytest.raises(ValueError):
+        render_messages(cfg, [{"role": "user", "content": 3}])
+
+
+def test_render_messages_jinja_raise_exception():
+    import pytest
+
+    from crabml_tpu.models.config import ModelConfig
+    from crabml_tpu.runtime.chat import render_messages
+
+    cfg = ModelConfig(
+        model_name="m", architecture="llama",
+        chat_template="{{ raise_exception('only user roles') }}",
+    )
+    with pytest.raises(ValueError, match="only user roles"):
+        render_messages(cfg, [{"role": "user", "content": "hi"}])

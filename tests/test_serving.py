@@ -3,6 +3,7 @@ Runner path (greedy), slots must recycle, streaming + HTTP front-end work."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import pytest
@@ -258,3 +259,67 @@ def test_engine_cache_tp_sharded(stories260k_path):
     shard = next(iter(eng.cache.k.addressable_shards))
     assert shard.data.shape[2] == r.cfg.n_kv_heads // 2
     assert eng.generate(["Lily is a cat"], max_tokens=10)[0] == want
+
+
+def test_http_chat_completions(runner):
+    from http.server import ThreadingHTTPServer
+
+    engine = ServingEngine(runner, n_slots=2, seq_len=96)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    loop = threading.Thread(target=engine.run_forever, daemon=True)
+    loop.start()
+    try:
+        body = json.dumps({
+            "messages": [
+                {"role": "system", "content": "You tell stories."},
+                {"role": "user", "content": "Lily is a cat"},
+            ],
+            "max_tokens": 8,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert out["object"] == "chat.completion"
+        msg = out["choices"][0]["message"]
+        assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+        assert out["usage"]["completion_tokens"] > 0
+
+        # malformed messages -> 400, not a hung request
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({"messages": "hi"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # streaming: chat.completion.chunk deltas, then [DONE]
+        sreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({
+                "messages": [{"role": "user", "content": "Once upon a time"}],
+                "max_tokens": 6, "stream": True,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(sreq, timeout=120) as resp:
+            raw = resp.read().decode()
+        events = [l[6:] for l in raw.split("\n") if l.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        parsed = [json.loads(e) for e in events[:-1]]
+        assert all(p["object"] == "chat.completion.chunk" for p in parsed)
+        deltas = [p["choices"][0]["delta"].get("content", "") for p in parsed]
+        assert "".join(deltas)  # some text streamed
+        assert parsed[-1]["choices"][0].get("finish_reason") in ("stop", "length")
+    finally:
+        engine.shutdown()
+        server.shutdown()
+        server.server_close()
