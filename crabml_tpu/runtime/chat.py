@@ -230,19 +230,110 @@ class MarkMatcher:
 
 @dataclass
 class ChatSession:
-    """Multi-turn chat on a persistent KV cache (chat.rs:15-58)."""
+    """Multi-turn chat on a persistent KV cache (chat.rs:15-58).
+
+    When the GGUF carries `tokenizer.chat_template` (and no explicit
+    `template` override is given), turns render through the model's own
+    Jinja template incrementally: each turn re-renders the full message
+    list and prefills only the suffix past what the cache already holds,
+    so multi-turn cost stays proportional to the new turn. Known
+    tolerance: suffix tokenization can differ at the splice boundary
+    from whole-text tokenization (every incremental chat implementation
+    shares this); a template that rewrites earlier turns (not
+    append-only) triggers a clean session restart instead of drifting.
+    """
 
     runner: Runner
     system_prompt: str | None = None
     template: ChatTemplate | None = None
     _has_stop_mark: bool = field(default=False, init=False)
+    messages: list = field(default_factory=list, init=False)
+    _rendered: str = field(default="", init=False)
 
     def __post_init__(self):
+        cfg = self.runner.cfg
+        self._jinja = self.template is None and bool(cfg.chat_template)
         if self.template is None:
-            cfg = self.runner.cfg
             self.template = ChatTemplate.heuristic_guess(
                 cfg.model_name, cfg.architecture, cfg.chat_template
             )
+
+    def _render(self, add_generation_prompt: bool) -> "tuple[str, str]":
+        """Render self.messages via the GGUF template, minus any leading
+        bos text (prefill adds the bos id itself — avoids a double bos
+        when the template opens with {{ bos_token }})."""
+        tok = self.runner.tokenizer
+        text, stop = render_messages(
+            self.runner.cfg, self.messages, tok,
+            add_generation_prompt=add_generation_prompt,
+        )
+        bos_str = (
+            tok.tokens[tok.bos_token]
+            if tok is not None and 0 <= tok.bos_token < len(tok.tokens)
+            else ""
+        )
+        if bos_str and text.startswith(bos_str):
+            text = text[len(bos_str):]
+        return text, stop
+
+    def _reply_jinja(self, prompt: str, max_tokens: int | None):
+        if self.runner.kv_cache_len() == 0:
+            self.messages = []
+            self._rendered = ""
+            if self.system_prompt:
+                self.messages.append(
+                    {"role": "system", "content": self.system_prompt}
+                )
+        self.messages.append({"role": "user", "content": prompt})
+        full, stop_mark = self._render(add_generation_prompt=True)
+        if self._rendered and not full.startswith(self._rendered):
+            self.runner.reset()  # template rewrote history: restart clean
+            self._rendered = ""
+        delta = full[len(self._rendered):]
+        try:
+            _, _, token = self.runner.prefill(
+                delta, bos=self.runner.kv_cache_len() == 0
+            )
+        except ValueError:  # cache full: restart with system + this turn
+            self.runner.reset()
+            self._rendered = ""
+            keep = [m for m in self.messages if m["role"] == "system"][:1]
+            self.messages = keep + [self.messages[-1]]
+            full, stop_mark = self._render(add_generation_prompt=True)
+            _, _, token = self.runner.prefill(full, bos=True)
+        matcher = MarkMatcher([stop_mark])
+        self._has_stop_mark = False
+        parts: list[str] = []
+        for piece in self.runner.generate(token, steps=max_tokens):
+            merged = matcher.push(piece)
+            if merged is None:
+                continue
+            if merged == stop_mark:
+                self._has_stop_mark = True
+                break
+            parts.append(merged)
+            yield merged
+        reply_text = "".join(parts)
+        self.messages.append({"role": "assistant", "content": reply_text})
+        # text the cache actually holds, incl. a buffered false-start
+        cache_text = full + reply_text + (
+            stop_mark if self._has_stop_mark else ""
+        ) + (matcher.buf if matcher.active else "")
+        closed, _ = self._render(add_generation_prompt=False)
+        if closed.startswith(cache_text):
+            tail = closed[len(cache_text):]
+            if tail:
+                try:  # close the turn exactly as the template writes it
+                    self.runner.prefill(tail, bos=False)
+                    self._has_stop_mark = True  # turn closed in-cache
+                except ValueError:
+                    self._rendered = cache_text
+                    return
+            self._rendered = closed
+        else:
+            # cache text diverged from the canonical render (template
+            # normalizes the reply); next reply() detects and restarts
+            self._rendered = cache_text
 
     def reply(self, prompt: str, max_tokens: int | None = None):
         """Yields reply text pieces; stops at the template stop mark, EOS,
@@ -254,6 +345,9 @@ class ChatSession:
         reference silently overflows instead (its grow-by-concat cache
         errors at seq_len, chat.rs has no handling); an explicit restart
         keeps long-running REPLs alive."""
+        if self._jinja:
+            yield from self._reply_jinja(prompt, max_tokens)
+            return
         fresh = self.runner.kv_cache_len() == 0
         templated = self.template.apply(
             prompt,
@@ -282,6 +376,8 @@ class ChatSession:
     def finish(self):
         """Append the stop mark to the cache if the model never emitted it
         (chat.rs:51-58), keeping the transcript well-formed for next turn."""
+        if self._jinja:
+            return  # _reply_jinja closes each turn from the template render
         if not self._has_stop_mark:
             try:
                 self.runner.prefill(self.template.stop_mark, bos=False)

@@ -153,3 +153,58 @@ def test_render_messages_jinja_raise_exception():
     )
     with pytest.raises(ValueError, match="only user roles"):
         render_messages(cfg, [{"role": "user", "content": "hi"}])
+
+
+CHATML_JINJA = (
+    "{% for m in messages %}"
+    "<|im_start|>{{ m.role }}\n{{ m.content }}<|im_end|>\n"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+)
+
+
+def _jinja_runner(path, seq_len=192):
+    import dataclasses
+
+    from crabml_tpu.runtime.runner import Runner
+
+    r = Runner(path, seq_len=seq_len)
+    r.cfg = dataclasses.replace(r.cfg, chat_template=CHATML_JINJA)
+    return r
+
+
+def test_chat_session_jinja_incremental(stories260k_path):
+    from crabml_tpu.runtime.chat import ChatSession
+
+    r = _jinja_runner(stories260k_path)
+    sess = ChatSession(r, system_prompt="You tell stories.")
+    assert sess._jinja
+    r1 = "".join(sess.reply("hi", max_tokens=6))
+    assert isinstance(r1, str)
+    len1 = r.kv_cache_len()
+    assert len1 > 0
+    assert [m["role"] for m in sess.messages] == ["system", "user", "assistant"]
+    # turn 1 closed exactly as the template writes it
+    assert sess._rendered.endswith("<|im_end|>\n")
+    r2 = "".join(sess.reply("more", max_tokens=6))
+    len2 = r.kv_cache_len()
+    assert len2 > len1  # incremental: cache grew, no restart
+    assert [m["role"] for m in sess.messages] == [
+        "system", "user", "assistant", "user", "assistant",
+    ]
+    # the next-turn render extends what the cache holds (append-only)
+    full, _ = sess._render(add_generation_prompt=True)
+    assert full.startswith(sess._rendered.rstrip("\n")[:40])
+
+
+def test_chat_session_jinja_overflow_restarts(stories260k_path):
+    from crabml_tpu.runtime.chat import ChatSession
+
+    r = _jinja_runner(stories260k_path, seq_len=64)
+    sess = ChatSession(r)
+    for _ in range(4):  # overflow the 64-token cache across turns
+        out = "".join(sess.reply("tell me a very long story now", max_tokens=8))
+        assert isinstance(out, str)
+    # session survived; history was truncated on restart, not corrupted
+    assert r.kv_cache_len() <= 64
+    assert sess.messages[-1]["role"] == "assistant"
