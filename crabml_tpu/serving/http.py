@@ -66,6 +66,15 @@ def make_handler(engine: ServingEngine):
                 if hasattr(engine, "pages_free"):
                     body["pages_free"] = engine.pages_free()
                 self._json(200, body)
+            elif self.path == "/v1/models":  # OpenAI client discovery
+                self._json(200, {
+                    "object": "list",
+                    "data": [{
+                        "id": engine.cfg.model_name,
+                        "object": "model",
+                        "owned_by": "crabml-tpu",
+                    }],
+                })
             else:
                 self._json(404, {"error": "not found"})
 

@@ -94,6 +94,9 @@ def test_http_server(runner):
         assert out["choices"][0]["text"] == _runner_golden(runner, PROMPTS[0], steps=8)
         assert out["usage"]["completion_tokens"] > 0
 
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/models", timeout=30) as resp:
+            models = json.loads(resp.read())
+        assert models["data"][0]["object"] == "model"
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as resp:
             health = json.loads(resp.read())
         assert health["status"] == "ok"
