@@ -6,8 +6,9 @@ the ONLY traffic that crosses hosts. This module is that request layer:
 
 - `Replica`: one backend endpoint + liveness/last-known slot state.
 - `Router`: picks a replica per request (least outstanding work, falling
-  back to round-robin on ties), forwards /v1/completions — including
-  streamed responses — and aggregates /health across replicas. Dead
+  back to round-robin on ties), forwards /v1/completions and
+  /v1/chat/completions — including streamed responses — and aggregates
+  /health across replicas. Dead
   replicas are skipped and retried with exponential backoff, so a host
   failure degrades capacity instead of availability (the serving-side
   analogue of SURVEY §5.3 failure detection).
@@ -87,15 +88,15 @@ class Router:
 
     # -- forwarding --------------------------------------------------------
 
-    def forward(self, payload: dict):
-        """Forward one completion request; returns (replica, http.response).
+    def forward(self, payload: dict, path: str = "/v1/completions"):
+        """Forward one request to `path`; returns (replica, http.response).
         Retries on the next replica when one is unreachable."""
         body = json.dumps(payload).encode()
         last_err = None
         for _ in range(len(self.replicas) + 1):
             r = self.pick()
             req = urllib.request.Request(
-                r.url("/v1/completions"), data=body,
+                r.url(path), data=body,
                 headers={"Content-Type": "application/json"},
             )
             try:
@@ -158,7 +159,9 @@ def make_handler(router: Router):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path not in ("/v1/completions", "/generate"):
+            if self.path not in (
+                "/v1/completions", "/generate", "/v1/chat/completions"
+            ):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -168,7 +171,7 @@ def make_handler(router: Router):
                 self._json(400, {"error": str(e)})
                 return
             try:
-                replica, resp = router.forward(payload)
+                replica, resp = router.forward(payload, self.path)
             except ConnectionError as e:
                 self._json(503, {"error": str(e)})
                 return

@@ -219,3 +219,24 @@ def test_http_error_passes_through_and_replica_stays_alive():
             assert replica.alive  # NOT marked failed
         finally:
             srv.shutdown()
+
+
+def test_routed_chat_completions(two_replicas):
+    """/v1/chat/completions forwards to a replica like completions does."""
+    router, server, port = _start_router(two_replicas)
+    try:
+        body = json.dumps({
+            "messages": [{"role": "user", "content": "Lily is a cat"}],
+            "max_tokens": 6,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out = json.loads(resp.read())
+        assert out["object"] == "chat.completion"
+        assert out["choices"][0]["message"]["role"] == "assistant"
+    finally:
+        server.shutdown()
+        server.server_close()
