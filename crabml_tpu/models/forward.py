@@ -234,7 +234,101 @@ def moe_ffn(lw, l, ffn_in, cfg, compute_dtype):
     if rows * K < E and aligned:
         return _moe_cond_experts(lw, l, ffn_in, route, cfg, compute_dtype)
 
+    if rows >= _GROUPED_MIN_ROWS and K < E and aligned:
+        from ..ops import matmul as _mm
+
+        if _mm.get_backend() == "pallas" and all(
+            _is_groupable(lw[n])
+            for n in ("ffn_gate_exps", "ffn_up_exps", "ffn_down_exps")
+        ):
+            return _moe_grouped(lw, l, ffn_in, topi, topw, cfg, compute_dtype)
+
     return _moe_all_experts(lw, l, ffn_in, route, cfg, compute_dtype)
+
+
+_GROUPED_MIN_ROWS = 64  # below this, all-experts fused reads win (few tiles)
+
+
+def _is_groupable(qt) -> bool:
+    from ..ops.pallas.gemm_quant import SCHEMES, is_repacked
+
+    return qt.kind in SCHEMES and is_repacked(qt)
+
+
+def _grouped_tb(rows: int, E: int) -> int:
+    """Row-tile for the grouped kernel: ~the average per-expert row count
+    (padding per expert stays under one tile), clamped to [128, 512] —
+    128 keeps 4-bit weights above the MXU compute ridge, 512 bounds the
+    (TB, tk) x-block VMEM like `_run`'s prefill tile."""
+    t = 128
+    while t * 2 <= rows // max(E, 1) and t < 512:
+        t *= 2
+    return t
+
+
+def _moe_grouped(lw, l, ffn_in, topi, topw, cfg, compute_dtype):
+    """Prefill-regime MoE via the grouped (ragged) kernel: rows sort by
+    routed expert, each expert's segment pads to a TB-multiple, and every
+    TB-row tile multiplies ONLY its expert's planes (gemm_quant.
+    _run_grouped). Compute is rows*K expert-applications instead of the
+    all-experts path's rows*E — an E/K-fold FLOP cut (4x for mixtral
+    top-2-of-8) in the regime where the MoE FFN is MXU-bound. The sort /
+    scatter / gather glue is O(rows*(K+D)) jnp and fuses under XLA;
+    numerics match the dense mix because each row's expert compute is
+    the same dot, just batched by expert instead of by token."""
+    E, K = cfg.n_experts, cfg.n_experts_used
+    D = cfg.embedding_dim
+    from ..ops.pallas.gemm_quant import qmatmul_grouped
+
+    lead = ffn_in.shape[:-1]
+    R = 1
+    for d in lead:
+        R *= d
+    xf = ffn_in.reshape(R, D)
+    RK = R * K
+    fe = topi.reshape(RK).astype(jnp.int32)  # expert of each (row, slot)
+    fw = topw.reshape(RK)
+    src = jnp.arange(RK, dtype=jnp.int32) // K
+
+    order = jnp.argsort(fe)  # stable: rows stay in token order per expert
+    se = fe[order]
+    sw = fw[order]
+    ssrc = src[order]
+
+    TB = _grouped_tb(RK, E)
+    counts = jnp.bincount(fe, length=E)
+    padded = -(-counts // TB) * TB  # per-expert segment, TB-aligned
+    pstart = jnp.concatenate([jnp.zeros(1, padded.dtype),
+                              jnp.cumsum(padded)[:-1]])
+    rstart = jnp.concatenate([jnp.zeros(1, counts.dtype),
+                              jnp.cumsum(counts)[:-1]])
+    # dest of sorted entry i: its expert's padded start + rank within it
+    idx = jnp.arange(RK, dtype=jnp.int32)
+    dest = (pstart[se] + (idx - rstart[se])).astype(jnp.int32)
+
+    P = -(-(RK + E * (TB - 1)) // TB) * TB  # static worst-case padded rows
+    xs = jnp.zeros((P, D), compute_dtype).at[dest].set(
+        xf[ssrc].astype(compute_dtype)
+    )
+    # tile t's expert: the segment covering row t*TB (trailing slack tiles
+    # clamp to a valid id — their rows are zero and never gathered back)
+    tile_expert = jnp.searchsorted(
+        jnp.cumsum(padded), jnp.arange(P // TB, dtype=padded.dtype) * TB,
+        side="right",
+    )
+    plane_idx = (l * E + jnp.clip(tile_expert, 0, E - 1)).astype(jnp.int32)
+
+    gv = _expert_view(lw["ffn_gate_exps"], E)
+    uv = _expert_view(lw["ffn_up_exps"], E)
+    dv = _expert_view(lw["ffn_down_exps"], E)
+    g = qmatmul_grouped(xs, gv, plane_idx, TB, compute_dtype)
+    u = qmatmul_grouped(xs, uv, plane_idx, TB, compute_dtype)
+    h = _activation(g, cfg.act) * u
+    y = qmatmul_grouped(h.astype(compute_dtype), dv, plane_idx, TB,
+                        compute_dtype)  # (P, D)
+    yr = y[dest] * sw[:, None].astype(y.dtype)  # real rows, sorted order
+    out = jnp.zeros((R, D), y.dtype).at[ssrc].add(yr)
+    return out.reshape(lead + (D,)).astype(compute_dtype)
 
 
 def _moe_cond_experts(lw, l, ffn_in, route, cfg, compute_dtype):

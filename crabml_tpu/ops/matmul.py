@@ -41,6 +41,11 @@ def set_backend(name: str):
     _BACKEND = "pallas" if name == "w4a8" else name
 
 
+def get_backend() -> str:
+    """Resolved backend name ("xla" or "pallas") after set_backend."""
+    return _BACKEND
+
+
 def qmatmul(x, qt: QTensor, compute_dtype=jnp.float32, layer=None):
     """x: (..., k) @ qt(m, k)^T -> (..., m).
 

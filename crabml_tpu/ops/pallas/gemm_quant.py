@@ -776,6 +776,91 @@ def random_repacked(kind: GGMLType, shape, rng=None, scale_dtype=np.float32) -> 
     return QTensor(kind, (m, k), planes)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("kind", "m", "tk", "out_dtype", "tb")
+)
+def _run_grouped(kind: GGMLType, m: int, tk: int, out_dtype, tb: int,
+                 x2, experts, *planes):
+    """Grouped (ragged) quantized matmul: row-tile b computes against the
+    weight plane `experts[b]` instead of one shared plane — the megablox
+    idea restricted to tile-aligned groups. The caller sorts rows by
+    expert and pads each expert's segment to a `tb` multiple, so every
+    (tb)-row tile belongs to exactly ONE expert and the kernel body is
+    byte-identical to `_run`'s: only the index maps change, reading the
+    per-tile plane index from the scalar-prefetch array (the same
+    mechanism the layer-stacked decode path uses with a single scalar).
+
+    MoE prefill use: compute drops from all-E-experts to the top-k the
+    router chose (E/k-fold FLOP cut); each executed tile still feeds the
+    MXU a dense (tb, tk) x (tk, TM) dot. Arithmetic intensity per weight
+    byte stays above the v5e compute ridge for tb >= 128 at 4-bit, so
+    the regime remains MXU-bound despite re-reading an expert's planes
+    once per tile."""
+    s = SCHEMES[kind]
+    P, kpad = x2.shape
+    TB = tb
+    grid = (P // TB, m // TM, kpad // tk)
+    G = tk // s.gr
+    n_qplanes = len(s.planes)
+    MT = m // TM
+    # fold the plane axis (L*E experts) into the m-tile axis, as _run does
+    planes = tuple(p.reshape((-1,) + tuple(p.shape[2:])) for p in planes)
+
+    def vspec(core_shape, core_imap):
+        imap = lambda b, i, j, e_ref: core_imap(b, e_ref[b] * MT + i, j)
+        return pl.BlockSpec(core_shape, imap, memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec((TB, tk), lambda b, i, j, e_ref: (b, j),
+                             memory_space=pltpu.VMEM)]
+    for pbits in s.planes:
+        rows = tk if pbits == 8 else tk // (8 // pbits)
+        in_specs.append(vspec((1, rows, TM), lambda b, i, j: (i, j, 0)))
+    for _ in range(1 + int(s.has_min)):  # dsub (+ msub)
+        in_specs.append(vspec((1, 1, G, TM), lambda b, i, j: (i, j, 0, 0)))
+
+    kernel = functools.partial(
+        _qmm_kernel, scheme=s, out_dtype=out_dtype, n_qplanes=n_qplanes,
+        tk=tk, stacked=True,  # stacked=True: drop the prefetch ref in-body
+    )
+    out_shape = jax.ShapeDtypeStruct((P, m), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((TB, TM), lambda b, i, j, e_ref: (b, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(experts, jnp.int32), x2, *planes)
+
+
+def qmatmul_grouped(x2, qt: QTensor, experts, tb: int,
+                    compute_dtype=jnp.bfloat16):
+    """Grouped matmul over expert-sorted rows: x2 (P, k) where row tile
+    t (of `tb` rows) multiplies the weight plane `experts[t]` of the
+    plane-stacked `qt` (shape (n_planes, m, k), e.g. an `_expert_view`).
+    Returns (P, m) or None when qt lacks the kernel layout. P % tb == 0
+    and experts.shape == (P // tb,) are the caller's contract."""
+    kind = qt.kind
+    if kind not in SCHEMES or not is_repacked(qt):
+        return None
+    m, k = qt.shape[-2], qt.shape[-1]
+    if m % TM:
+        return None
+    s = SCHEMES[kind]
+    tk = _infer_tk(qt)
+    P = x2.shape[0]
+    if P % tb:
+        raise ValueError(f"grouped rows {P} not a multiple of tile {tb}")
+    x2 = _pad_x(x2.astype(compute_dtype), tk)
+    p = qt.planes
+    qplanes = [p[f"q{i}"] for i in range(len(s.planes))]
+    splanes = [p["dsub"]] + ([p["msub"]] if s.has_min else [])
+    out = _run_grouped(kind, m, tk, compute_dtype, tb, x2, experts,
+                       *qplanes, *splanes)
+    return out.astype(x2.dtype)
+
+
 def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None,
                    act_quant: bool = False):
     """x: (..., k) @ qt(m, k)^T -> (..., m), or None if `qt` has no kernel

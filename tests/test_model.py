@@ -822,3 +822,68 @@ def test_moe_prefill_with_w8_planes(tmp_path):
     a, b = np.asarray(logits_plain, np.float32), np.asarray(logits_w8, np.float32)
     scale = max(np.abs(a).max(), 1e-6)
     assert np.abs(a - b).max() / scale < 0.05
+
+
+def test_moe_grouped_prefill_matches_all_experts(tmp_path):
+    """Prefill-regime grouped MoE (rows sorted by expert, ragged grouped
+    kernel) must match the all-experts fused path and the numpy oracle.
+    Uses enough rows to clear _GROUPED_MIN_ROWS so the grouped path
+    engages on the kernel layout."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models import forward as fwd
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.forward import KVCache, forward
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import load_weights, repack_weights
+    from crabml_tpu.ops import matmul as mm
+
+    from ref_forward import run_tokens
+
+    cfg = ModelConfig(
+        architecture="llama", model_name="syn-moe-grouped",
+        embedding_dim=256, hidden_dim=256, n_layers=2, n_heads=4,
+        n_kv_heads=2, vocab_size=512, seq_len=128, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["llama"], n_experts=4, n_experts_used=2,
+    )
+    path = str(tmp_path / "moe_grouped.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.Q8_0, seed=43)
+
+    rng = np.random.default_rng(3)
+    tokens = [1] + rng.integers(2, 512, 79).tolist()  # 80 rows > min 64
+    want = run_tokens(path, tokens)
+
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    w = load_weights(gf, lcfg)
+    mm.set_backend("pallas")
+    try:
+        wk = repack_weights(w, lcfg)
+
+        def prefill_logits():
+            cache = KVCache.create(lcfg, 1, 128)
+            logits, _ = forward(
+                wk, cache, jnp.asarray([tokens], jnp.int32),
+                jnp.zeros(1, jnp.int32), lcfg, jnp.float32,
+            )
+            return np.asarray(logits[0, -1])
+
+        got_grouped = prefill_logits()
+        # force the all-experts path by raising the engage threshold
+        old_min = fwd._GROUPED_MIN_ROWS
+        fwd._GROUPED_MIN_ROWS = 10**9
+        try:
+            got_dense = prefill_logits()
+        finally:
+            fwd._GROUPED_MIN_ROWS = old_min
+    finally:
+        mm.set_backend("xla")
+
+    scale = max(np.abs(got_dense).max(), 1e-6)
+    # same kernel math batched differently: tight agreement
+    assert np.abs(got_grouped - got_dense).max() / scale < 2e-3
+    oscale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got_grouped - want).max() / oscale < 0.05

@@ -12,7 +12,7 @@ import pytest
 from crabml_tpu.gguf.constants import GGMLType
 from crabml_tpu.quant.codecs import quantize
 from crabml_tpu.quant.jnp_dequant import dequant_jnp
-from crabml_tpu.quant.planar import to_planar
+from crabml_tpu.quant.planar import QTensor, to_planar
 from crabml_tpu.ops.pallas import gemm_quant
 
 ALL = list(gemm_quant.SCHEMES)
@@ -205,3 +205,30 @@ def test_w8_stacked_layer_prefetch():
             jnp.asarray(x, jnp.bfloat16), stacked, jnp.bfloat16,
             layer=jnp.int32(l)), np.float32)
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_qmatmul_grouped_per_tile_planes():
+    """Each TB-row tile of the grouped kernel multiplies ONLY the plane
+    its experts[] entry names — pinned against per-plane dense matmuls
+    on stacked random kernel-layout planes."""
+    typ = GGMLType.Q4_K
+    rng = np.random.default_rng(7)
+    m, k, E, TB = 256, 512, 3, 8
+    singles = [gemm_quant.random_repacked(typ, (m, k), np.random.default_rng(i))
+               for i in range(E)]
+    stacked = QTensor(
+        typ, (E, m, k),
+        {n: jnp.stack([jnp.asarray(s.planes[n]) for s in singles])
+         for n in singles[0].planes},
+    )
+    P = 4 * TB
+    experts = np.array([2, 0, 2, 1], np.int32)
+    x = rng.standard_normal((P, k)).astype(np.float32) * 0.1
+    got = np.asarray(gemm_quant.qmatmul_grouped(
+        jnp.asarray(x), stacked, jnp.asarray(experts), TB, jnp.float32))
+    assert got.shape == (P, m)
+    for t, e in enumerate(experts):
+        w = gemm_quant.w_from_kernel_planes(singles[e])
+        want = x[t * TB:(t + 1) * TB] @ w.T
+        rel = np.abs(got[t * TB:(t + 1) * TB] - want).max() / max(np.abs(want).max(), 1e-6)
+        assert rel < 2e-5, (t, e, rel)
