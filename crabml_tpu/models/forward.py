@@ -163,15 +163,21 @@ def _expert_view(qt: QTensor, n_experts: int) -> QTensor:
     layout, m on plane axis 1, and the kernel layout, m-tiles on axis 1).
     The flattened index l*E + e then selects one expert of one layer
     through the SAME scalar-prefetch path the layer index uses — the
-    layer-stacking trick generalized to experts (VERDICT r2 #3)."""
+    layer-stacking trick generalized to experts (VERDICT r2 #3).
+
+    W8 prefill planes ride along when their (wider) m-tile count divides
+    per expert — then the grouped MoE prefill runs the W8 kernel (2x the
+    bf16-dequant rate) on top of the top-k FLOP cut; otherwise they are
+    dropped and the view stays eligible for the base quant kernels."""
     L, m, k = qt.shape
     Me = m // n_experts
-    planes = {
-        n: p.reshape((L * n_experts, p.shape[1] // n_experts) + tuple(p.shape[2:]))
-        for n, p in qt.planes.items()
-        if n not in ("w8", "dw")  # prefill-only planes; their wider m-tile
-        # need not divide per expert, and decode never reads them
-    }
+    planes = {}
+    for n, p in qt.planes.items():
+        if n in ("w8", "dw") and p.shape[1] % n_experts:
+            continue  # W8 lane tiles don't align to expert boundaries
+        planes[n] = p.reshape(
+            (L * n_experts, p.shape[1] // n_experts) + tuple(p.shape[2:])
+        )
     return QTensor(qt.kind, (L * n_experts, Me, k), planes)
 
 

@@ -834,13 +834,49 @@ def _run_grouped(kind: GGMLType, m: int, tk: int, out_dtype, tb: int,
     )(jnp.asarray(experts, jnp.int32), x2, *planes)
 
 
+@functools.partial(jax.jit, static_argnames=("m", "tk", "tm8", "tb"))
+def _run_grouped_w8(m: int, tk: int, tm8: int, tb: int, x2, experts, *planes):
+    """Grouped variant of `_run_w8` (int8-storage bf16-compute prefill
+    tiles): row tile b multiplies the W8 planes of `experts[b]`. Same
+    per-tile-prefetch mechanism as `_run_grouped`."""
+    P, kpad = x2.shape
+    TB = tb
+    grid = (P // TB, m // tm8, kpad // tk)
+    MT = m // tm8
+    planes = tuple(p.reshape((-1,) + tuple(p.shape[2:])) for p in planes)
+
+    def vspec(core_shape, core_imap):
+        imap = lambda b, i, j, e_ref: core_imap(b, e_ref[b] * MT + i, j)
+        return pl.BlockSpec(core_shape, imap, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((TB, tk), lambda b, i, j, e_ref: (b, j),
+                     memory_space=pltpu.VMEM),
+        vspec((1, tk, tm8), lambda b, i, j: (i, j, 0)),        # w8
+        vspec((1, 1, 1, tm8), lambda b, i, j: (i, j, 0, 0)),   # dw
+    ]
+    kernel = functools.partial(_qmm_w8_kernel, stacked=True)
+    out_shape = jax.ShapeDtypeStruct((P, m), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=pl.BlockSpec((TB, tm8), lambda b, i, j, e_ref: (b, i),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(experts, jnp.int32), x2, *planes)
+
+
 def qmatmul_grouped(x2, qt: QTensor, experts, tb: int,
                     compute_dtype=jnp.bfloat16):
     """Grouped matmul over expert-sorted rows: x2 (P, k) where row tile
     t (of `tb` rows) multiplies the weight plane `experts[t]` of the
     plane-stacked `qt` (shape (n_planes, m, k), e.g. an `_expert_view`).
     Returns (P, m) or None when qt lacks the kernel layout. P % tb == 0
-    and experts.shape == (P // tb,) are the caller's contract."""
+    and experts.shape == (P // tb,) are the caller's contract. When the
+    view carries W8 prefill planes and the rows clear W8_MIN_ROWS, the
+    grouped W8 kernel runs instead (same routing as qmatmul_pallas)."""
     kind = qt.kind
     if kind not in SCHEMES or not is_repacked(qt):
         return None
@@ -852,8 +888,16 @@ def qmatmul_grouped(x2, qt: QTensor, experts, tb: int,
     P = x2.shape[0]
     if P % tb:
         raise ValueError(f"grouped rows {P} not a multiple of tile {tb}")
-    x2 = _pad_x(x2.astype(compute_dtype), tk)
     p = qt.planes
+    if "w8" in p and P >= W8_MIN_ROWS:
+        w8, dw = p["w8"], p["dw"]
+        S8 = dw.shape[-3]
+        tk8 = w8.shape[-2] // S8
+        tm8 = w8.shape[-1]
+        x8 = _pad_x(x2.astype(jnp.bfloat16), tk8)
+        out = _run_grouped_w8(m, tk8, tm8, tb, x8, experts, w8, dw)
+        return out.astype(compute_dtype)
+    x2 = _pad_x(x2.astype(compute_dtype), tk)
     qplanes = [p[f"q{i}"] for i in range(len(s.planes))]
     splanes = [p["dsub"]] + ([p["msub"]] if s.has_min else [])
     out = _run_grouped(kind, m, tk, compute_dtype, tb, x2, experts,

@@ -887,3 +887,44 @@ def test_moe_grouped_prefill_matches_all_experts(tmp_path):
     assert np.abs(got_grouped - got_dense).max() / scale < 2e-3
     oscale = max(np.abs(want).max(), 1e-6)
     assert np.abs(got_grouped - want).max() / oscale < 0.05
+
+
+def test_moe_grouped_prefill_w8_planes_engage(tmp_path):
+    """With prefill_w8, the grouped MoE prefill rides the W8 kernel when
+    the W8 lane tile divides per expert (E=3, HD=256 -> tm8=256, 3 tiles
+    per layer plane). Output stays close to the XLA reference path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.ops.pallas import gemm_quant
+    from crabml_tpu.runtime.runner import Runner
+
+    cfg = ModelConfig(
+        architecture="llama", model_name="syn-moe-w8",
+        embedding_dim=256, hidden_dim=256, n_layers=2, n_heads=4,
+        n_kv_heads=2, vocab_size=512, seq_len=256, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["llama"], n_experts=3, n_experts_used=2,
+    )
+    path = str(tmp_path / "moe_w8.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.Q8_0, seed=47)
+
+    prompt = " ".join(["cat dog sun moon"] * 25)  # > _GROUPED_MIN_ROWS rows
+
+    ref = Runner(path, seq_len=256, backend="xla")
+    _, _, tok_ref = ref.prefill(prompt)
+
+    calls = []
+    orig = gemm_quant._run_grouped_w8
+    gemm_quant._run_grouped_w8 = (
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    )
+    try:
+        r = Runner(path, seq_len=256, backend="pallas", prefill_w8=True)
+        _, _, tok = r.prefill(prompt)
+    finally:
+        gemm_quant._run_grouped_w8 = orig
+    assert calls, "grouped W8 kernel did not engage"
+    assert tok == tok_ref  # int8-storage noise must not flip the argmax

@@ -232,3 +232,35 @@ def test_qmatmul_grouped_per_tile_planes():
         want = x[t * TB:(t + 1) * TB] @ w.T
         rel = np.abs(got[t * TB:(t + 1) * TB] - want).max() / max(np.abs(want).max(), 1e-6)
         assert rel < 2e-5, (t, e, rel)
+
+
+def test_qmatmul_grouped_w8_planes():
+    """With W8 prefill planes attached and rows >= W8_MIN_ROWS, the
+    grouped call routes to the W8 kernel and still honors per-tile
+    expert indices (int8-storage path: ~1e-2 relative tolerance)."""
+    typ = GGMLType.Q8_0
+    rng = np.random.default_rng(11)
+    m, k, E, TB = 256, 512, 3, 8
+    singles = [
+        gemm_quant.augment_w8(
+            gemm_quant.random_repacked(typ, (m, k), np.random.default_rng(i)))
+        for i in range(E)
+    ]
+    assert all("w8" in s.planes for s in singles)
+    stacked = QTensor(
+        typ, (E, m, k),
+        {n: jnp.stack([jnp.asarray(s.planes[n]) for s in singles])
+         for n in singles[0].planes},
+    )
+    n_tiles = gemm_quant.W8_MIN_ROWS // TB
+    P = n_tiles * TB
+    experts = np.asarray(rng.integers(0, E, n_tiles), np.int32)
+    x = rng.standard_normal((P, k)).astype(np.float32) * 0.1
+    got = np.asarray(gemm_quant.qmatmul_grouped(
+        jnp.asarray(x), stacked, jnp.asarray(experts), TB, jnp.float32))
+    for t in range(0, n_tiles, 7):  # sample tiles
+        e = experts[t]
+        w = gemm_quant.w_from_kernel_planes(singles[e])
+        want = x[t * TB:(t + 1) * TB] @ w.T
+        rel = np.abs(got[t * TB:(t + 1) * TB] - want).max() / max(np.abs(want).max(), 1e-6)
+        assert rel < 2e-2, (t, e, rel)
