@@ -274,3 +274,42 @@ def test_paged_sync_admission_mode(runner):
                                                    max_tokens=8)
     got = eng.generate(["Lily is a cat"], max_tokens=8)
     assert got == want
+
+
+def test_paged_matches_dense_moe(tmp_path):
+    """MoE models route through project_ffn in paged_decode_step too —
+    pin the paged engine against the dense slot pool on a mixtral-shaped
+    synthetic model (decode = gather/cond regimes, prefill chunks large
+    enough would take the grouped kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import ARCH_FEATURES, ModelConfig, config_from_gguf
+    from crabml_tpu.models.synthetic import write_synthetic_gguf
+    from crabml_tpu.models.weights import fuse_weights, load_weights
+
+    cfg = ModelConfig(
+        architecture="llama", model_name="syn-moe-paged",
+        embedding_dim=64, hidden_dim=96, n_layers=2, n_heads=4, n_kv_heads=2,
+        vocab_size=512, seq_len=256, rms_norm_eps=1e-5,
+        **ARCH_FEATURES["llama"], n_experts=4, n_experts_used=2,
+    )
+    path = str(tmp_path / "moe.gguf")
+    write_synthetic_gguf(path, cfg, GGMLType.F32, seed=53)
+    gf = GGUFFile(path)
+    lcfg = config_from_gguf(gf.metadata)
+    w = jax.tree.map(jax.device_put, fuse_weights(load_weights(gf, lcfg), lcfg))
+
+    toks = [1, 9, 33, 101, 7]
+    dense = ServingEngine(weights=w, cfg=lcfg, tokenizer=None, n_slots=2, seq_len=256)
+    r1 = dense.submit(Request(prompt="", prompt_tokens=toks, max_tokens=10))
+    dense.drain(max_steps=60)
+
+    paged = PagedServingEngine(weights=w, cfg=lcfg, tokenizer=None, n_slots=2,
+                               seq_len=256, n_pages=8, kv_dtype=None)
+    r2 = paged.submit(Request(prompt="", prompt_tokens=toks, max_tokens=10))
+    paged.drain(max_steps=60)
+    assert r2.output_tokens == r1.output_tokens
+    assert len(r1.output_tokens) == 10
