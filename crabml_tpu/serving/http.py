@@ -65,6 +65,9 @@ def make_handler(engine: ServingEngine):
                 }
                 if hasattr(engine, "pages_free"):
                     body["pages_free"] = engine.pages_free()
+                if hasattr(engine, "prefix_hits"):
+                    body["prefix_hits"] = engine.prefix_hits
+                    body["prefix_tokens_reused"] = engine.prefix_tokens_reused
                 self._json(200, body)
             elif self.path == "/v1/models":  # OpenAI client discovery
                 self._json(200, {
@@ -266,6 +269,8 @@ def main(argv=None):
     ap.add_argument("--paged", action="store_true",
                     help="paged KV pool (memory scales with tokens in flight)")
     ap.add_argument("--pages", type=int, default=256, help="pool size with --paged")
+    ap.add_argument("--no-prefix-cache", action="store_true",
+                    help="disable automatic prompt-prefix page reuse (--paged)")
     ap.add_argument("--tick-tokens", type=int, default=1,
                     help="fused decode steps per dispatch (raise on high-RTT links)")
     args = ap.parse_args(argv)
@@ -279,7 +284,7 @@ def main(argv=None):
 
         engine = PagedServingEngine(
             runner, n_slots=args.slots, seq_len=args.seq_len, n_pages=args.pages,
-            tick_tokens=args.tick_tokens,
+            tick_tokens=args.tick_tokens, prefix_cache=not args.no_prefix_cache,
         )
     else:
         engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len,

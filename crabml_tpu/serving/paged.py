@@ -16,9 +16,20 @@ allocates KV memory in PAGE-token blocks from a shared pool instead:
 - `PagedServingEngine`: the continuous-batching engine over the pool.
   Admission allocates pages for the prompt, each decode tick allocates a
   page when a sequence crosses a boundary, and _finish returns pages to
-  the free list. Prefill runs through a small DENSE scratch cache (one
-  bucket) and the jitted `_scatter_prefill` copies it page-by-page into
-  the pool — the dense foward is reused unchanged.
+  the free list. Default admission writes prompt chunks DIRECTLY into
+  pool pages (paged_prefill_chunk); a dense-scratch + scatter path
+  remains for non-page-aligned chunk sizes.
+- **Automatic prefix caching** (vLLM-style, on by default): each full
+  prompt page registers under a position-chained token digest; a later
+  request whose prompt starts with the same tokens REUSES those pages
+  read-only (refcounted) and prefills only its tail — prefill compute
+  and admission latency scale with the novel suffix. Finished requests'
+  registered pages are retained as evictable cache (LRU under pool
+  pressure), so shared system prompts stay resident across requests.
+  Sharing is safe because a page's KV is final once its prompt chunk is
+  written: decode writes only positions past the prompt, rope is
+  absolute-position (prefixes align at 0), and the last prompt token
+  always recomputes so sampling sees real logits.
 
 PAGE == the decode kernel's chunk size (128), so kernel DMA chunks and
 pages coincide.
@@ -467,13 +478,15 @@ class PagedServingEngine(ServingEngine):
     an idle slot can never scatter into a reallocated page.
     """
 
-    def __init__(self, runner=None, *, n_pages: int = 256, **kw):
+    def __init__(self, runner=None, *, n_pages: int = 256,
+                 prefix_cache: bool = True, **kw):
         kw.setdefault("kv_dtype", jnp.bfloat16)
         # direct-to-page admission: 4 pages per chunk — admission cost on
         # a high-RTT link is dispatch-count-bound (measured: 128-token
         # chunks put paged at 0.91x the dense engine at prompt=512)
         kw.setdefault("prefill_chunk", 4 * PAGE)
         self._n_pages_cfg = n_pages
+        self._prefix_on = prefix_cache
         super().__init__(runner, **kw)
         # chunked admission writes pages directly when chunks are
         # page-multiples; other chunk sizes (and prefill_chunk=None —
@@ -481,6 +494,9 @@ class PagedServingEngine(ServingEngine):
         self._direct_prefill = (
             self.prefill_chunk is not None and self.prefill_chunk % PAGE == 0
         )
+        # prefix caching rides direct-to-page admission only: the dense
+        # scratch path's in-chunk attention cannot see reused pool pages
+        self._prefix_on = self._prefix_on and self._direct_prefill
 
     def _make_cache(self):
         self.max_pages = -(-self.seq_len // PAGE)
@@ -488,6 +504,19 @@ class PagedServingEngine(ServingEngine):
         # page 0 is a scratch page shared by empty slots; never allocated
         self._free = list(range(1, self.n_pages))
         self._owned = [[] for _ in range(self.n_slots)]
+        # -- automatic prefix caching state (vLLM-style) -------------------
+        # full prompt pages register under a position-chained token digest;
+        # identical prompt prefixes of later requests reuse the pages
+        # read-only (refcounted). Ref-0 registered pages are RETAINED as
+        # evictable cache until the allocator needs them back (LRU).
+        self._ref: dict[int, int] = {}  # page -> live-slot refcount
+        self._page_hash: dict[int, bytes] = {}  # registered page -> digest
+        self._hash_page: dict[bytes, int] = {}  # digest -> page
+        self._evictable: list[bytes] = []  # ref-0 registered digests, LRU
+        self._slot_digests: dict[int, list[bytes]] = {}
+        self._reuse: dict[int, int] = {}  # slot -> reused token count
+        self.prefix_hits = 0
+        self.prefix_tokens_reused = 0
         self._table = np.zeros((self.n_slots, self.max_pages), np.int32)
         self._scratch = {}  # slot -> dense KVCache accumulating prefill chunks
         self._prefill_jit = jax.jit(
@@ -519,12 +548,46 @@ class PagedServingEngine(ServingEngine):
         super()._reset_device_state()  # calls _make_cache: pool state rebuilt
 
     def pages_free(self) -> int:
-        return len(self._free)
+        return len(self._free) + len(self._evictable)
+
+    def _evict_one(self) -> bool:
+        """Drop the least-recently-used ref-0 cached page back to free."""
+        while self._evictable:
+            dig = self._evictable.pop(0)
+            pg = self._hash_page.get(dig)
+            if pg is None or self._ref.get(pg, 0) > 0:
+                continue  # stale entry (page re-registered or re-live)
+            del self._hash_page[dig]
+            del self._page_hash[pg]
+            self._free.append(pg)
+            return True
+        return False
 
     def _alloc(self, n: int) -> list[int] | None:
+        """Pop n pages; cached ref-0 pages are evicted LRU on pressure.
+        Every returned page starts at refcount 1."""
+        while len(self._free) < n and self._evict_one():
+            pass
         if len(self._free) < n:
             return None
-        return [self._free.pop() for _ in range(n)]
+        pages = [self._free.pop() for _ in range(n)]
+        for pg in pages:
+            self._ref[pg] = 1
+        return pages
+
+    @staticmethod
+    def _chain_digests(toks: list[int], n_pages: int) -> list[bytes]:
+        """Position-chained page digests: digest i commits to ALL tokens
+        up to page i's end, so equal digests mean equal full prefixes."""
+        import hashlib
+
+        out: list[bytes] = []
+        h = b""
+        for i in range(n_pages):
+            page = np.asarray(toks[i * PAGE:(i + 1) * PAGE], np.int32)
+            h = hashlib.sha1(h + page.tobytes()).digest()
+            out.append(h)
+        return out
 
     def _push_table(self):
         table = jnp.asarray(self._table)
@@ -545,18 +608,42 @@ class PagedServingEngine(ServingEngine):
         return toks
 
     def _claim_pages(self, slot: int, req: Request, toks: list[int]) -> bool:
-        """Allocate the prompt's pages up front; False leaves it queued."""
+        """Allocate the prompt's pages up front; False leaves it queued.
+        With prefix caching, leading full pages whose chained digest is
+        registered are REUSED (refcounted, read-only) and only the rest
+        allocate; the reused token count lands in self._reuse[slot]."""
         n_prompt_pages = -(-len(toks) // PAGE)  # ceil: only live pages
         if n_prompt_pages > self.n_pages - 1:
             # can NEVER fit this pool: fail instead of requeueing forever
             self.slots[slot] = req
             self._finish(slot, "error")
             return False
-        pages = self._alloc(n_prompt_pages)
+        reused: list[int] = []
+        digests: list[bytes] = []
+        if self._prefix_on:
+            digests = self._chain_digests(toks, len(toks) // PAGE)
+            # the LAST prompt token always recomputes (its logits seed
+            # sampling), so at most (len-1)//PAGE pages can be reused
+            for i in range((len(toks) - 1) // PAGE):
+                pg = self._hash_page.get(digests[i])
+                if pg is None:
+                    break
+                reused.append(pg)
+        pages = self._alloc(n_prompt_pages - len(reused))
         if pages is None:  # pool busy: leave queued for a later tick
             self.pending.put(req)
             return False
-        self._owned[slot] = pages
+        for pg in reused:  # commit refs only after alloc succeeded
+            r = self._ref.get(pg, 0)
+            self._ref[pg] = r + 1
+            if r == 0 and self._page_hash.get(pg) in self._evictable:
+                self._evictable.remove(self._page_hash[pg])
+        if reused:
+            self.prefix_hits += 1
+            self.prefix_tokens_reused += len(reused) * PAGE
+        self._owned[slot] = reused + pages
+        self._reuse[slot] = len(reused) * PAGE
+        self._slot_digests[slot] = digests
         self.slots[slot] = req  # claimed before device work (crash recovery)
         return True
 
@@ -568,7 +655,11 @@ class PagedServingEngine(ServingEngine):
         toks = self._trim_prompt(req)
         if not self._claim_pages(slot, req, toks):
             return
-        self._prefilling[slot] = (toks, 0)
+        # prefix-cache hits skip straight past the reused pages: the
+        # chunk loop starts at the first non-reused position (the reused
+        # pages' KV is already in the pool and attention sees it through
+        # slot_pages)
+        self._prefilling[slot] = (toks, self._reuse.get(slot, 0))
         if not self._direct_prefill:
             self._scratch[slot] = KVCache.create(
                 self.cfg, 1, _bucket(len(toks), PAGE), self.kv_dtype
@@ -613,6 +704,15 @@ class PagedServingEngine(ServingEngine):
         self._table[slot, : len(pages)] = pages
         if self._direct_prefill:
             self._push_table()  # KV already lives in the pages
+            if self._prefix_on:
+                # register this prompt's FULL pages (their KV is final:
+                # decode writes start past them) so later identical
+                # prefixes reuse; first registration of a digest wins
+                for i, dig in enumerate(self._slot_digests.pop(slot, [])):
+                    pg = pages[i]
+                    if dig not in self._hash_page and pg not in self._page_hash:
+                        self._hash_page[dig] = pg
+                        self._page_hash[pg] = dig
             return
         dense = self._scratch.pop(slot)
         self.cache = _scatter_prefill(
@@ -737,9 +837,22 @@ class PagedServingEngine(ServingEngine):
         return sum(r is not None for r in self.slots)
 
     def _finish(self, slot: int, reason: str):
-        self._free.extend(self._owned[slot])
+        for pg in self._owned[slot]:
+            r = self._ref.get(pg, 1) - 1
+            self._ref[pg] = r
+            if r > 0:
+                continue  # still shared with another live slot
+            dig = self._page_hash.get(pg)
+            if dig is not None:
+                # registered prompt page: RETAIN as evictable cache so a
+                # later identical prefix still hits (freed under pressure)
+                self._evictable.append(dig)
+            else:
+                self._free.append(pg)
         self._owned[slot] = []
         self._scratch.pop(slot, None)
+        self._slot_digests.pop(slot, None)
+        self._reuse.pop(slot, None)
         # reset the row to the scratch page: the idle slot keeps stepping
         # and must never scatter into a page that gets reallocated
         self._table[slot, :] = 0

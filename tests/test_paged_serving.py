@@ -313,3 +313,108 @@ def test_paged_matches_dense_moe(tmp_path):
     paged.drain(max_steps=60)
     assert r2.output_tokens == r1.output_tokens
     assert len(r1.output_tokens) == 10
+
+
+# -- automatic prefix caching -------------------------------------------------
+
+
+def _long_toks(seed, n):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [1] + rng.integers(2, 500, n - 1).tolist()
+
+
+def test_prefix_cache_hit_exact_and_accounted(runner):
+    """A second identical prompt reuses the first's full pages: output is
+    byte-identical to the uncached engine and the hit is accounted."""
+    toks = _long_toks(5, 200)  # 1 full page (128) + partial tail
+
+    plain = PagedServingEngine(runner, n_slots=2, seq_len=384, n_pages=16,
+                               prefix_cache=False)
+    r = plain.submit(Request(prompt="", prompt_tokens=list(toks), max_tokens=10))
+    plain.drain(max_steps=300)
+    want = list(r.output_tokens)
+
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=384, n_pages=16)
+    r1 = eng.submit(Request(prompt="", prompt_tokens=list(toks), max_tokens=10))
+    eng.drain(max_steps=300)
+    assert eng.prefix_hits == 0  # nothing registered yet
+    r2 = eng.submit(Request(prompt="", prompt_tokens=list(toks), max_tokens=10))
+    eng.drain(max_steps=300)
+    assert r1.output_tokens == want
+    assert r2.output_tokens == want
+    assert eng.prefix_hits == 1
+    assert eng.prefix_tokens_reused == 128
+
+
+def test_prefix_cache_concurrent_share_and_divergent_tail(runner):
+    """Two live requests share prefix pages (refcounted); a third with the
+    same first page but different tail must not be corrupted by sharing."""
+    base = _long_toks(9, 260)  # 2 full pages + tail
+    div = list(base[:150])  # shares page 0 only, diverges inside page 1
+    div[140] = 7
+    div += _long_toks(11, 40)[1:]
+
+    plain = PagedServingEngine(runner, n_slots=3, seq_len=384, n_pages=24,
+                               prefix_cache=False)
+    rs = [plain.submit(Request(prompt="", prompt_tokens=list(t), max_tokens=8))
+          for t in (base, base, div)]
+    plain.drain(max_steps=400)
+    want = [list(r.output_tokens) for r in rs]
+
+    eng = PagedServingEngine(runner, n_slots=3, seq_len=384, n_pages=24)
+    r1 = eng.submit(Request(prompt="", prompt_tokens=list(base), max_tokens=8))
+    eng.drain(max_steps=400)
+    rs2 = [eng.submit(Request(prompt="", prompt_tokens=list(t), max_tokens=8))
+           for t in (base, div)]
+    eng.drain(max_steps=400)
+    assert r1.output_tokens == want[0]
+    assert rs2[0].output_tokens == want[1]
+    assert rs2[1].output_tokens == want[2]
+    assert eng.prefix_hits == 2  # base reused 2 pages, div reused page 0
+    assert eng.prefix_tokens_reused == 2 * 128 + 128
+
+
+def test_prefix_cache_eviction_under_pressure(runner):
+    """Cached ref-0 pages are reclaimed LRU when the pool runs short; new
+    requests still complete correctly afterwards."""
+    toks_a = _long_toks(21, 200)
+    toks_b = _long_toks(22, 200)
+
+    # pool of 7 usable pages; each request needs 2 (+1 decode slack)
+    eng = PagedServingEngine(runner, n_slots=1, seq_len=384, n_pages=8)
+    ra = eng.submit(Request(prompt="", prompt_tokens=list(toks_a), max_tokens=6))
+    eng.drain(max_steps=300)
+    free0 = len(eng._free)
+    assert len(eng._evictable) == 1  # page 0 of A retained
+    rb = eng.submit(Request(prompt="", prompt_tokens=list(toks_b), max_tokens=6))
+    eng.drain(max_steps=300)
+    ra2 = eng.submit(Request(prompt="", prompt_tokens=list(toks_a), max_tokens=6))
+    eng.drain(max_steps=300)
+    assert ra.finish_reason and rb.finish_reason and ra2.finish_reason
+    assert ra2.output_tokens == ra.output_tokens
+    # pool never leaks: free + evictable is conserved across the churn
+    assert len(eng._free) + len(eng._evictable) == free0 + 1
+
+
+def test_prefix_cache_int8_pool(runner):
+    """Prefix reuse over int8 pages (scales shared too) stays identical
+    to the uncached int8 engine."""
+    import jax.numpy as jnp
+
+    toks = _long_toks(31, 200)
+    plain = PagedServingEngine(runner, n_slots=2, seq_len=384, n_pages=16,
+                               kv_dtype=jnp.int8, prefix_cache=False)
+    r = plain.submit(Request(prompt="", prompt_tokens=list(toks), max_tokens=8))
+    plain.drain(max_steps=300)
+
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=384, n_pages=16,
+                             kv_dtype=jnp.int8)
+    r1 = eng.submit(Request(prompt="", prompt_tokens=list(toks), max_tokens=8))
+    eng.drain(max_steps=300)
+    r2 = eng.submit(Request(prompt="", prompt_tokens=list(toks), max_tokens=8))
+    eng.drain(max_steps=300)
+    assert r1.output_tokens == r.output_tokens
+    assert r2.output_tokens == r.output_tokens
+    assert eng.prefix_hits == 1
