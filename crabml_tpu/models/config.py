@@ -24,6 +24,7 @@ ARCH_FEATURES = {
         qkv_bias=True,
         parallel_residual=True,
         norm_bias=True,
+        full_layer_norm=True,
         attn_out_bias=True,
         ffn_bias=True,
         no_ffn_gate=True,
@@ -73,6 +74,10 @@ class ModelConfig:
     fused_gate_up: bool = False  # phi3: ffn_up holds [gate|up] rows
     parallel_residual: bool = False
     norm_bias: bool = False
+    # true mean-subtracting LayerNorm instead of RMS (phi2). The
+    # reference rms-norms phi2 (llama2.rs:371-375) — deviation not
+    # replicated (HF + llama.cpp both mean-subtract; ops/norm.py)
+    full_layer_norm: bool = False
     attn_out_bias: bool = False
     ffn_bias: bool = False
     no_ffn_gate: bool = False

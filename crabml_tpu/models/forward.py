@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.matmul import embedding_lookup, qmatmul
-from ..ops.norm import rms_norm
+from ..ops.norm import layer_norm, rms_norm
 from ..ops.rope import apply_rope
 from ..quant.planar import QTensor
 from .config import ModelConfig
@@ -87,13 +87,25 @@ def _activation(x, kind: str):
     if kind == "silu":
         return x * jax.nn.sigmoid(x)
     if kind == "gelu":
-        return jax.nn.gelu(x, approximate=False)
+        # tanh approximation: what the gelu archs' checkpoints train with
+        # (HF gelu_new / gelu_pytorch_tanh for phi2 + gemma) AND what
+        # ggml's GELU table computes — exact-erf gelu would deviate
+        return jax.nn.gelu(x, approximate=True)
     raise ValueError(kind)
+
+
+def apply_final_norm(weights, x, cfg):
+    """Final (pre-lm-head) norm: true LayerNorm for phi2, RMS otherwise.
+    Shared by the dense, paged, and sequence-parallel logits paths."""
+    f = layer_norm if cfg.full_layer_norm else rms_norm
+    return f(x, weights["final_norm"], cfg.rms_norm_eps,
+             weights.get("final_norm_b"))
 
 
 def layer_norm_in(lw, l, x, cfg):
     """Pre-attention norm of layer l (shared by the dense and paged steps)."""
-    return rms_norm(
+    f = layer_norm if cfg.full_layer_norm else rms_norm
+    return f(
         x, jnp.asarray(lw["attn_norm"])[l], cfg.rms_norm_eps,
         jnp.asarray(lw["attn_norm_b"])[l] if "attn_norm_b" in lw else None,
     )
@@ -742,11 +754,13 @@ def forward(
         ks_new = vs_new = None
 
     with jax.named_scope("final_norm"):
-        x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
+        x = apply_final_norm(weights, x, cfg)
 
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     with jax.named_scope("lm_head"):
         logits = qmatmul(x, out_w, compute_dtype)  # (B, T, vocab)
+    if weights.get("output_b") is not None:  # phi2 lm_head bias
+        logits = logits + jnp.asarray(weights["output_b"]).astype(logits.dtype)
     if cfg.final_logit_softcap:
         cap = jnp.float32(cfg.final_logit_softcap)
         logits = cap * jnp.tanh(logits.astype(jnp.float32) / cap)

@@ -82,6 +82,7 @@ def make_weights(cfg: ModelConfig, typ: GGMLType, seed: int = 0) -> dict:
         "final_norm": np.ones(D, np.float32),
         "final_norm_b": None,
         "output": _rand_q(rng, (V, D), typ),
+        "output_b": None,
         "layers": layers,
     }
 

@@ -305,6 +305,10 @@ def load_weights(
             if "output.weight" in gf
             else None
         ),
+        # phi2's lm_head carries a bias (llama.cpp build_phi2 adds it)
+        "output_b": (
+            _dense_f32(gf, "output.bias") if "output.bias" in gf else None
+        ),
         "layers": layers,
     }
     return weights

@@ -197,5 +197,6 @@ def load_weights_sharded(gf, cfg, mesh):
         "final_norm": jax.device_put(_dense_f32(gf, "output_norm.weight"), rep),
         "final_norm_b": None,
         "output": out,
+        "output_b": None,
         "layers": layers,
     }

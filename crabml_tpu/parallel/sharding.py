@@ -96,6 +96,11 @@ def shard_weights(weights: dict, mesh: Mesh, cfg: ModelConfig, _put=None) -> dic
     out["output"] = (
         put_q(weights["output"], "row") if weights.get("output") is not None else None
     )
+    out["output_b"] = (  # phi2 lm_head bias: vocab-sharded like output rows
+        put(weights["output_b"], NamedSharding(mesh, P("tp")))
+        if weights.get("output_b") is not None
+        else None
+    )
 
     layers = {}
     for name, val in weights["layers"].items():

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.forward import (KVCache, _activation, layer_norm_in,
+from ..models.forward import (KVCache, _activation, apply_final_norm,
+                              layer_norm_in,
                               project_ffn, project_qkv)
 from ..ops.matmul import embedding_lookup, qmatmul
 from ..ops.norm import rms_norm
@@ -107,10 +108,11 @@ def _layer_body(lw, l, x, positions, cfg, compute_dtype, attend, write_kv,
 
 
 def _head(weights, x, cfg, compute_dtype, tp_axis=None):
-    x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps,
-                 weights.get("final_norm_b"))
+    x = apply_final_norm(weights, x, cfg)
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     logits = qmatmul(x, out_w, compute_dtype).astype(jnp.float32)
+    if weights.get("output_b") is not None:  # phi2 lm_head bias
+        logits = logits + jnp.asarray(weights["output_b"], jnp.float32)
     if tp_axis is not None and weights["output"] is not None:
         # output head row-sharded over tp: gather the vocab shards
         logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)

@@ -92,6 +92,9 @@ def weight_specs(weights: dict) -> dict:
         # here would silently disable rope scaling under explicit TP)
         "rope_freqs": None if weights.get("rope_freqs") is None else P(None),
         "output": None if weights.get("output") is None else q_specs(weights["output"], "row"),
+        # phi2 lm_head bias shards with output's vocab rows, so the local
+        # forward adds its own shard before the logits all_gather
+        "output_b": None if weights.get("output_b") is None else P("tp"),
         "layers": {},
     }
     for name, val in weights["layers"].items():
@@ -175,6 +178,7 @@ def localize_tree(w: dict, local_template: dict) -> dict:
         "final_norm": w["final_norm"],
         "final_norm_b": w.get("final_norm_b"),
         "rope_freqs": w.get("rope_freqs"),
+        "output_b": w.get("output_b"),
         "output": (
             QTensor(w["output"].kind, local_template["output"].shape,
                     w["output"].planes)
@@ -254,6 +258,7 @@ def make_tp_forward(weights: dict, mesh: Mesh, cfg: ModelConfig, compute_dtype,
         "final_norm_b": put(weights.get("final_norm_b"), specs["final_norm_b"]),
         "rope_freqs": put(weights.get("rope_freqs"), specs["rope_freqs"]),
         "output": put(weights.get("output"), specs["output"]),
+        "output_b": put(weights.get("output_b"), specs["output_b"]),
         "layers": {
             n: (
                 tuple(put(q, s) for q, s in zip(v, specs["layers"][n]))

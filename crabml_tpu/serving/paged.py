@@ -44,8 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.forward import (KVCache, forward, layer_norm_in, project_ffn,
-                              project_qkv)
+from ..models.forward import (KVCache, apply_final_norm, forward,
+                              layer_norm_in, project_ffn, project_qkv)
 from ..ops.pallas.decode_attention import BK as PAGE
 from ..ops.pallas.decode_attention import paged_decode_attention
 from ..ops.matmul import qmatmul
@@ -251,9 +251,11 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
         ks_new = vs_new = None
-    x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps, weights.get("final_norm_b"))
+    x = apply_final_norm(weights, x, cfg)
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     logits = qmatmul(x, out_w, compute_dtype)[:, 0].astype(jnp.float32)
+    if weights.get("output_b") is not None:  # phi2 lm_head bias
+        logits = logits + jnp.asarray(weights["output_b"], jnp.float32)
     if cfg.final_logit_softcap:
         cap = jnp.float32(cfg.final_logit_softcap)
         logits = cap * jnp.tanh(logits / cap)
@@ -400,10 +402,11 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
         ks_new = vs_new = None
-    x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps,
-                 weights.get("final_norm_b"))
+    x = apply_final_norm(weights, x, cfg)
     out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
     logits = qmatmul(x, out_w, compute_dtype).astype(jnp.float32)
+    if weights.get("output_b") is not None:  # phi2 lm_head bias
+        logits = logits + jnp.asarray(weights["output_b"], jnp.float32)
     if cfg.final_logit_softcap:
         cap = jnp.float32(cfg.final_logit_softcap)
         logits = cap * jnp.tanh(logits / cap)

@@ -9,7 +9,7 @@ the GGUF schema this loader reads (models/weights.py), apply the
 rope-layout permutation for interleaved-rope architectures, and write a
 GGUF v3 via gguf.writer (quantized on the fly to --outtype).
 
-Supported model_types: llama, mistral, mixtral (-> llama; experts
+Supported model_types: phi (-> phi2), phi3, llama, mistral, mixtral (-> llama; experts
 stacked into the 3D ffn_*_exps tensors + expert_count metadata), qwen2,
 qwen3, gemma, gemma2. Shared-expert MoE (qwen-moe) is rejected.
 
@@ -154,6 +154,8 @@ _ARCH_MAP = {
     "qwen3": "qwen3",
     "gemma": "gemma",
     "gemma2": "gemma2",
+    "phi": "phi2",   # microsoft/phi-2 checkpoints (model_type "phi")
+    "phi3": "phi3",
 }
 
 # per-layer HF suffix -> GGUF suffix (weight implied); None = skip
@@ -206,10 +208,16 @@ def convert_hf(hf_dir: str, out_path: str, outtype: str = "f16",
     w.add_metadata(f"{arch}.attention.head_count", n_head)
     w.add_metadata(f"{arch}.attention.head_count_kv", n_kv)
     w.add_metadata(f"{arch}.context_length", hf.get("max_position_embeddings", 4096))
-    w.add_metadata(f"{arch}.attention.layer_norm_rms_epsilon",
-                   float(hf.get("rms_norm_eps", 1e-5)))
+    if arch == "phi2":  # phi2 is LayerNorm, different eps key (config.py)
+        w.add_metadata(f"{arch}.attention.layer_norm_epsilon",
+                       float(hf.get("layer_norm_eps", 1e-5)))
+    else:
+        w.add_metadata(f"{arch}.attention.layer_norm_rms_epsilon",
+                       float(hf.get("rms_norm_eps", 1e-5)))
     w.add_metadata(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
-    w.add_metadata(f"{arch}.rope.dimension_count", head_dim)
+    # partial rotary (phi2: 0.4 * head_dim) — rope covers only these dims
+    rope_dim = int(round(float(hf.get("partial_rotary_factor") or 1.0) * head_dim))
+    w.add_metadata(f"{arch}.rope.dimension_count", rope_dim)
     if head_dim != D // n_head:
         w.add_metadata(f"{arch}.attention.key_length", head_dim)
         w.add_metadata(f"{arch}.attention.value_length", head_dim)
@@ -265,10 +273,18 @@ def convert_hf(hf_dir: str, out_path: str, outtype: str = "f16",
         return x + 1.0 if gemma else x  # HF gemma: x * (1 + w)
 
     emit("token_embd.weight", tensors.pop("model.embed_tokens.weight"))
-    emit("output_norm.weight", norm(tensors.pop("model.norm.weight")),
-         force_f32=True)
+    if arch == "phi2":  # LayerNorm tail: weight + bias, different HF name
+        emit("output_norm.weight", tensors.pop("model.final_layernorm.weight"),
+             force_f32=True)
+        emit("output_norm.bias", tensors.pop("model.final_layernorm.bias"),
+             force_f32=True)
+    else:
+        emit("output_norm.weight", norm(tensors.pop("model.norm.weight")),
+             force_f32=True)
     if "lm_head.weight" in tensors and not hf.get("tie_word_embeddings"):
         emit("output.weight", tensors.pop("lm_head.weight"))
+        if "lm_head.bias" in tensors:  # phi2 (llama.cpp build_phi2 adds it)
+            emit("output.bias", tensors.pop("lm_head.bias"), force_f32=True)
     else:
         tensors.pop("lm_head.weight", None)  # tied: loader falls back
     if rope_freqs is not None:
@@ -276,6 +292,35 @@ def convert_hf(hf_dir: str, out_path: str, outtype: str = "f16",
 
     for l in range(L):
         pre = f"model.layers.{l}."
+        if arch == "phi2":
+            # fused qkv rows [q|k|v] + biases; dense -> attn_output;
+            # fc1/fc2 -> ffn_up/ffn_down (gateless GeLU); neox rope so no
+            # permutation (weights.py phi2 schema splits the fusion back)
+            for kind in ("weight", "bias"):
+                qkv = np.concatenate([
+                    tensors.pop(f"{pre}self_attn.{p}.{kind}")
+                    for p in ("q_proj", "k_proj", "v_proj")
+                ])
+                emit(f"blk.{l}.attn_qkv.{kind}", qkv, force_f32=kind == "bias")
+                for hf_n, gg in (("self_attn.dense", "attn_output"),
+                                 ("mlp.fc1", "ffn_up"), ("mlp.fc2", "ffn_down"),
+                                 ("input_layernorm", "attn_norm")):
+                    emit(f"blk.{l}.{gg}.{kind}",
+                         tensors.pop(f"{pre}{hf_n}.{kind}"),
+                         force_f32=kind == "bias" or "norm" in gg)
+            continue
+        if arch == "phi3":
+            # HF phi3 ships qkv_proj and gate_up_proj ALREADY fused in the
+            # [q|k|v] / [gate|up] row order weights.py's phi3 schema slices
+            for hf_n, gg in (("self_attn.qkv_proj", "attn_qkv"),
+                             ("self_attn.o_proj", "attn_output"),
+                             ("mlp.gate_up_proj", "ffn_up"),
+                             ("mlp.down_proj", "ffn_down"),
+                             ("input_layernorm", "attn_norm"),
+                             ("post_attention_layernorm", "ffn_norm")):
+                emit(f"blk.{l}.{gg}.weight", tensors.pop(f"{pre}{hf_n}.weight"),
+                     force_f32="norm" in gg)
+            continue
         if n_experts:
             # mixtral: router (E, D) f32 + per-expert w1/w3/w2 stacked into
             # the 3D ffn_*_exps tensors the loader reads (weights.py:199-212)

@@ -86,10 +86,10 @@ def rope_neox_inplace(v, pos, head_dim, rope_dim, freq_factors=None,
 
 
 def gelu(x):
-    from math import sqrt, pi
-    import scipy.special as _sp  # exact erf-based GeLU
-
-    return 0.5 * x * (1.0 + _sp.erf(x / np.sqrt(2.0)))
+    # tanh approximation — what gelu-arch checkpoints train with (HF
+    # gelu_new / gelu_pytorch_tanh) and what ggml's GELU table computes
+    return 0.5 * x * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
 
 
 def softmax(x):
@@ -98,9 +98,12 @@ def softmax(x):
 
 
 def rms_norm_bias(x, wgt, bias, eps):
-    # the reference implements phi2's norm as rmsnorm*w + b, NOT LayerNorm
-    # (llama2.rs:371-375) — parity target is the reference, so same here
-    return x / np.sqrt((x * x).mean() + eps) * wgt + bias
+    # phi2: TRUE LayerNorm (mean-subtracting). The reference rms-norms
+    # phi2 (llama2.rs:371-375) — a deviation from the checkpoint's
+    # semantics we intentionally do not replicate (HF + llama.cpp both
+    # mean-subtract; see ops/norm.py layer_norm)
+    xc = x - x.mean()
+    return xc / np.sqrt((xc * xc).mean() + eps) * wgt + bias
 
 
 def forward_one(w, cfg, k_caches, v_caches, token, pos):
@@ -246,6 +249,8 @@ def forward_one(w, cfg, k_caches, v_caches, token, pos):
         x = rms_norm(x, w["output_norm.weight"], cfg["eps"])
     out_w = w["output.weight"] if "output.weight" in w else w["token_embd.weight"]
     logits = out_w @ x
+    if "output.bias" in w:  # phi2 lm_head bias
+        logits = logits + w["output.bias"]
     fcap = cfg.get("final_softcap", 0.0)
     if fcap:
         logits = fcap * np.tanh(logits / fcap)

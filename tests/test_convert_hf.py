@@ -285,3 +285,49 @@ def test_convert_yarn_attn_factor_and_spm_id_zero(tmp_path):
     assert md.get_float("llama.rope.scaling.attn_factor") == pytest.approx(1.23)
     assert md.get_int("tokenizer.ggml.bos_token_id") == 0
     assert md.get_int("tokenizer.ggml.eos_token_id") == 0
+
+
+def test_convert_phi2_matches_torch(tmp_path):
+    """phi model_type: fused qkv emit + LayerNorm biases + lm_head bias +
+    partial rotary (rope.dimension_count = 0.4 * head_dim here)."""
+    V = 280
+    cfg = transformers.PhiConfig(
+        vocab_size=V, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, layer_norm_eps=1e-5,
+        partial_rotary_factor=0.5, rope_theta=10000.0,
+    )
+    torch.manual_seed(2)
+    model = transformers.PhiForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    _mk_tokenizer_json(hf_dir / "tokenizer.json", V)
+
+    tokens = [0, 5, 99, 260, 17]
+    gf = _convert_and_compare(hf_dir, tmp_path, model, tokens)
+    md = gf.metadata
+    assert md.get_str("general.architecture") == "phi2"
+    assert md.get_int("phi2.rope.dimension_count") == 8  # 0.5 * 16
+    assert "output.bias" in gf  # lm_head bias carried through
+
+
+def test_convert_phi3_matches_torch(tmp_path):
+    """phi3 model_type: HF's pre-fused qkv_proj/gate_up_proj map straight
+    onto the attn_qkv / ffn_up tensors the phi3 schema slices."""
+    V = 280
+    cfg = transformers.Phi3Config(
+        vocab_size=V, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, pad_token_id=0, bos_token_id=0,
+        eos_token_id=1,
+    )
+    torch.manual_seed(3)
+    model = transformers.Phi3ForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    _mk_tokenizer_json(hf_dir / "tokenizer.json", V)
+
+    tokens = [0, 7, 42, 270, 3]
+    gf = _convert_and_compare(hf_dir, tmp_path, model, tokens)
+    assert gf.metadata.get_str("general.architecture") == "phi3"
