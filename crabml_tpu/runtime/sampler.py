@@ -84,9 +84,13 @@ def apply_frequency_presence(logits, recent_tokens, freq_penalty, pres_penalty):
     return logits - fp2 * counts - pp2 * (counts > 0)
 
 
+LOGPROB_TOPK = 8  # top-k carried per sampled token when logprobs requested
+
+
 def sample_batch(logits, key, temperature, topp, minp=None, logit_bias=None,
                  recent_tokens=None, repetition_penalty=None,
-                 frequency_penalty=None, presence_penalty=None):
+                 frequency_penalty=None, presence_penalty=None,
+                 with_logprobs: bool = False):
     """Vectorized per-sequence sampling for the serving engine.
 
     logits: (B, V) f32; temperature/topp (and optional minp /
@@ -96,6 +100,13 @@ def sample_batch(logits, key, temperature, topp, minp=None, logit_bias=None,
     host-side); `recent_tokens`: (B, W) int32 window for the repetition
     penalty (-1 padding). Fully jittable with *traced* per-slot params
     (no recompile when a request with different settings lands in a slot).
+
+    with_logprobs=True (static) additionally returns
+    (token_logprob (B,), top_logprobs (B, LOGPROB_TOPK), top_ids): the
+    log_softmax of the PROCESSED logits (post bias/penalties, PRE
+    temperature/top-p) — the model's distribution after the request's
+    logit processors, which is what OpenAI-style `logprobs` reports
+    (temperature rescaling would make temp=0 logprobs degenerate).
     """
     if logit_bias is not None:
         logits = logits + logit_bias
@@ -119,7 +130,13 @@ def sample_batch(logits, key, temperature, topp, minp=None, logit_bias=None,
         filtered = min_p_filter(filtered, minp)
 
     sampled = jax.random.categorical(key, jnp.log(filtered), axis=-1).astype(jnp.int32)
-    return jnp.where(temperature <= 0.0, greedy, sampled)
+    nxt = jnp.where(temperature <= 0.0, greedy, sampled)
+    if not with_logprobs:
+        return nxt
+    lsm = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(lsm, nxt[:, None], axis=-1)[:, 0]
+    top_lp, top_id = jax.lax.top_k(lsm, LOGPROB_TOPK)
+    return nxt, (tok_lp, top_lp, top_id.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnums=(2, 3))

@@ -81,14 +81,16 @@ def _prefill_slot(weights, cache: KVCache, tokens, slot, pos0, cfg, compute_dtyp
 def _decode_step(weights, cache: KVCache, tokens, pos, key, temp, topp,
                  minp, recent, rep_pen, freq_pen, pres_pen, bias, cfg,
                  compute_dtype, attn_window=None):
-    """One batched decode tick: forward all slots, sample per-slot."""
+    """One batched decode tick: forward all slots, sample per-slot.
+    Per-token logprobs ride along (host fetches them only when a live
+    request asked for them — computing is cheap, fetching is a round trip)."""
     logits, cache = forward(weights, cache, tokens[:, None], pos, cfg, compute_dtype,
                             attn_window=attn_window)
-    nxt = sample_batch(logits[:, 0], key, temp, topp, minp=minp,
-                       recent_tokens=recent, repetition_penalty=rep_pen,
-                       frequency_penalty=freq_pen, presence_penalty=pres_pen,
-                       logit_bias=bias)
-    return nxt, cache
+    nxt, lp = sample_batch(logits[:, 0], key, temp, topp, minp=minp,
+                           recent_tokens=recent, repetition_penalty=rep_pen,
+                           frequency_penalty=freq_pen, presence_penalty=pres_pen,
+                           logit_bias=bias, with_logprobs=True)
+    return nxt, lp, cache
 
 
 @partial(
@@ -112,17 +114,19 @@ def _decode_scan(weights, cache, tokens, pos, key, temp, topp, minp, recent,
         key, sub = jax.random.split(key)
         logits, cache = forward(weights, cache, tok[:, None], p, cfg,
                                 compute_dtype, attn_window=attn_window)
-        nxt = sample_batch(logits[:, 0], sub, temp, topp, minp=minp,
-                           recent_tokens=rec, repetition_penalty=rep_pen,
-                           frequency_penalty=freq_pen, presence_penalty=pres_pen,
-                           logit_bias=bias)
+        nxt, lp = sample_batch(logits[:, 0], sub, temp, topp, minp=minp,
+                               recent_tokens=rec, repetition_penalty=rep_pen,
+                               frequency_penalty=freq_pen, presence_penalty=pres_pen,
+                               logit_bias=bias, with_logprobs=True)
         rec = jnp.concatenate([rec[:, 1:], nxt[:, None]], axis=1)
-        return (cache, nxt, p + 1, key, rec), nxt
+        return (cache, nxt, p + 1, key, rec), (nxt, *lp)
 
-    (cache, _, _, _, _), toks = jax.lax.scan(
+    (cache, _, _, _, _), (toks, tok_lp, top_lp, top_id) = jax.lax.scan(
         body, (cache, tokens, pos, key, recent), length=steps
     )
-    return toks.T, cache  # (B, steps)
+    # (steps, B[, K]) -> (B, steps[, K])
+    lp = (tok_lp.T, jnp.swapaxes(top_lp, 0, 1), jnp.swapaxes(top_id, 0, 1))
+    return toks.T, lp, cache  # (B, steps)
 
 
 @dataclass
@@ -140,11 +144,19 @@ class Request:
     logit_bias: tuple[tuple[int, float], ...] = ()
     stop_token_ids: tuple[int, ...] = ()
     stop: tuple[str, ...] = ()  # stop strings (merged across token pieces)
+    # OpenAI logprobs: None = off; N >= 0 records each sampled token's
+    # logprob plus the top-N alternatives (N <= sampler.LOGPROB_TOPK)
+    logprobs: int | None = None
     request_id: int = field(default_factory=itertools.count().__next__)
 
     # filled by the engine
     prompt_tokens: list[int] = field(default_factory=list, repr=False)
     output_tokens: list[int] = field(default_factory=list, repr=False)
+    # aligned with output_tokens when logprobs is set: the sampled token's
+    # logprob, and the top-N [(token_id, logprob), ...] per position
+    output_logprobs: list[float] = field(default_factory=list, repr=False)
+    output_top_logprobs: list[list[tuple[int, float]]] = field(
+        default_factory=list, repr=False)
     finish_reason: str | None = None
     output_text: str | None = None  # decoded + stop-trimmed (when stop set)
     _stream: "queue.SimpleQueue[str | None] | None" = field(default=None, repr=False)
@@ -356,7 +368,7 @@ class ServingEngine:
         tail = self._trim_prompt(req)[-self.REPEAT_WINDOW:]
         rec[0, -len(tail):] = tail
         self._set_slot_bias(slot, req)
-        first = sample_batch(
+        first, first_lp = sample_batch(
             logits[:, len(chunk) - 1],
             sub,
             jnp.asarray([req.temperature], jnp.float32),
@@ -367,6 +379,7 @@ class ServingEngine:
             frequency_penalty=jnp.asarray([req.frequency_penalty], jnp.float32),
             presence_penalty=jnp.asarray([req.presence_penalty], jnp.float32),
             logit_bias=self._bias()[slot][None] if req.logit_bias else None,
+            with_logprobs=True,
         )
         self.temp = self.temp.copy()
         self.topp = self.topp.copy()
@@ -382,7 +395,7 @@ class ServingEngine:
         self.freq_pen[slot] = req.frequency_penalty
         self.pres_pen[slot] = req.presence_penalty
         self.recent[slot] = rec[0]
-        self._deliver(slot, int(first[0]))
+        self._deliver_first(slot, req, first, first_lp)
 
     def _prefill_chunk_device(self, slot: int, chunk: list[int], filled: int):
         """Forward `chunk` into the slot's cache at position `filled`;
@@ -432,7 +445,7 @@ class ServingEngine:
         tail = toks[-self.REPEAT_WINDOW:]
         rec[0, -len(tail):] = tail
         self._set_slot_bias(slot, req)
-        first = sample_batch(
+        first, first_lp = sample_batch(
             logits[:, len(toks) - 1],
             sub,
             jnp.asarray([req.temperature], jnp.float32),
@@ -443,6 +456,7 @@ class ServingEngine:
             frequency_penalty=jnp.asarray([req.frequency_penalty], jnp.float32),
             presence_penalty=jnp.asarray([req.presence_penalty], jnp.float32),
             logit_bias=self._bias()[slot][None] if req.logit_bias else None,
+            with_logprobs=True,
         )
         self.pos = self.pos.copy()
         self.cur_tok = self.cur_tok.copy()
@@ -461,7 +475,7 @@ class ServingEngine:
         self.freq_pen[slot] = req.frequency_penalty
         self.pres_pen[slot] = req.presence_penalty
         self.recent[slot] = rec[0]
-        self._deliver(slot, int(first[0]))
+        self._deliver_first(slot, req, first, first_lp)
 
     # -- the tick -----------------------------------------------------------
 
@@ -489,7 +503,7 @@ class ServingEngine:
         self._key, sub = jax.random.split(self._key)
         win = min(_bucket(int(self.pos.max()) + multi, 128), self.seq_len)
         if multi == 1:
-            nxt, self.cache = _decode_step(
+            nxt, lp, self.cache = _decode_step(
                 self.weights, self.cache,
                 jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
                 jnp.asarray(self.temp), jnp.asarray(self.topp),
@@ -499,8 +513,9 @@ class ServingEngine:
                 self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(nxt)[:, None]
+            lp = tuple(a[:, None] for a in lp)
         else:
-            toks, self.cache = _decode_scan(
+            toks, lp, self.cache = _decode_scan(
                 self.weights, self.cache,
                 jnp.asarray(self.cur_tok), jnp.asarray(self.pos), sub,
                 jnp.asarray(self.temp), jnp.asarray(self.topp),
@@ -510,6 +525,14 @@ class ServingEngine:
                 multi, self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(toks)
+        # fetch the logprob arrays only when a live request asked for them
+        # (computing them on device is cheap; each np.asarray fetch is a
+        # round trip on this link, so default serving pays nothing extra)
+        if any(snapshot[i] is not None and snapshot[i].logprobs is not None
+               for i in active):
+            tok_lp, top_lp, top_id = (np.asarray(a) for a in lp)
+        else:
+            tok_lp = top_lp = top_id = None
         active_set = set(active)
         self.pos = self.pos + np.asarray(
             [multi if i in active_set else 0 for i in range(self.n_slots)],
@@ -525,16 +548,35 @@ class ServingEngine:
             for i in active:
                 if self.slots[i] is not snapshot[i]:
                     continue  # finished (or replaced) earlier in this tick
-                self._deliver(i, int(toks[i, j]), pos_after=int(pos0[i]) + j + 1)
+                self._deliver(
+                    i, int(toks[i, j]), pos_after=int(pos0[i]) + j + 1,
+                    logprob=None if tok_lp is None else float(tok_lp[i, j]),
+                    top=None if top_id is None else (top_id[i, j], top_lp[i, j]),
+                )
         return sum(r is not None for r in self.slots)
 
-    def _deliver(self, slot: int, token: int, pos_after: int | None = None):
+    def _deliver_first(self, slot: int, req: Request, first, first_lp):
+        """Deliver a slot's first sampled token (from prefill logits),
+        fetching its logprobs only when the request asked."""
+        if req.logprobs is not None:
+            self._deliver(
+                slot, int(first[0]),
+                logprob=float(np.asarray(first_lp[0])[0]),
+                top=(np.asarray(first_lp[2])[0], np.asarray(first_lp[1])[0]),
+            )
+        else:
+            self._deliver(slot, int(first[0]))
+
+    def _deliver(self, slot: int, token: int, pos_after: int | None = None,
+                 logprob: float | None = None, top=None):
         """Record a sampled token for slot; finish/free on EOS/limits.
 
         `pos_after`: the slot's cache position after this token (defaults to
         the current host position — correct for prefill/single ticks). The
         multi-tick delivery loop passes the PER-TOKEN position so output at
-        the seq_len edge doesn't depend on the tick_tokens setting."""
+        the seq_len edge doesn't depend on the tick_tokens setting.
+        `logprob`/`top` ((ids, logprobs) arrays): recorded aligned with
+        output_tokens when the request asked for logprobs."""
         req = self.slots[slot]
         eos = self.tokenizer.eos_token if self.tokenizer else -1
         stop = req.stop_token_ids
@@ -542,6 +584,14 @@ class ServingEngine:
             self._finish(slot, "stop")
             return
         req.output_tokens.append(token)
+        if req.logprobs is not None and logprob is not None:
+            req.output_logprobs.append(logprob)
+            if req.logprobs > 0 and top is not None:
+                ids, lps = top
+                req.output_top_logprobs.append(
+                    [(int(t), float(l))
+                     for t, l in zip(ids[: req.logprobs], lps[: req.logprobs])]
+                )
         if (req._stream is not None or req.stop) and self.tokenizer:
             piece = self.tokenizer.decode(token, req._utf8)
             if req.stop and piece:

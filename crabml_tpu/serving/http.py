@@ -2,7 +2,9 @@
 
 Stdlib-only (http.server): POST /v1/completions with
   {"prompt": str, "max_tokens": int, "temperature": float, "top_p": float,
-   "min_p": float, "repetition_penalty": float, "stop": [...], "stream": bool}
+   "min_p": float, "repetition_penalty": float, "stop": [...], "stream": bool,
+   "logprobs": int (completions) / bool + "top_logprobs" (chat) — per-token
+   sampled logprob + top-N alternatives on NON-streamed responses}
 -> {"id", "choices": [{"text", "finish_reason"}], "usage": {...}}, or
 chunked text/event-stream when "stream" is true. POST /v1/chat/completions
 takes OpenAI "messages" instead of "prompt": the conversation renders
@@ -27,6 +29,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from ..runtime.sampler import LOGPROB_TOPK
 from .engine import Request, ServingEngine
 
 
@@ -93,6 +96,15 @@ def make_handler(engine: ServingEngine):
             if not isinstance(lb, dict):
                 raise ValueError("logit_bias must be a {token_id: bias} map")
             logit_bias = tuple(sorted((int(k), float(v)) for k, v in lb.items()))
+            # OpenAI logprobs: completions passes an int top-N (0 = sampled
+            # token only); chat passes logprobs: bool (+ top_logprobs: int)
+            lp = payload.get("logprobs")
+            if isinstance(lp, bool):
+                lp = int(payload.get("top_logprobs") or 0) if lp else None
+            elif lp is not None:
+                lp = int(lp)
+            if lp is not None and not 0 <= lp <= LOGPROB_TOPK:
+                raise ValueError(f"logprobs must be between 0 and {LOGPROB_TOPK}")
             return Request(
                 prompt=prompt,
                 max_tokens=int(payload.get("max_tokens", 256)),
@@ -104,7 +116,39 @@ def make_handler(engine: ServingEngine):
                 presence_penalty=float(payload.get("presence_penalty", 0.0)),
                 logit_bias=logit_bias,
                 stop=tuple(s for s in stop if s),
+                logprobs=lp,
             )
+
+        def _piece(self, tid: int) -> str:
+            return engine.tokenizer.decode_bytes(tid).decode("utf-8", "replace")
+
+        def _logprobs_obj(self, req: Request, chat: bool):
+            """OpenAI-shaped logprobs for a finished request (or None).
+            Non-streamed responses only; aligned with output_tokens."""
+            if req.logprobs is None:
+                return None
+            pairs = list(zip(req.output_tokens, req.output_logprobs))
+            if chat:
+                content = []
+                for i, (t, l) in enumerate(pairs):
+                    entry = {"token": self._piece(t), "logprob": l}
+                    if req.logprobs > 0 and i < len(req.output_top_logprobs):
+                        entry["top_logprobs"] = [
+                            {"token": self._piece(tid), "logprob": tl}
+                            for tid, tl in req.output_top_logprobs[i]
+                        ]
+                    content.append(entry)
+                return {"content": content}
+            obj = {
+                "tokens": [self._piece(t) for t, _ in pairs],
+                "token_logprobs": [l for _, l in pairs],
+            }
+            if req.logprobs > 0:
+                obj["top_logprobs"] = [
+                    {self._piece(tid): tl for tid, tl in top}
+                    for top in req.output_top_logprobs[: len(pairs)]
+                ]
+            return obj
 
         def _stream_sse(self, stream, make_event):
             """Drain a token stream as chunked SSE; make_event(piece|None)
@@ -209,6 +253,7 @@ def make_handler(engine: ServingEngine):
                             {
                                 "index": 0,
                                 "message": {"role": "assistant", "content": text},
+                                "logprobs": self._logprobs_obj(req, chat=True),
                                 "finish_reason": req.finish_reason,
                             }
                         ],
@@ -226,6 +271,7 @@ def make_handler(engine: ServingEngine):
                             {
                                 "index": 0,
                                 "text": "".join(parts),
+                                "logprobs": self._logprobs_obj(req, chat=False),
                                 "finish_reason": req.finish_reason,
                             }
                         ],

@@ -259,11 +259,11 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     if cfg.final_logit_softcap:
         cap = jnp.float32(cfg.final_logit_softcap)
         logits = cap * jnp.tanh(logits / cap)
-    nxt = sample_batch(logits, key, temp, topp, minp=minp,
-                       recent_tokens=recent, repetition_penalty=rep_pen,
-                       frequency_penalty=freq_pen, presence_penalty=pres_pen,
-                       logit_bias=bias)
-    return nxt, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
+    nxt, lp = sample_batch(logits, key, temp, topp, minp=minp,
+                           recent_tokens=recent, repetition_penalty=rep_pen,
+                           frequency_penalty=freq_pen, presence_penalty=pres_pen,
+                           logit_bias=bias, with_logprobs=True)
+    return nxt, lp, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
 
 
 @partial(
@@ -455,16 +455,17 @@ def paged_decode_scan(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     def body(carry, _):
         cache, tok, p, key, rec = carry
         key, sub = jax.random.split(key)
-        nxt, cache = paged_decode_step(weights, cache, tok, p, sub, temp, topp,
-                                       minp, rec, rep_pen, freq_pen, pres_pen,
-                                       bias, cfg, compute_dtype)
+        nxt, lp, cache = paged_decode_step(weights, cache, tok, p, sub, temp,
+                                           topp, minp, rec, rep_pen, freq_pen,
+                                           pres_pen, bias, cfg, compute_dtype)
         rec = jnp.concatenate([rec[:, 1:], nxt[:, None]], axis=1)
-        return (cache, nxt, p + 1, key, rec), nxt
+        return (cache, nxt, p + 1, key, rec), (nxt, *lp)
 
-    (cache, _, _, _, _), toks = jax.lax.scan(
+    (cache, _, _, _, _), (toks, tok_lp, top_lp, top_id) = jax.lax.scan(
         body, (cache, tokens, pos, key, recent), length=steps
     )
-    return toks.T, cache
+    lp = (tok_lp.T, jnp.swapaxes(top_lp, 0, 1), jnp.swapaxes(top_id, 0, 1))
+    return toks.T, lp, cache
 
 
 class PagedServingEngine(ServingEngine):
@@ -751,11 +752,12 @@ class PagedServingEngine(ServingEngine):
         self._push_table()
         self._key, sub = jax.random.split(self._key)
         self._set_slot_bias(slot, req)
-        first = sample_batch(
+        first, first_lp = sample_batch(
             logits[:, len(toks) - 1], sub,
             jnp.asarray([req.temperature], jnp.float32),
             jnp.asarray([req.topp], jnp.float32),
             logit_bias=self._bias()[slot][None] if req.logit_bias else None,
+            with_logprobs=True,
         )
         self.pos = self.pos.copy()
         self.cur_tok = self.cur_tok.copy()
@@ -764,7 +766,7 @@ class PagedServingEngine(ServingEngine):
         self.pos[slot] = len(toks)
         self.temp[slot] = req.temperature
         self.topp[slot] = req.topp
-        self._deliver(slot, int(first[0]))
+        self._deliver_first(slot, req, first, first_lp)
 
     def step(self, multi: int = 1) -> int:
         self._admit()
@@ -812,15 +814,21 @@ class PagedServingEngine(ServingEngine):
             jnp.asarray(self.pres_pen), self._bias(),
         )
         if multi == 1:
-            nxt, self.cache = paged_decode_step(
+            nxt, lp, self.cache = paged_decode_step(
                 *args, self.cfg, self.compute_dtype
             )
             toks = np.asarray(nxt)[:, None]
+            lp = tuple(a[:, None] for a in lp)
         else:
-            toks, self.cache = paged_decode_scan(
+            toks, lp, self.cache = paged_decode_scan(
                 *args, multi, self.cfg, self.compute_dtype
             )
             toks = np.asarray(toks)
+        if any(snapshot[i] is not None and snapshot[i].logprobs is not None
+               for i in active):
+            tok_lp, top_lp, top_id = (np.asarray(a) for a in lp)
+        else:
+            tok_lp = top_lp = top_id = None
         active_set = set(active)
         self.pos = self.pos + np.asarray(
             [multi if i in active_set else 0 for i in range(self.n_slots)],
@@ -836,7 +844,11 @@ class PagedServingEngine(ServingEngine):
             for i in active:
                 if self.slots[i] is not snapshot[i]:
                     continue
-                self._deliver(i, int(toks[i, j]), pos_after=int(pos0[i]) + j + 1)
+                self._deliver(
+                    i, int(toks[i, j]), pos_after=int(pos0[i]) + j + 1,
+                    logprob=None if tok_lp is None else float(tok_lp[i, j]),
+                    top=None if top_id is None else (top_id[i, j], top_lp[i, j]),
+                )
         return sum(r is not None for r in self.slots)
 
     def _finish(self, slot: int, reason: str):

@@ -418,3 +418,24 @@ def test_prefix_cache_int8_pool(runner):
     assert r1.output_tokens == r.output_tokens
     assert r2.output_tokens == r.output_tokens
     assert eng.prefix_hits == 1
+
+
+def test_paged_logprobs_match_dense(runner):
+    """The paged engine records the same logprobs as the dense slot pool
+    (same model, greedy) — pins the paged decode/prefill logprob plumbing."""
+    dense = ServingEngine(runner, n_slots=2, seq_len=256)
+    d = dense.submit(Request(prompt=PROMPTS[0], max_tokens=8, logprobs=2))
+    dense.drain(max_steps=100)
+
+    paged = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16)
+    p = paged.submit(Request(prompt=PROMPTS[0], max_tokens=8, logprobs=2))
+    paged.drain(max_steps=100)
+
+    assert p.output_tokens == d.output_tokens
+    assert len(p.output_logprobs) == len(d.output_logprobs) > 0
+    # paged attention gathers page-tiles (different f32 reduction order
+    # than the contiguous cache) — tokens are identical, values close
+    for a, b in zip(p.output_logprobs, d.output_logprobs):
+        assert a == pytest.approx(b, abs=2e-2)
+    for ta, tb in zip(p.output_top_logprobs, d.output_top_logprobs):
+        assert [i for i, _ in ta] == [i for i, _ in tb]

@@ -326,3 +326,93 @@ def test_http_chat_completions(runner):
         engine.shutdown()
         server.shutdown()
         server.server_close()
+
+
+def test_logprobs_match_full_forward(runner):
+    """Engine-recorded logprobs == log_softmax of an independent full
+    forward over [prompt + outputs] at each generated position (greedy,
+    no penalties => processed logits == raw logits). Covers the prefill
+    first-token, single-tick, and fused multi-tick paths."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crabml_tpu.models.forward import KVCache, forward
+
+    engine = ServingEngine(runner, n_slots=2, seq_len=96)
+    req = engine.submit(Request(prompt=PROMPTS[0], max_tokens=9, logprobs=3))
+    while not req.done:
+        engine.step(multi=3)  # fused scan path after the prefill tick
+
+    n = len(req.output_tokens)
+    assert len(req.output_logprobs) == n
+    assert len(req.output_top_logprobs) == n
+    for tok, lp, top in zip(req.output_tokens, req.output_logprobs,
+                            req.output_top_logprobs):
+        assert len(top) == 3
+        assert top[0][0] == tok  # greedy: sampled token IS the top-1
+        assert top[0][1] == pytest.approx(lp, abs=1e-5)
+        assert lp <= 0.0
+        assert top[0][1] >= top[1][1] >= top[2][1]
+
+    seq = list(req.prompt_tokens) + list(req.output_tokens)
+    cache = KVCache.create(engine.cfg, 1, 128)
+    logits, _ = forward(
+        engine.weights, cache, jnp.asarray([seq], jnp.int32),
+        jnp.zeros(1, jnp.int32), engine.cfg, engine.compute_dtype,
+    )
+    lsm = np.asarray(jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1))
+    p = len(req.prompt_tokens)
+    for j, tok in enumerate(req.output_tokens):
+        assert req.output_logprobs[j] == pytest.approx(
+            float(lsm[p - 1 + j, tok]), abs=2e-3
+        ), f"position {j}"
+
+
+def test_logprobs_rest_field(runner):
+    """OpenAI completions `logprobs: N` returns tokens/token_logprobs/
+    top_logprobs; requests without it get logprobs: null."""
+    eng = ServingEngine(runner, n_slots=2, seq_len=96)
+    t = threading.Thread(target=eng.run_forever, daemon=True)
+    t.start()
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        port = server.server_address[1]
+
+        def post(path, body):
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(rq, timeout=120) as r:
+                return json.loads(r.read())
+
+        out = post("/v1/completions",
+                   {"prompt": PROMPTS[0], "max_tokens": 5, "logprobs": 2})
+        lp = out["choices"][0]["logprobs"]
+        n = out["usage"]["completion_tokens"]
+        assert len(lp["tokens"]) == n == len(lp["token_logprobs"])
+        assert len(lp["top_logprobs"]) == n
+        assert all(len(d) == 2 for d in lp["top_logprobs"])
+        assert all(isinstance(k, str) and v <= 0.0
+                   for d in lp["top_logprobs"] for k, v in d.items())
+        # the response text is the concatenation of the logprob tokens
+        assert "".join(lp["tokens"]) == out["choices"][0]["text"]
+
+        out2 = post("/v1/completions", {"prompt": PROMPTS[0], "max_tokens": 4})
+        assert out2["choices"][0]["logprobs"] is None
+
+        # chat flavor: logprobs: true + top_logprobs
+        out3 = post("/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "Hi"}],
+                     "max_tokens": 4, "logprobs": True, "top_logprobs": 2})
+        content = out3["choices"][0]["logprobs"]["content"]
+        assert len(content) == out3["usage"]["completion_tokens"]
+        assert all(e["logprob"] <= 0.0 and len(e["top_logprobs"]) == 2
+                   for e in content)
+    finally:
+        server.shutdown()
+        eng.shutdown()
