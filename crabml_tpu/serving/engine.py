@@ -248,6 +248,8 @@ class ServingEngine:
         # such slots are claimed (self.slots[slot] set) but NOT decoded
         self._prefilling: dict[int, tuple[list[int], int]] = {}
         self.tokens_generated = 0
+        self.requests_submitted = 0
+        self.requests_completed = 0  # by finish reason, see _finish
         self._started = None  # first-step timestamp (serving uptime)
 
     def _reset_device_state(self):
@@ -304,6 +306,7 @@ class ServingEngine:
         if not req.prompt_tokens:
             req.prompt_tokens = self.tokenizer.encode(req.prompt, bos=True)
         req.stop = tuple(s for s in req.stop if isinstance(s, str) and s)
+        self.requests_submitted += 1
         self.pending.put(req)
         return req
 
@@ -622,6 +625,7 @@ class ServingEngine:
     def _finish(self, slot: int, reason: str):
         req = self.slots[slot]
         req.finish_reason = reason
+        self.requests_completed += 1
         self._prefilling.pop(slot, None)
         if req._stream is not None:
             req._stream.put(None)  # sentinel: stream closed

@@ -72,6 +72,43 @@ def make_handler(engine: ServingEngine):
                     body["prefix_hits"] = engine.prefix_hits
                     body["prefix_tokens_reused"] = engine.prefix_tokens_reused
                 self._json(200, body)
+            elif self.path == "/metrics":  # Prometheus text exposition
+                import time
+
+                uptime = (
+                    time.monotonic() - engine._started if engine._started else 0.0
+                )
+                rows = [
+                    ("crabml_slots_total", "gauge", engine.n_slots),
+                    ("crabml_slots_busy", "gauge",
+                     sum(r is not None for r in engine.slots)),
+                    ("crabml_requests_submitted_total", "counter",
+                     engine.requests_submitted),
+                    ("crabml_requests_completed_total", "counter",
+                     engine.requests_completed),
+                    ("crabml_decode_steps_total", "counter", engine.steps),
+                    ("crabml_tokens_generated_total", "counter",
+                     engine.tokens_generated),
+                    ("crabml_uptime_seconds", "gauge", round(uptime, 3)),
+                ]
+                if hasattr(engine, "pages_free"):
+                    rows.append(("crabml_kv_pages_free", "gauge",
+                                 engine.pages_free()))
+                if hasattr(engine, "prefix_hits"):
+                    rows += [
+                        ("crabml_prefix_hits_total", "counter",
+                         engine.prefix_hits),
+                        ("crabml_prefix_tokens_reused_total", "counter",
+                         engine.prefix_tokens_reused),
+                    ]
+                body = "".join(
+                    f"# TYPE {n} {t}\n{n} {v}\n" for n, t, v in rows
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/v1/models":  # OpenAI client discovery
                 self._json(200, {
                     "object": "list",

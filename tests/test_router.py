@@ -240,3 +240,33 @@ def test_routed_chat_completions(two_replicas):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_router_metrics_aggregation(two_replicas):
+    """Router /metrics sums each replica's Prometheus series by name and
+    adds fleet gauges."""
+    router, server, port = _start_router(two_replicas)
+    try:
+        body = json.dumps({"prompt": "Once upon", "max_tokens": 4}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        urllib.request.urlopen(req, timeout=120).read()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        metrics = {
+            line.split()[0]: float(line.split()[1])
+            for line in text.splitlines() if line and not line.startswith("#")
+        }
+        assert metrics["crabml_router_replicas_total"] == 2
+        assert metrics["crabml_router_replicas_alive"] == 2
+        # summed across replicas: 2 slots each
+        assert metrics["crabml_slots_total"] == 4
+        assert metrics["crabml_requests_submitted_total"] >= 1
+        assert "# TYPE crabml_requests_submitted_total counter" in text
+    finally:
+        server.shutdown()
+        server.server_close()

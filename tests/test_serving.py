@@ -416,3 +416,40 @@ def test_logprobs_rest_field(runner):
     finally:
         server.shutdown()
         eng.shutdown()
+
+
+def test_metrics_endpoint(runner):
+    """GET /metrics exposes Prometheus-format engine counters."""
+    eng = ServingEngine(runner, n_slots=2, seq_len=96)
+    t = threading.Thread(target=eng.run_forever, daemon=True)
+    t.start()
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        port = server.server_address[1]
+        body = json.dumps({"prompt": PROMPTS[0], "max_tokens": 5}).encode()
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        urllib.request.urlopen(rq, timeout=120).read()
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics",
+                                    timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        metrics = {
+            line.split()[0]: float(line.split()[1])
+            for line in text.splitlines() if line and not line.startswith("#")
+        }
+        assert metrics["crabml_slots_total"] == 2
+        assert metrics["crabml_requests_submitted_total"] == 1
+        assert metrics["crabml_requests_completed_total"] == 1
+        # the first output token comes from prefill logits; the decode-tick
+        # counter sees the remaining max_tokens - 1
+        assert metrics["crabml_tokens_generated_total"] >= 4
+        assert "# TYPE crabml_decode_steps_total counter" in text
+    finally:
+        server.shutdown()
+        eng.shutdown()
