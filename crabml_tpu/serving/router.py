@@ -21,11 +21,13 @@ scaling target is measured through this front by tools.scaling_bench.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import threading
 import time
 import urllib.error
 import urllib.request
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -57,18 +59,51 @@ class Replica:
 
 
 class Router:
-    """Least-outstanding-work request routing across replicas."""
+    """Least-outstanding-work request routing across replicas.
 
-    def __init__(self, addresses: list[str], timeout: float = 300.0):
+    Prefix affinity: each replica's paged engine caches prompt-prefix KV
+    pages (serving.paged automatic prefix caching), so requests that share
+    a prompt head are worth co-locating. The router keys each request by a
+    digest of its prompt head and sticks it to the replica that served that
+    prefix last — unless that replica is `affinity_slack` requests busier
+    than the least-loaded one, in which case load wins and the affinity
+    re-points (a cold prefill costs less than queueing behind a hot spot).
+    """
+
+    AFFINITY_PREFIX_CHARS = 512  # ≈ the first couple of KV pages
+    AFFINITY_MAX_KEYS = 4096
+
+    def __init__(self, addresses: list[str], timeout: float = 300.0,
+                 affinity_slack: int = 2):
         if not addresses:
             raise ValueError("router needs at least one replica address")
         self.replicas = [Replica(a) for a in addresses]
         self.timeout = timeout
+        self.affinity_slack = affinity_slack
+        self._affinity: OrderedDict[str, Replica] = OrderedDict()
         self._rr = 0
         self._lock = threading.Lock()
 
-    def pick(self) -> Replica | None:
-        """Least outstanding among alive replicas; round-robin tiebreak."""
+    @classmethod
+    def prefix_key(cls, payload: dict) -> str | None:
+        """Digest of the request's prompt head (the part the paged engine's
+        prefix cache can reuse). None when the payload has no text prompt."""
+        head = payload.get("prompt")
+        if head is None and isinstance(payload.get("messages"), list):
+            parts = []
+            for m in payload["messages"]:
+                parts.append(f"{m.get('role', '')}\x00{m.get('content', '')}")
+                if sum(map(len, parts)) >= cls.AFFINITY_PREFIX_CHARS:
+                    break
+            head = "\x01".join(parts)
+        if not isinstance(head, str) or not head:
+            return None
+        return hashlib.sha1(
+            head[: cls.AFFINITY_PREFIX_CHARS].encode()).hexdigest()
+
+    def pick(self, key: str | None = None) -> Replica | None:
+        """Least outstanding among alive replicas; round-robin tiebreak;
+        prefix-affinity override within `affinity_slack` of the minimum."""
         with self._lock:
             alive = [r for r in self.replicas if r.alive]
             if not alive:
@@ -76,9 +111,22 @@ class Router:
                 # failed instead of refusing (it may be back)
                 alive = sorted(self.replicas, key=lambda r: r.dead_until)[:1]
             best = min(r.outstanding for r in alive)
-            candidates = [r for r in alive if r.outstanding == best]
-            r = candidates[self._rr % len(candidates)]
-            self._rr += 1
+            r = None
+            if key is not None:
+                sticky = self._affinity.get(key)
+                if (sticky is not None and sticky.alive
+                        and sticky.outstanding <= best + self.affinity_slack):
+                    r = sticky
+                    self._affinity.move_to_end(key)
+            if r is None:
+                candidates = [x for x in alive if x.outstanding == best]
+                r = candidates[self._rr % len(candidates)]
+                self._rr += 1
+                if key is not None:
+                    self._affinity[key] = r
+                    self._affinity.move_to_end(key)
+                    while len(self._affinity) > self.AFFINITY_MAX_KEYS:
+                        self._affinity.popitem(last=False)
             r.outstanding += 1
             return r
 
@@ -92,9 +140,10 @@ class Router:
         """Forward one request to `path`; returns (replica, http.response).
         Retries on the next replica when one is unreachable."""
         body = json.dumps(payload).encode()
+        key = self.prefix_key(payload)
         last_err = None
         for _ in range(len(self.replicas) + 1):
-            r = self.pick()
+            r = self.pick(key)
             req = urllib.request.Request(
                 r.url(path), data=body,
                 headers={"Content-Type": "application/json"},

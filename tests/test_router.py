@@ -270,3 +270,34 @@ def test_router_metrics_aggregation(two_replicas):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_prefix_affinity_sticks_and_yields_to_load():
+    r = Router(["a:1", "b:1", "c:1"], affinity_slack=2)
+    key = Router.prefix_key({"prompt": "You are a helpful assistant. " * 40})
+    assert key is not None
+    first = r.pick(key)
+    r.release(first)
+    # same prefix → same replica, even though others are equally idle
+    for _ in range(3):
+        p = r.pick(key)
+        assert p is first
+        r.release(p)
+    # a different prefix load-balances away from the sticky replica
+    other = r.pick(Router.prefix_key({"prompt": "unrelated " * 50}))
+    assert other is not first
+    # overload the sticky replica beyond the slack → load wins and the
+    # affinity re-points to the replica actually used
+    for _ in range(4):
+        first.outstanding += 1
+    moved = r.pick(key)
+    assert moved is not first
+    for _ in range(4):
+        r.release(first)
+    # ...and stays re-pointed
+    again = r.pick(key)
+    assert again is moved
+    # chat payloads key on the message head; no prompt → no key
+    assert Router.prefix_key(
+        {"messages": [{"role": "system", "content": "be brief"}]}) is not None
+    assert Router.prefix_key({"max_tokens": 5}) is None
