@@ -626,9 +626,14 @@ class ServingEngine:
         req = self.slots[slot]
         req.finish_reason = reason
         self.requests_completed += 1
-        self._prefilling.pop(slot, None)
         if req._stream is not None:
             req._stream.put(None)  # sentinel: stream closed
+        self._clear_slot(slot)
+
+    def _clear_slot(self, slot: int):
+        """Reset a slot's host-side state without closing its request
+        (shared by _finish and the paged engine's preemption path)."""
+        self._prefilling.pop(slot, None)
         self.slots[slot] = None
         self.pos = self.pos.copy()
         self.pos[slot] = 0

@@ -100,6 +100,8 @@ def make_handler(engine: ServingEngine):
                          engine.prefix_hits),
                         ("crabml_prefix_tokens_reused_total", "counter",
                          engine.prefix_tokens_reused),
+                        ("crabml_preemptions_total", "counter",
+                         engine.preemptions),
                     ]
                 body = "".join(
                     f"# TYPE {n} {t}\n{n} {v}\n" for n, t, v in rows

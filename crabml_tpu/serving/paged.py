@@ -521,6 +521,7 @@ class PagedServingEngine(ServingEngine):
         self._reuse: dict[int, int] = {}  # slot -> reused token count
         self.prefix_hits = 0
         self.prefix_tokens_reused = 0
+        self.preemptions = 0  # pool-pressure recompute preemptions
         self._table = np.zeros((self.n_slots, self.max_pages), np.int32)
         self._scratch = {}  # slot -> dense KVCache accumulating prefill chunks
         self._prefill_jit = jax.jit(
@@ -786,16 +787,27 @@ class PagedServingEngine(ServingEngine):
         multi = max(1, min(multi, self.seq_len - 1 - pmax))
         # pre-allocate every page the next `multi` positions can touch
         dirty = False
-        for i in list(active):  # copy: _finish below mutates membership
+        for i in list(active):  # copy: preemption below mutates membership
+            if i not in active:
+                continue  # preempted as a victim of an earlier slot's alloc
             # clamp at the table width: a slot at the seq_len edge finishes
             # via _deliver's length check before touching pages beyond it
             need = min((int(self.pos[i]) + multi - 1) // PAGE + 1, self.max_pages)
             while len(self._owned[i]) < need:
                 new = self._alloc(1)
                 if new is None:
-                    self._finish(i, "error")  # pool exhausted mid-flight
-                    active.remove(i)
-                    break
+                    # pool exhausted mid-flight: preempt the youngest
+                    # active request (recompute later) instead of erroring;
+                    # older requests keep making progress, which guarantees
+                    # the preemption cascade terminates
+                    victim = max(active,
+                                 key=lambda j: self.slots[j].request_id)
+                    self._preempt(victim)
+                    active.remove(victim)
+                    dirty = True
+                    if victim == i:
+                        break
+                    continue
                 self._table[i, len(self._owned[i])] = new[0]
                 self._owned[i].extend(new)
                 dirty = True
@@ -851,7 +863,7 @@ class PagedServingEngine(ServingEngine):
                 )
         return sum(r is not None for r in self.slots)
 
-    def _finish(self, slot: int, reason: str):
+    def _release_pages(self, slot: int):
         for pg in self._owned[slot]:
             r = self._ref.get(pg, 1) - 1
             self._ref[pg] = r
@@ -872,4 +884,28 @@ class PagedServingEngine(ServingEngine):
         # and must never scatter into a page that gets reallocated
         self._table[slot, :] = 0
         self._push_table()
+
+    def _finish(self, slot: int, reason: str):
+        self._release_pages(slot)
         super()._finish(slot, reason)
+
+    def _preempt(self, slot: int):
+        """Recompute-style preemption (the vLLM policy): under pool
+        pressure, a running request releases its pages and goes back to
+        the pending queue with its generated tokens folded into the
+        prompt, so a later admission re-prefills (prefix-cache-assisted
+        when its registered pages survive) and decoding continues exactly
+        where it stopped. The request object, its stream, and its output
+        accumulate seamlessly across the preemption."""
+        req = self.slots[slot]
+        self._release_pages(slot)
+        self._clear_slot(slot)
+        # idempotent across repeated preemptions: always rebuild from the
+        # ORIGINAL prompt + everything generated so far
+        orig = getattr(req, "_orig_prompt", None)
+        if orig is None:
+            orig = list(req.prompt_tokens)
+            req._orig_prompt = orig
+        req.prompt_tokens = orig + list(req.output_tokens)
+        self.preemptions += 1
+        self.pending.put(req)

@@ -439,3 +439,20 @@ def test_paged_logprobs_match_dense(runner):
         assert a == pytest.approx(b, abs=2e-2)
     for ta, tb in zip(p.output_top_logprobs, d.output_top_logprobs):
         assert [i for i, _ in ta] == [i for i, _ in tb]
+
+
+def test_pool_pressure_preempts_not_errors(runner):
+    """Mid-flight pool exhaustion preempts the youngest request
+    (recompute-style) instead of killing it: both requests complete with
+    outputs byte-identical to a roomy pool's."""
+    roomy = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16)
+    want = [roomy.generate([p], max_tokens=PAGE + 12)[0] for p in PROMPTS[:2]]
+
+    # 3 usable pages for two requests that each grow to 2 pages
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=4)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=PAGE + 12))
+            for p in PROMPTS[:2]]
+    eng.drain(max_steps=2000)
+    assert eng.preemptions >= 1
+    assert [r.finish_reason for r in reqs] == ["length", "length"]
+    assert [_detok(eng, r) for r in reqs] == want
