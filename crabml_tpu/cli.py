@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--chat", action="store_true", help="interactive chat REPL")
     ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--kv-dtype", default=None, choices=[None, "f32", "bf16", "int8"])
+    ap.add_argument("--kv-lane-pad", action="store_true",
+                    help="store the KV cache at 128-lane-rounded head_dim "
+                         "so odd-head models (phi2 hd=80) ride the decode "
+                         "kernel instead of the XLA fallback (costs "
+                         "128/head_dim x cache HBM)")
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--tp", type=int, default=None, help="tensor parallel degree")
     ap.add_argument("--sp", type=int, default=None,
@@ -119,6 +124,7 @@ def main(argv=None):
         prefill_w8=args.prefill_w8,
         speculative=args.speculative,
         draft_model=args.draft,
+        kv_lane_pad=args.kv_lane_pad,
     )
 
     if args.chat:

@@ -63,9 +63,21 @@ class KVCache:
     v_scale: jnp.ndarray | None = None
 
     @staticmethod
-    def create(cfg: ModelConfig, batch: int, seq_len: int | None = None, dtype=jnp.float32):
+    def create(cfg: ModelConfig, batch: int, seq_len: int | None = None,
+               dtype=jnp.float32, lane_pad: bool = False):
+        """`lane_pad=True` rounds head_dim up to the 128-lane tile so
+        odd-head models (phi2 hd=80, tiny fixtures hd=64) store a cache
+        the decode-attention kernel can DMA (it cannot slice partial lane
+        tiles — see ops/pallas/decode_attention). forward() detects the
+        padded width from the cache itself: k/v pad with zeros on write
+        (zero lanes don't change q·k scores or the int8 per-vector
+        scales), q pads at attention, outputs slice back. Costs
+        ceil(hd/128)*128/hd of cache HBM; off by default."""
         s = seq_len or cfg.seq_len
-        shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, cfg.head_dim)
+        hd = cfg.head_dim
+        if lane_pad and hd % 128:
+            hd = -(-hd // 128) * 128
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads, s, hd)
         if dtype == jnp.int8:
             sshape = shape[:-1] + (1,)
             return KVCache(
@@ -615,6 +627,15 @@ def forward(
 
         k_t = k.transpose(0, 2, 1, 3)  # (B, KV, T, hd)
         v_t = v.transpose(0, 2, 1, 3)
+        # lane-padded cache (KVCache.create(lane_pad=True)): store k/v/q
+        # zero-extended to the cache's lane width so the attention kernels
+        # see full 128-lane tiles; scores and int8 scales are unchanged
+        lane_pad = k_l.shape[-1] - hd
+        if lane_pad:
+            padw = ((0, 0), (0, 0), (0, 0), (0, lane_pad))
+            k_t = jnp.pad(k_t, padw)
+            v_t = jnp.pad(v_t, padw)
+            q = jnp.pad(q, padw)
         _cache_scope = jax.named_scope("cache_update")
         _cache_scope.__enter__()
         if quantized_kv:
@@ -677,6 +698,9 @@ def forward(
                 use_local=(l % 2 == 0) if cfg.alternating_window else None,
             )
         _attn_scope.__exit__(None, None, None)
+        if lane_pad:  # drop the zero lanes before wo
+            attn = attn.reshape(B, T, H, hd + lane_pad)[..., :hd]
+            attn = attn.reshape(B, T, H * hd)
         _wo_scope = jax.named_scope("wo_proj")
         _wo_scope.__enter__()
         if tp_axis is not None and "wo_chunks" in lw:

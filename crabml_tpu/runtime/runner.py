@@ -46,6 +46,7 @@ class Runner:
         prefill_w8: bool = False,
         speculative: int = 0,
         draft_model: "str | GGUFFile | None" = None,
+        kv_lane_pad: bool = False,
     ):
         gf = GGUFFile(model) if not isinstance(model, GGUFFile) else model
         self.cfg: ModelConfig = config_from_gguf(gf.metadata)
@@ -126,7 +127,12 @@ class Runner:
                     jax.block_until_ready(self.weights)
         self._sharding = sharding
 
-        self.cache = KVCache.create(self.cfg, batch_size, self.seq_len, self.kv_dtype)
+        # kv_lane_pad: store the cache at 128-lane-rounded head_dim so
+        # odd-head models (phi2 hd=80) use the decode-attention kernel
+        # instead of the XLA fallback (+HBM: 128/hd per cache byte)
+        self.kv_lane_pad = kv_lane_pad
+        self.cache = KVCache.create(self.cfg, batch_size, self.seq_len,
+                                    self.kv_dtype, lane_pad=kv_lane_pad)
         if sharding is not None:
             from ..parallel.sharding import cache_sharding
 
@@ -189,7 +195,8 @@ class Runner:
 
     def reset(self):
         self.cache = KVCache.create(
-            self.cfg, self.batch_size, self.seq_len, self.kv_dtype
+            self.cfg, self.batch_size, self.seq_len, self.kv_dtype,
+            lane_pad=self.kv_lane_pad,
         )
         if self._sharding is not None:
             from ..parallel.sharding import cache_sharding

@@ -195,12 +195,16 @@ class ServingEngine:
         seed: int = 0,
         tick_tokens: int = 1,
         prefill_chunk: int | None = 256,
+        kv_lane_pad: bool = False,
     ):
         self.mesh = None
+        self.kv_lane_pad = kv_lane_pad
         if runner is not None:
             weights, cfg, tokenizer = runner.weights, runner.cfg, runner.tokenizer
             compute_dtype = runner.compute_dtype
             kv_dtype = kv_dtype or runner.kv_dtype
+            self.kv_lane_pad = kv_lane_pad or getattr(
+                runner, "kv_lane_pad", False)
             # a GSPMD-sharded Runner (sharding=make_mesh(tp=...)) carries
             # its mesh here so the engine's cache shards over it too
             self.mesh = getattr(runner, "_sharding", None)
@@ -291,7 +295,8 @@ class ServingEngine:
     def _make_cache(self):
         """Cache-construction hook (PagedServingEngine overrides: the slot
         pool's dense n_slots x seq_len allocation must never happen there)."""
-        cache = KVCache.create(self.cfg, self.n_slots, self.seq_len, self.kv_dtype)
+        cache = KVCache.create(self.cfg, self.n_slots, self.seq_len,
+                               self.kv_dtype, lane_pad=self.kv_lane_pad)
         if self.mesh is not None:
             from ..parallel.sharding import cache_sharding
 

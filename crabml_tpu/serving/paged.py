@@ -492,6 +492,14 @@ class PagedServingEngine(ServingEngine):
         self._n_pages_cfg = n_pages
         self._prefix_on = prefix_cache
         super().__init__(runner, **kw)
+        if self.kv_lane_pad:
+            from ..errors import UnsupportedError
+
+            raise UnsupportedError(
+                "kv_lane_pad is not supported by the paged pool yet — "
+                "use the dense ServingEngine for odd-head models, or "
+                "run the paged engine on the XLA attention fallback"
+            )
         # chunked admission writes pages directly when chunks are
         # page-multiples; other chunk sizes (and prefill_chunk=None —
         # legacy synchronous admission) keep the dense-scratch path
