@@ -26,6 +26,7 @@ from __future__ import annotations
 import itertools
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from functools import partial
 
@@ -159,12 +160,44 @@ class Request:
         default_factory=list, repr=False)
     finish_reason: str | None = None
     output_text: str | None = None  # decoded + stop-trimmed (when stop set)
+    _t_submit: float = field(default=0.0, repr=False)
     _stream: "queue.SimpleQueue[str | None] | None" = field(default=None, repr=False)
     _utf8: Utf8Buf = field(default_factory=Utf8Buf, repr=False)
 
     @property
     def done(self) -> bool:
         return self.finish_reason is not None
+
+
+class LatencyHistogram:
+    """Prometheus-style cumulative histogram (fixed buckets, host-side)."""
+
+    BUCKETS = (0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0, 60.0)
+
+    def __init__(self):
+        self.counts = [0] * (len(self.BUCKETS) + 1)
+        self.sum = 0.0
+        self.n = 0
+
+    def observe(self, v: float):
+        self.sum += v
+        self.n += 1
+        for i, le in enumerate(self.BUCKETS):
+            if v <= le:
+                self.counts[i] += 1
+                return
+        self.counts[-1] += 1
+
+    def render(self, name: str) -> str:
+        out = [f"# TYPE {name} histogram"]
+        c = 0
+        for le, k in zip(self.BUCKETS, self.counts):
+            c += k
+            out.append(f'{name}_bucket{{le="{le}"}} {c}')
+        out.append(f'{name}_bucket{{le="+Inf"}} {self.n}')
+        out.append(f"{name}_sum {round(self.sum, 6)}")
+        out.append(f"{name}_count {self.n}")
+        return "\n".join(out) + "\n"
 
 
 class ServingEngine:
@@ -254,6 +287,8 @@ class ServingEngine:
         self.tokens_generated = 0
         self.requests_submitted = 0
         self.requests_completed = 0  # by finish reason, see _finish
+        self.ttft_hist = LatencyHistogram()  # submit -> first token
+        self.e2e_hist = LatencyHistogram()  # submit -> finish
         self._started = None  # first-step timestamp (serving uptime)
 
     def _reset_device_state(self):
@@ -312,6 +347,7 @@ class ServingEngine:
             req.prompt_tokens = self.tokenizer.encode(req.prompt, bos=True)
         req.stop = tuple(s for s in req.stop if isinstance(s, str) and s)
         self.requests_submitted += 1
+        req._t_submit = time.monotonic()
         self.pending.put(req)
         return req
 
@@ -586,6 +622,10 @@ class ServingEngine:
         `logprob`/`top` ((ids, logprobs) arrays): recorded aligned with
         output_tokens when the request asked for logprobs."""
         req = self.slots[slot]
+        if not req.output_tokens and req._t_submit:
+            # first token ever for this request (preemption-safe: requeued
+            # requests keep their output and don't re-observe)
+            self.ttft_hist.observe(time.monotonic() - req._t_submit)
         eos = self.tokenizer.eos_token if self.tokenizer else -1
         stop = req.stop_token_ids
         if token == eos or token in stop:
@@ -631,6 +671,8 @@ class ServingEngine:
         req = self.slots[slot]
         req.finish_reason = reason
         self.requests_completed += 1
+        if req._t_submit:
+            self.e2e_hist.observe(time.monotonic() - req._t_submit)
         if req._stream is not None:
             req._stream.put(None)  # sentinel: stream closed
         self._clear_slot(slot)

@@ -103,8 +103,11 @@ def make_handler(engine: ServingEngine):
                         ("crabml_preemptions_total", "counter",
                          engine.preemptions),
                     ]
-                body = "".join(
-                    f"# TYPE {n} {t}\n{n} {v}\n" for n, t, v in rows
+                body = (
+                    "".join(f"# TYPE {n} {t}\n{n} {v}\n" for n, t, v in rows)
+                    + engine.ttft_hist.render("crabml_ttft_seconds")
+                    + engine.e2e_hist.render(
+                        "crabml_request_duration_seconds")
                 ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; version=0.0.4")

@@ -209,15 +209,45 @@ class Router:
                 elif line.strip():
                     name, val = line.split()
                     totals[name] = totals.get(name, 0.0) + float(val)
-        rows = [
-            ("crabml_router_replicas_total", "gauge", float(len(self.replicas))),
-            ("crabml_router_replicas_alive", "gauge", float(alive)),
-        ] + [(n, types.get(n, "gauge"), v) for n, v in sorted(totals.items())]
-
         def fmt(v: float) -> str:
             return str(int(v)) if v.is_integer() else repr(v)
 
-        return "".join(f"# TYPE {n} {t}\n{n} {fmt(v)}\n" for n, t, v in rows)
+        def series_key(name: str):
+            # group histogram bucket samples under their base name and
+            # order them by ascending `le` (then _count/_sum after)
+            base, _, label = name.partition("{")
+            le = float("inf")
+            if 'le="' in label:
+                raw = label.split('le="')[1].split('"')[0]
+                le = float("inf") if raw == "+Inf" else float(raw)
+            return (base, le, name)
+
+        out = [
+            f"# TYPE {n} {t}\n{n} {fmt(v)}\n"
+            for n, t, v in (
+                ("crabml_router_replicas_total", "gauge",
+                 float(len(self.replicas))),
+                ("crabml_router_replicas_alive", "gauge", float(alive)),
+            )
+        ]
+        declared: set[str] = set()
+        for n in sorted(totals, key=series_key):
+            t = types.get(n)
+            if t:
+                out.append(f"# TYPE {n} {t}\n")
+            else:
+                # histogram child sample (name_bucket{le=..}/_sum/_count):
+                # declare the PARENT type once, before its first sample
+                base = n.partition("{")[0]
+                for sfx in ("_bucket", "_sum", "_count"):
+                    if base.endswith(sfx):
+                        base = base[: -len(sfx)]
+                        break
+                if base in types and base not in declared:
+                    out.append(f"# TYPE {base} {types[base]}\n")
+                    declared.add(base)
+            out.append(f"{n} {fmt(totals[n])}\n")
+        return "".join(out)
 
 
 def make_handler(router: Router):

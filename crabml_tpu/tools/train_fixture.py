@@ -201,15 +201,18 @@ def main(argv=None):
         "bos": md.get_int("tokenizer.ggml.bos_token_id"),
         "eos": md.get_int("tokenizer.ggml.eos_token_id"),
     }
-    with open(args.corpus) as f:
-        text = f.read()
-    # encode per story: the greedy SPM merge is superlinear in string
-    # length — one ~1 MB string takes minutes, 2k small ones take seconds
-    ids_list: list[int] = []
-    for para in text.split("\n\n"):
-        if para.strip():
-            ids_list.extend(tk.encode(para, bos=True))
-    ids = np.asarray(ids_list, np.int32)
+    if args.corpus.endswith(".npy"):  # pre-encoded token ids
+        ids = np.load(args.corpus).astype(np.int32)
+    else:
+        with open(args.corpus) as f:
+            text = f.read()
+        # encode per story: the greedy SPM merge is superlinear in string
+        # length — one ~1 MB string takes minutes, 2k small ones take seconds
+        ids_list: list[int] = []
+        for para in text.split("\n\n"):
+            if para.strip():
+                ids_list.extend(tk.encode(para, bos=True))
+        ids = np.asarray(ids_list, np.int32)
     print(f"corpus: {len(ids)} tokens", file=sys.stderr, flush=True)
 
     cfg = dict(V=len(tok_meta["tokens"]), D=args.dim, HD=args.hidden,

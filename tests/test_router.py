@@ -267,6 +267,10 @@ def test_router_metrics_aggregation(two_replicas):
         assert metrics["crabml_slots_total"] == 4
         assert metrics["crabml_requests_submitted_total"] >= 1
         assert "# TYPE crabml_requests_submitted_total counter" in text
+        # histogram buckets sum across replicas; no TYPE line per bucket
+        assert metrics['crabml_ttft_seconds_bucket{le="+Inf"}'] >= 1
+        assert "# TYPE crabml_ttft_seconds histogram" in text
+        assert '# TYPE crabml_ttft_seconds_bucket' not in text
     finally:
         server.shutdown()
         server.server_close()

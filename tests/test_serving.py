@@ -450,6 +450,13 @@ def test_metrics_endpoint(runner):
         # counter sees the remaining max_tokens - 1
         assert metrics["crabml_tokens_generated_total"] >= 4
         assert "# TYPE crabml_decode_steps_total counter" in text
+        # latency histograms: one request observed end-to-end
+        assert "# TYPE crabml_ttft_seconds histogram" in text
+        assert metrics["crabml_ttft_seconds_count"] == 1
+        assert metrics["crabml_request_duration_seconds_count"] == 1
+        assert metrics['crabml_ttft_seconds_bucket{le="+Inf"}'] == 1
+        assert (metrics["crabml_request_duration_seconds_sum"]
+                >= metrics["crabml_ttft_seconds_sum"])
     finally:
         server.shutdown()
         eng.shutdown()
