@@ -26,6 +26,7 @@ domain).
 from __future__ import annotations
 
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -225,6 +226,11 @@ def make_handler(engine: ServingEngine):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                n_choices = int(payload.get("n", 1))
+                if not 1 <= n_choices <= engine.n_slots:
+                    raise ValueError(
+                        f"n must be between 1 and {engine.n_slots} "
+                        "(the engine's slot count)")
                 if chat:
                     from ..runtime.chat import render_messages
 
@@ -234,11 +240,74 @@ def make_handler(engine: ServingEngine):
                     prompt, stop_mark = render_messages(
                         engine.cfg, messages, engine.tokenizer
                     )
-                    req = self._build_request(payload, prompt, (stop_mark,))
+                    reqs = [self._build_request(payload, prompt, (stop_mark,))
+                            for _ in range(n_choices)]
                 else:
-                    req = self._build_request(payload, payload.get("prompt", ""))
+                    reqs = [
+                        self._build_request(payload, payload.get("prompt", ""))
+                        for _ in range(n_choices)
+                    ]
+                req = reqs[0]
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
+                return
+
+            if payload.get("stream") and n_choices > 1:
+                # OpenAI n>1 streaming: per-choice indexed chunks, all
+                # choices decode concurrently (they share engine ticks)
+                streams = [engine.enqueue_streaming(r) for r in reqs]
+                merged: "queue.SimpleQueue" = queue.SimpleQueue()
+
+                def pump(i, st):
+                    while True:
+                        piece = st.get()
+                        merged.put((i, piece))
+                        if piece is None:
+                            return
+
+                for i, st in enumerate(streams):
+                    threading.Thread(target=pump, args=(i, st),
+                                     daemon=True).start()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(
+                        f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+                live = n_choices
+                while live:
+                    i, piece = merged.get()
+                    if piece is None:
+                        live -= 1
+                        if chat:
+                            ev = {
+                                "id": f"chatcmpl-{req.request_id}",
+                                "object": "chat.completion.chunk",
+                                "model": engine.cfg.model_name,
+                                "choices": [{"index": i, "delta": {},
+                                             "finish_reason":
+                                                 reqs[i].finish_reason}],
+                            }
+                        else:
+                            ev = None
+                        if ev is None:
+                            continue
+                    elif chat:
+                        ev = {
+                            "id": f"chatcmpl-{req.request_id}",
+                            "object": "chat.completion.chunk",
+                            "model": engine.cfg.model_name,
+                            "choices": [{"index": i,
+                                         "delta": {"content": piece}}],
+                        }
+                    else:
+                        ev = {"index": i, "text": piece}
+                    chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
+                chunk(b"data: [DONE]\n\n")
+                chunk(b"")
                 return
 
             if payload.get("stream"):
@@ -271,18 +340,24 @@ def make_handler(engine: ServingEngine):
                     )
                 return
 
-            stream = engine.enqueue_streaming(req)
-            parts = []
-            while True:
-                piece = stream.get()
-                if piece is None:
-                    break
-                parts.append(piece)
-            text = req.output_text if req.output_text is not None else "".join(parts)
+            streams = [engine.enqueue_streaming(r) for r in reqs]
+            texts = []
+            for r, stream in zip(reqs, streams):
+                parts = []
+                while True:
+                    piece = stream.get()
+                    if piece is None:
+                        break
+                    parts.append(piece)
+                texts.append(
+                    r.output_text if r.output_text is not None
+                    else "".join(parts)
+                )
             usage = {
                 "prompt_tokens": len(req.prompt_tokens),
-                "completion_tokens": len(req.output_tokens),
-                "total_tokens": len(req.prompt_tokens) + len(req.output_tokens),
+                "completion_tokens": sum(len(r.output_tokens) for r in reqs),
+                "total_tokens": len(req.prompt_tokens)
+                + sum(len(r.output_tokens) for r in reqs),
             }
             if chat:
                 self._json(
@@ -293,11 +368,13 @@ def make_handler(engine: ServingEngine):
                         "model": engine.cfg.model_name,
                         "choices": [
                             {
-                                "index": 0,
-                                "message": {"role": "assistant", "content": text},
-                                "logprobs": self._logprobs_obj(req, chat=True),
-                                "finish_reason": req.finish_reason,
+                                "index": i,
+                                "message": {"role": "assistant",
+                                            "content": texts[i]},
+                                "logprobs": self._logprobs_obj(r, chat=True),
+                                "finish_reason": r.finish_reason,
                             }
+                            for i, r in enumerate(reqs)
                         ],
                         "usage": usage,
                     },
@@ -311,11 +388,12 @@ def make_handler(engine: ServingEngine):
                         "model": engine.cfg.model_name,
                         "choices": [
                             {
-                                "index": 0,
-                                "text": "".join(parts),
-                                "logprobs": self._logprobs_obj(req, chat=False),
-                                "finish_reason": req.finish_reason,
+                                "index": i,
+                                "text": texts[i],
+                                "logprobs": self._logprobs_obj(r, chat=False),
+                                "finish_reason": r.finish_reason,
                             }
+                            for i, r in enumerate(reqs)
                         ],
                         "usage": usage,
                     },

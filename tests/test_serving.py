@@ -460,3 +460,72 @@ def test_metrics_endpoint(runner):
     finally:
         server.shutdown()
         eng.shutdown()
+
+
+def test_n_multiple_choices(runner):
+    """OpenAI `n`: one request returns n indexed choices (greedy ->
+    identical; they decode concurrently in the slot pool)."""
+    eng = ServingEngine(runner, n_slots=3, seq_len=96)
+    t = threading.Thread(target=eng.run_forever, daemon=True)
+    t.start()
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        port = server.server_address[1]
+        body = json.dumps(
+            {"prompt": PROMPTS[0], "max_tokens": 6, "n": 3}).encode()
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(rq, timeout=240).read())
+        assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+        texts = [c["text"] for c in out["choices"]]
+        assert len(set(texts)) == 1 and texts[0]  # greedy: all identical
+        assert out["usage"]["completion_tokens"] == 18
+        # n beyond the slot pool is a client error
+        bad = json.dumps({"prompt": "x", "n": 99}).encode()
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=bad,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(rq, timeout=60)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        eng.shutdown()
+
+
+def test_n_streaming_indexed_chunks(runner):
+    eng = ServingEngine(runner, n_slots=2, seq_len=96)
+    t = threading.Thread(target=eng.run_forever, daemon=True)
+    t.start()
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    st = threading.Thread(target=server.serve_forever, daemon=True)
+    st.start()
+    try:
+        port = server.server_address[1]
+        body = json.dumps({"prompt": PROMPTS[0], "max_tokens": 5, "n": 2,
+                           "stream": True}).encode()
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=240) as resp:
+            raw = resp.read().decode()
+        events = [json.loads(line[6:]) for line in raw.splitlines()
+                  if line.startswith("data: ") and line != "data: [DONE]"]
+        assert {e["index"] for e in events} == {0, 1}
+        by_idx = {}
+        for e in events:
+            by_idx.setdefault(e["index"], []).append(e["text"])
+        assert "".join(by_idx[0]) == "".join(by_idx[1])  # greedy
+        assert raw.rstrip().endswith("data: [DONE]")
+    finally:
+        server.shutdown()
+        eng.shutdown()
