@@ -359,6 +359,8 @@ def make_handler(engine: ServingEngine):
                 "total_tokens": len(req.prompt_tokens)
                 + sum(len(r.output_tokens) for r in reqs),
             }
+            if payload.get("echo") and not chat:  # OpenAI completions echo
+                texts = [req.prompt + t for t in texts]
             if chat:
                 self._json(
                     200,

@@ -529,3 +529,25 @@ def test_n_streaming_indexed_chunks(runner):
     finally:
         server.shutdown()
         eng.shutdown()
+
+
+def test_echo_param(runner):
+    eng = ServingEngine(runner, n_slots=1, seq_len=96)
+    t = threading.Thread(target=eng.run_forever, daemon=True)
+    t.start()
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        port = server.server_address[1]
+        body = json.dumps({"prompt": PROMPTS[0], "max_tokens": 4,
+                           "echo": True}).encode()
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(rq, timeout=120).read())
+        assert out["choices"][0]["text"].startswith(PROMPTS[0])
+    finally:
+        server.shutdown()
+        eng.shutdown()
