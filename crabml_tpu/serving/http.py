@@ -441,11 +441,15 @@ def main(argv=None):
                     help="disable automatic prompt-prefix page reuse (--paged)")
     ap.add_argument("--tick-tokens", type=int, default=1,
                     help="fused decode steps per dispatch (raise on high-RTT links)")
+    ap.add_argument("--kv-lane-pad", action="store_true",
+                    help="128-lane-padded KV cache/pool: odd-head models "
+                         "(phi2 hd=80) ride the decode kernel")
     args = ap.parse_args(argv)
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     runner = Runner(
-        args.model, seq_len=args.seq_len, compute_dtype=dt, backend=args.backend
+        args.model, seq_len=args.seq_len, compute_dtype=dt, backend=args.backend,
+        kv_lane_pad=args.kv_lane_pad,
     )
     if args.paged:
         from .paged import PagedServingEngine

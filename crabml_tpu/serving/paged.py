@@ -82,8 +82,12 @@ class PagedKVCache:
         return self.k_scale is not None
 
     @staticmethod
-    def create(cfg, n_pages: int, n_slots: int, max_pages: int, dtype=jnp.bfloat16):
-        shape = (cfg.n_layers, n_pages, cfg.n_kv_heads, PAGE, cfg.head_dim)
+    def create(cfg, n_pages: int, n_slots: int, max_pages: int,
+               dtype=jnp.bfloat16, lane_pad: bool = False):
+        hd = cfg.head_dim
+        if lane_pad and hd % 128:  # see models.forward.KVCache.create
+            hd = -(-hd // 128) * 128
+        shape = (cfg.n_layers, n_pages, cfg.n_kv_heads, PAGE, hd)
         table = jnp.zeros((n_slots, max_pages), jnp.int32)
         if dtype == jnp.int8:
             sshape = shape[:-1] + (1,)
@@ -131,6 +135,9 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
 
     page_of = cache.table[jnp.arange(B), pos // PAGE]  # (B,) physical page
     off = pos % PAGE
+    # lane-padded pool (PagedKVCache.create(lane_pad=True)): k/v/q store
+    # zero-extended to the pool's lane width (score- and scale-neutral)
+    lane_pad = cache.k.shape[-1] - hd
 
     x = embedding_lookup(weights["token_embed"], tokens[:, None], compute_dtype)
     if cfg.scale_embedding:
@@ -163,6 +170,10 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
         # scatter this token's K/V into each sequence's current page
         kt = k[:, 0]  # (B, KV, hd)
         vt = v[:, 0]
+        if lane_pad:
+            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lane_pad)))
+            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lane_pad)))
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
         if quantized:
             def q8(a):  # symmetric per-(batch, head) int8 over hd
                 s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
@@ -187,7 +198,7 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
             use_local=use_local,
         )
         out = None
-        if jax.default_backend() == "tpu" and hd % 128 == 0:
+        if jax.default_backend() == "tpu" and (hd + lane_pad) % 128 == 0:
             # int8 pools ride the kernel with their scale pools (half the
             # pool HBM AND no XLA gather+materialize on the hot path);
             # gemma2 softcap/sliding-window ride the kernel too
@@ -207,14 +218,19 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
                       * ks_pages[cache.table])
                 vd = (v_pages[cache.table].astype(jnp.float32)
                       * vs_pages[cache.table])
-                kd = kd.transpose(0, 2, 1, 3, 4).reshape(B, KV, mp * PAGE, hd)
-                vd = vd.transpose(0, 2, 1, 3, 4).reshape(B, KV, mp * PAGE, hd)
+                kd = kd.transpose(0, 2, 1, 3, 4).reshape(
+                    B, KV, mp * PAGE, hd + lane_pad)
+                vd = vd.transpose(0, 2, 1, 3, 4).reshape(
+                    B, KV, mp * PAGE, hd + lane_pad)
                 from ..models.forward import attention
 
                 out = attention(q, kd, vd, pos, 1, scale, **attn_kw)
             else:
                 out = _paged_attention_fallback(q, k_pages, v_pages, cache.table,
                                                 pos + 1, scale, **attn_kw)
+        if lane_pad:  # drop the zero lanes before wo
+            out = out.reshape(B, 1, H, hd + lane_pad)[..., :hd].reshape(
+                B, 1, H * hd)
         attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
         if "bo" in lw:
             attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
@@ -306,6 +322,7 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
     # physical page of each of this chunk's c_pages logical pages
     pages_here = [slot_pages[filled // PAGE + j] for j in range(c_pages)]
     ctx = jax.lax.dynamic_slice_in_dim(slot_pages, 0, n_ctx_pages)
+    lane_pad = cache.k.shape[-1] - hd  # see paged_decode_step
 
     x = embedding_lookup(weights["token_embed"], tokens, compute_dtype)
     if cfg.scale_embedding:
@@ -336,6 +353,10 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
         # write the whole chunk straight into its pages: (KV, T, hd)
         kt = k[0].transpose(1, 0, 2)
         vt = v[0].transpose(1, 0, 2)
+        if lane_pad:
+            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lane_pad)))
+            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lane_pad)))
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
         if quantized:
             def q8(a):
                 s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
@@ -363,14 +384,19 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
         if quantized:
             kg = kg.astype(jnp.float32) * ks_pages[ctx]
             vg = vg.astype(jnp.float32) * vs_pages[ctx]
-        kd = kg.transpose(1, 0, 2, 3).reshape(1, KV, n_ctx_pages * PAGE, hd)
-        vd = vg.transpose(1, 0, 2, 3).reshape(1, KV, n_ctx_pages * PAGE, hd)
+        kd = kg.transpose(1, 0, 2, 3).reshape(
+            1, KV, n_ctx_pages * PAGE, hd + lane_pad)
+        vd = vg.transpose(1, 0, 2, 3).reshape(
+            1, KV, n_ctx_pages * PAGE, hd + lane_pad)
         out = attention(
             q, kd, vd, jnp.reshape(filled, (1,)), T, scale,
             softcap=cfg.attn_logit_softcap,
             local_window=cfg.sliding_window,
             use_local=(l % 2 == 0) if cfg.alternating_window else None,
         )
+        if lane_pad:
+            out = out.reshape(B, T, H, hd + lane_pad)[..., :hd].reshape(
+                B, T, H * hd)
         attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype,
                            layer=l)
         if "bo" in lw:
@@ -492,14 +518,6 @@ class PagedServingEngine(ServingEngine):
         self._n_pages_cfg = n_pages
         self._prefix_on = prefix_cache
         super().__init__(runner, **kw)
-        if self.kv_lane_pad:
-            from ..errors import UnsupportedError
-
-            raise UnsupportedError(
-                "kv_lane_pad is not supported by the paged pool yet — "
-                "use the dense ServingEngine for odd-head models, or "
-                "run the paged engine on the XLA attention fallback"
-            )
         # chunked admission writes pages directly when chunks are
         # page-multiples; other chunk sizes (and prefill_chunk=None —
         # legacy synchronous admission) keep the dense-scratch path
@@ -537,7 +555,8 @@ class PagedServingEngine(ServingEngine):
             donate_argnames=("cache",),
         )
         cache = PagedKVCache.create(
-            self.cfg, self.n_pages, self.n_slots, self.max_pages, self.kv_dtype
+            self.cfg, self.n_pages, self.n_slots, self.max_pages,
+            self.kv_dtype, lane_pad=self.kv_lane_pad,
         )
         if self.mesh is not None:
             # TP-sharded pool (ROADMAP #3): pages split over KV heads, so
@@ -675,7 +694,8 @@ class PagedServingEngine(ServingEngine):
         self._prefilling[slot] = (toks, self._reuse.get(slot, 0))
         if not self._direct_prefill:
             self._scratch[slot] = KVCache.create(
-                self.cfg, 1, _bucket(len(toks), PAGE), self.kv_dtype
+                self.cfg, 1, _bucket(len(toks), PAGE), self.kv_dtype,
+                lane_pad=self.kv_lane_pad,
             )
         self.pos = self.pos.copy()
         self.pos[slot] = 0  # table row stays 0: garbage decode writes land
@@ -748,7 +768,8 @@ class PagedServingEngine(ServingEngine):
         t_pad = _bucket(len(toks), PAGE)
         padded = np.zeros((1, t_pad), np.int32)
         padded[0, : len(toks)] = toks
-        dense = KVCache.create(self.cfg, 1, t_pad, self.kv_dtype)
+        dense = KVCache.create(self.cfg, 1, t_pad, self.kv_dtype,
+                               lane_pad=self.kv_lane_pad)
         logits, dense = self._prefill_jit(
             self.weights, dense, jnp.asarray(padded), jnp.zeros(1, jnp.int32)
         )

@@ -93,12 +93,24 @@ def test_lane_pad_serving_engine_parity(stories260k_path):
     assert eng.generate([PROMPT], max_tokens=10)[0] == want
 
 
-def test_lane_pad_paged_engine_rejects(stories260k_path):
-    import pytest
-
-    from crabml_tpu.errors import UnsupportedError
+def test_lane_pad_paged_engine_parity(stories260k_path):
+    """The paged pool, its direct-to-page prefill, and the decode step all
+    carry the padded lane width; outputs match the unpadded pool."""
     from crabml_tpu.serving.paged import PagedServingEngine
 
-    pad_r = Runner(stories260k_path, seq_len=128, kv_lane_pad=True)
-    with pytest.raises(UnsupportedError):
-        PagedServingEngine(pad_r, n_slots=2, seq_len=96, n_pages=4)
+    plain_r = Runner(stories260k_path, seq_len=256)
+    plain = PagedServingEngine(plain_r, n_slots=2, seq_len=256, n_pages=8)
+    want = plain.generate([PROMPT], max_tokens=12)[0]
+
+    pad_r = Runner(stories260k_path, seq_len=256, kv_lane_pad=True)
+    eng = PagedServingEngine(pad_r, n_slots=2, seq_len=256, n_pages=8)
+    assert eng.cache.k.shape[-1] == 128
+    assert eng.generate([PROMPT], max_tokens=12)[0] == want
+
+    # int8 pool + lane pad (scales are zero-lane-neutral)
+    eng8a = PagedServingEngine(plain_r, n_slots=2, seq_len=256, n_pages=8,
+                               kv_dtype=jnp.int8)
+    eng8b = PagedServingEngine(pad_r, n_slots=2, seq_len=256, n_pages=8,
+                               kv_dtype=jnp.int8)
+    assert (eng8b.generate([PROMPT], max_tokens=12)
+            == eng8a.generate([PROMPT], max_tokens=12))
