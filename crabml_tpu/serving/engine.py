@@ -169,6 +169,38 @@ class Request:
         return self.finish_reason is not None
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "attn_window"),
+    donate_argnames=("cache",),
+)
+def _spec_verify_step(weights, cache, tokens, pos, cfg, compute_dtype,
+                      attn_window=None):
+    """Speculative verify: forward (B, K+1) tokens (each slot's current
+    token + its K drafted tokens) in ONE dispatch, greedy argmax at every
+    position. Rejected drafts' KV writes land PAST the slot's accepted
+    position, where the causal mask (col <= pos) hides them until the
+    sequential decode overwrites each position — no cache rollback."""
+    logits, cache = forward(weights, cache, tokens, pos, cfg, compute_dtype,
+                            attn_window=attn_window)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+def _lookup_draft(ctx: list, K: int) -> list:
+    """Prompt-lookup drafting (host-side): find the most recent earlier
+    occurrence of the context's last 2-gram and propose the K tokens that
+    followed it. No match -> zeros (the verify still emits its bonus
+    token, so a tick never regresses below 1 token/slot)."""
+    n = len(ctx)
+    if n >= 3:
+        a, b = ctx[-2], ctx[-1]
+        for i in range(n - 3, -1, -1):
+            if ctx[i] == a and ctx[i + 1] == b:
+                d = list(ctx[i + 2: i + 2 + K])
+                return d + [0] * (K - len(d))
+    return [0] * K
+
+
 class LatencyHistogram:
     """Prometheus-style cumulative histogram (fixed buckets, host-side)."""
 
@@ -229,6 +261,7 @@ class ServingEngine:
         tick_tokens: int = 1,
         prefill_chunk: int | None = 256,
         kv_lane_pad: bool = False,
+        speculative: int = 0,
     ):
         self.mesh = None
         self.kv_lane_pad = kv_lane_pad
@@ -287,6 +320,12 @@ class ServingEngine:
         self.tokens_generated = 0
         self.requests_submitted = 0
         self.requests_completed = 0  # by finish reason, see _finish
+        # prompt-lookup speculative serving: draft length per verify tick
+        # (0 = off). Engages only when EVERY active slot is plain-greedy
+        # (exactness requires argmax verify without penalties/bias).
+        self.speculative = speculative
+        self.spec_ticks = 0
+        self.spec_tokens = 0  # tokens emitted by speculative ticks
         self.ttft_hist = LatencyHistogram()  # submit -> first token
         self.e2e_hist = LatencyHistogram()  # submit -> finish
         self._started = None  # first-step timestamp (serving uptime)
@@ -544,6 +583,11 @@ class ServingEngine:
         pmax = int(max(pos0[i] for i in active))
         multi = max(1, min(multi, self.seq_len - 1 - pmax))
 
+        if self.speculative:
+            n = self._spec_tick(active, snapshot, pos0, pmax)
+            if n is not None:
+                return n
+
         self._key, sub = jax.random.split(self._key)
         win = min(_bucket(int(self.pos.max()) + multi, 128), self.seq_len)
         if multi == 1:
@@ -597,6 +641,62 @@ class ServingEngine:
                     logprob=None if tok_lp is None else float(tok_lp[i, j]),
                     top=None if top_id is None else (top_id[i, j], top_lp[i, j]),
                 )
+        return sum(r is not None for r in self.slots)
+
+    def _spec_tick(self, active, snapshot, pos0, pmax) -> int | None:
+        """One speculative verify tick (see _spec_verify_step). Returns the
+        occupied-slot count, or None when ineligible (any active slot is
+        non-greedy / uses penalties, bias, or logprobs; or the scan would
+        cross the seq_len edge) — the caller then runs the plain tick."""
+        K = self.speculative
+        if pmax + K + 1 > self.seq_len - 1:
+            return None
+        for i in active:
+            r = snapshot[i]
+            if (r.temperature != 0.0 or r.logit_bias or r.logprobs is not None
+                    or r.repetition_penalty != 1.0 or r.frequency_penalty
+                    or r.presence_penalty):
+                return None
+
+        tokens_in = np.zeros((self.n_slots, K + 1), np.int32)
+        tokens_in[:, 0] = self.cur_tok
+        for i in active:
+            r = snapshot[i]
+            tokens_in[i, 1:] = _lookup_draft(
+                r.prompt_tokens + r.output_tokens, K)
+        win = min(_bucket(int(self.pos.max()) + K + 1, 128), self.seq_len)
+        out, self.cache = _spec_verify_step(
+            self.weights, self.cache, jnp.asarray(tokens_in),
+            jnp.asarray(self.pos), self.cfg, self.compute_dtype,
+            attn_window=win,
+        )
+        out = np.asarray(out)  # (n_slots, K+1): greedy token after each pos
+
+        # accept the longest drafted prefix the model agrees with, plus
+        # the bonus token (out[m]) — standard greedy-exact acceptance
+        acc = {}
+        for i in active:
+            m = 0
+            while m < K and tokens_in[i, m + 1] == out[i, m]:
+                m += 1
+            acc[i] = m
+        self.pos = self.pos + np.asarray(
+            [acc.get(i, -1) + 1 for i in range(self.n_slots)], np.int32,
+        )
+        self.steps += 1
+        self.spec_ticks += 1
+        emitted = sum(m + 1 for m in acc.values())
+        self.tokens_generated += emitted
+        self.spec_tokens += emitted
+        if self._started is None:
+            import time
+
+            self._started = time.monotonic()
+        for j in range(K + 1):
+            for i in active:
+                if j > acc[i] or self.slots[i] is not snapshot[i]:
+                    continue  # rejected tail / finished earlier this tick
+                self._deliver(i, int(out[i, j]), pos_after=int(pos0[i]) + j + 1)
         return sum(r is not None for r in self.slots)
 
     def _deliver_first(self, slot: int, req: Request, first, first_lp):

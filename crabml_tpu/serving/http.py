@@ -83,6 +83,9 @@ def make_handler(engine: ServingEngine):
                     ("crabml_slots_total", "gauge", engine.n_slots),
                     ("crabml_slots_busy", "gauge",
                      sum(r is not None for r in engine.slots)),
+                    ("crabml_spec_ticks_total", "counter", engine.spec_ticks),
+                    ("crabml_spec_tokens_total", "counter",
+                     engine.spec_tokens),
                     ("crabml_requests_submitted_total", "counter",
                      engine.requests_submitted),
                     ("crabml_requests_completed_total", "counter",
@@ -444,6 +447,10 @@ def main(argv=None):
     ap.add_argument("--kv-lane-pad", action="store_true",
                     help="128-lane-padded KV cache/pool: odd-head models "
                          "(phi2 hd=80) ride the decode kernel")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="prompt-lookup speculative serving: verify K "
+                         "drafted tokens per tick (greedy requests only; "
+                         "dense engine)")
     args = ap.parse_args(argv)
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -460,7 +467,8 @@ def main(argv=None):
         )
     else:
         engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len,
-                               tick_tokens=args.tick_tokens)
+                               tick_tokens=args.tick_tokens,
+                               speculative=args.speculative)
     print(f"serving {engine.cfg.model_name} on {args.host}:{args.port} "
           f"({args.slots} slots, seq_len={engine.seq_len})")
     serve(engine, args.host, args.port)

@@ -517,6 +517,13 @@ class PagedServingEngine(ServingEngine):
         kw.setdefault("prefill_chunk", 4 * PAGE)
         self._n_pages_cfg = n_pages
         self._prefix_on = prefix_cache
+        if kw.get("speculative"):
+            from ..errors import UnsupportedError
+
+            raise UnsupportedError(
+                "speculative serving rides the dense slot-pool engine; "
+                "the paged tick would need K+1-page pre-allocation"
+            )
         super().__init__(runner, **kw)
         # chunked admission writes pages directly when chunks are
         # page-multiples; other chunk sizes (and prefill_chunk=None —

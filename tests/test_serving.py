@@ -551,3 +551,68 @@ def test_echo_param(runner):
     finally:
         server.shutdown()
         eng.shutdown()
+
+
+def test_speculative_serving_exactness(runner):
+    """Speculative ticks emit exactly the plain engine's greedy tokens —
+    acceptance only shortcuts dispatches, never changes output (on short
+    story text the n-gram draft rarely hits, so this pins the
+    mostly-rejected regime)."""
+    plain = ServingEngine(runner, n_slots=2, seq_len=96)
+    want = [plain.generate([p], max_tokens=24)[0] for p in PROMPTS[:2]]
+
+    eng = ServingEngine(runner, n_slots=2, seq_len=96, speculative=5)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=24)) for p in PROMPTS[:2]]
+    eng.drain(max_steps=400)
+    assert [_detok(eng, r) for r in reqs] == want
+    assert eng.spec_ticks > 0
+
+
+def test_speculative_oracle_draft_accepts_multi(runner, monkeypatch):
+    """With a perfect draft the verify tick must emit K+1 tokens at once
+    (the acceptance/pos/delivery bookkeeping, isolated from draft quality):
+    draft with an oracle that continues the plain engine's golden output."""
+    import crabml_tpu.serving.engine as eng_mod
+
+    plain = ServingEngine(runner, n_slots=1, seq_len=96)
+    golden_req = plain.submit(Request(prompt=PROMPTS[0], max_tokens=24))
+    plain.drain(max_steps=200)
+    full = golden_req.prompt_tokens + golden_req.output_tokens
+
+    def oracle(ctx, K):
+        n = len(ctx)
+        assert full[:n] == list(ctx)  # exactness invariant mid-flight
+        d = full[n: n + K]
+        return list(d) + [0] * (K - len(d))
+
+    monkeypatch.setattr(eng_mod, "_lookup_draft", oracle)
+    eng = ServingEngine(runner, n_slots=1, seq_len=96, speculative=5)
+    r = eng.submit(Request(prompt=PROMPTS[0], max_tokens=24))
+    eng.drain(max_steps=100)
+    assert r.output_tokens == golden_req.output_tokens
+    # 23 post-prefill tokens at up to 6/tick: the draft actually accepted
+    assert eng.spec_ticks <= 6
+    assert eng.spec_tokens / eng.spec_ticks >= 3
+
+
+def test_speculative_falls_back_for_sampling_requests(runner):
+    """A non-greedy slot in the batch forces plain ticks (exactness needs
+    argmax verify); outputs stay correct and generation completes."""
+    plain = ServingEngine(runner, n_slots=2, seq_len=96)
+    want = plain.generate([PROMPTS[0]], max_tokens=8)[0]
+
+    eng = ServingEngine(runner, n_slots=2, seq_len=96, speculative=5)
+    r1 = eng.submit(Request(prompt=PROMPTS[0], max_tokens=8))
+    r2 = eng.submit(Request(prompt=PROMPTS[1], max_tokens=8, temperature=0.8))
+    eng.drain(max_steps=200)
+    assert r1.done and r2.done
+    assert _detok(eng, r1) == want  # greedy slot unaffected by the mix
+
+
+def test_speculative_near_seq_edge_falls_back(runner):
+    """Close to seq_len the verify window would cross the edge: the tick
+    falls back and the request still finishes by length."""
+    eng = ServingEngine(runner, n_slots=1, seq_len=48, speculative=16)
+    r = eng.submit(Request(prompt=PROMPTS[0], max_tokens=64))
+    eng.drain(max_steps=300)
+    assert r.done and r.finish_reason == "length"
