@@ -160,6 +160,7 @@ class Request:
         default_factory=list, repr=False)
     finish_reason: str | None = None
     output_text: str | None = None  # decoded + stop-trimmed (when stop set)
+    cancelled: bool = field(default=False, repr=False)  # set via engine.cancel
     _t_submit: float = field(default=0.0, repr=False)
     _stream: "queue.SimpleQueue[str | None] | None" = field(default=None, repr=False)
     _utf8: Utf8Buf = field(default_factory=Utf8Buf, repr=False)
@@ -393,6 +394,13 @@ class ServingEngine:
     def _free_slots(self) -> list[int]:
         return [i for i, r in enumerate(self.slots) if r is None]
 
+    def cancel(self, req: Request):
+        """Abort a request (e.g. the HTTP client disconnected): it finishes
+        with reason "cancelled" at its next queue pop / prefill chunk /
+        delivered token, freeing its slot (and pages) instead of decoding
+        to max_tokens for nobody."""
+        req.cancelled = True
+
     def _admit(self):
         free = self._free_slots()
         while free:
@@ -400,6 +408,12 @@ class ServingEngine:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 break
+            if req.cancelled:  # never claimed a slot: close it directly
+                req.finish_reason = "cancelled"
+                self.requests_completed += 1
+                if req._stream is not None:
+                    req._stream.put(None)
+                continue
             slot = free.pop(0)
             if self.prefill_chunk is None:
                 self._prefill_into(slot, req)
@@ -434,6 +448,9 @@ class ServingEngine:
         if not self._prefilling:
             return
         slot = next(iter(self._prefilling))
+        if self.slots[slot].cancelled:  # client gone mid-admission
+            self._finish(slot, "cancelled")
+            return
         toks, filled = self._prefilling[slot]
         chunk = toks[filled : filled + self.prefill_chunk]
         logits = self._prefill_chunk_device(slot, chunk, filled)
@@ -722,6 +739,9 @@ class ServingEngine:
         `logprob`/`top` ((ids, logprobs) arrays): recorded aligned with
         output_tokens when the request asked for logprobs."""
         req = self.slots[slot]
+        if req.cancelled:
+            self._finish(slot, "cancelled")
+            return
         if not req.output_tokens and req._t_submit:
             # first token ever for this request (preemption-safe: requeued
             # requests keep their output and don't re-observe)

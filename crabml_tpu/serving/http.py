@@ -196,9 +196,11 @@ def make_handler(engine: ServingEngine):
                 ]
             return obj
 
-        def _stream_sse(self, stream, make_event):
+        def _stream_sse(self, stream, make_event, on_disconnect=None):
             """Drain a token stream as chunked SSE; make_event(piece|None)
-            returns the JSON-able event (None piece = final event)."""
+            returns the JSON-able event (None piece = final event). A
+            client disconnect mid-stream calls on_disconnect (which
+            cancels the engine request instead of decoding for nobody)."""
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Transfer-Encoding", "chunked")
@@ -207,17 +209,21 @@ def make_handler(engine: ServingEngine):
             def chunk(data: bytes):
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
 
-            while True:
-                piece = stream.get()
-                if piece is None:
-                    break
-                ev = make_event(piece)
-                chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
-            final = make_event(None)
-            if final is not None:
-                chunk(b"data: " + json.dumps(final).encode() + b"\n\n")
-            chunk(b"data: [DONE]\n\n")
-            chunk(b"")
+            try:
+                while True:
+                    piece = stream.get()
+                    if piece is None:
+                        break
+                    ev = make_event(piece)
+                    chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
+                final = make_event(None)
+                if final is not None:
+                    chunk(b"data: " + json.dumps(final).encode() + b"\n\n")
+                chunk(b"data: [DONE]\n\n")
+                chunk(b"")
+            except (BrokenPipeError, ConnectionResetError):
+                if on_disconnect is not None:
+                    on_disconnect()
 
         def do_POST(self):
             if self.path not in (
@@ -281,36 +287,40 @@ def make_handler(engine: ServingEngine):
                         f"{len(data):X}\r\n".encode() + data + b"\r\n")
 
                 live = n_choices
-                while live:
-                    i, piece = merged.get()
-                    if piece is None:
-                        live -= 1
-                        if chat:
+                try:
+                    while live:
+                        i, piece = merged.get()
+                        if piece is None:
+                            live -= 1
+                            if chat:
+                                ev = {
+                                    "id": f"chatcmpl-{req.request_id}",
+                                    "object": "chat.completion.chunk",
+                                    "model": engine.cfg.model_name,
+                                    "choices": [{"index": i, "delta": {},
+                                                 "finish_reason":
+                                                     reqs[i].finish_reason}],
+                                }
+                            else:
+                                ev = None
+                            if ev is None:
+                                continue
+                        elif chat:
                             ev = {
                                 "id": f"chatcmpl-{req.request_id}",
                                 "object": "chat.completion.chunk",
                                 "model": engine.cfg.model_name,
-                                "choices": [{"index": i, "delta": {},
-                                             "finish_reason":
-                                                 reqs[i].finish_reason}],
+                                "choices": [{"index": i,
+                                             "delta": {"content": piece}}],
                             }
                         else:
-                            ev = None
-                        if ev is None:
-                            continue
-                    elif chat:
-                        ev = {
-                            "id": f"chatcmpl-{req.request_id}",
-                            "object": "chat.completion.chunk",
-                            "model": engine.cfg.model_name,
-                            "choices": [{"index": i,
-                                         "delta": {"content": piece}}],
-                        }
-                    else:
-                        ev = {"index": i, "text": piece}
-                    chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
-                chunk(b"data: [DONE]\n\n")
-                chunk(b"")
+                            ev = {"index": i, "text": piece}
+                        chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
+                    chunk(b"data: [DONE]\n\n")
+                    chunk(b"")
+                except (BrokenPipeError, ConnectionResetError):
+                    for r in reqs:
+                        engine.cancel(r)
                 return
 
             if payload.get("stream"):
@@ -335,11 +345,13 @@ def make_handler(engine: ServingEngine):
                                 }
                             ],
                         },
+                        on_disconnect=lambda: engine.cancel(req),
                     )
                 else:
                     self._stream_sse(
                         stream,
                         lambda piece: {"text": piece} if piece is not None else None,
+                        on_disconnect=lambda: engine.cancel(req),
                     )
                 return
 

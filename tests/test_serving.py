@@ -616,3 +616,72 @@ def test_speculative_near_seq_edge_falls_back(runner):
     r = eng.submit(Request(prompt=PROMPTS[0], max_tokens=64))
     eng.drain(max_steps=300)
     assert r.done and r.finish_reason == "length"
+
+
+def test_cancel_frees_slot_and_mid_prefill(runner):
+    eng = ServingEngine(runner, n_slots=1, seq_len=96, prefill_chunk=8)
+    # 1) cancel mid-decode
+    r = eng.submit(Request(prompt=PROMPTS[0], max_tokens=50))
+    for _ in range(5):
+        eng.step()
+    assert not r.done
+    eng.cancel(r)
+    eng.step()
+    assert r.finish_reason == "cancelled"
+    assert eng.slots[0] is None  # slot freed for the next request
+    # 2) cancel while still queued
+    blocker = eng.submit(Request(prompt=PROMPTS[1], max_tokens=30))
+    queued = eng.submit(Request(prompt=PROMPTS[2], max_tokens=30))
+    eng.cancel(queued)
+    eng.drain(max_steps=200)
+    assert blocker.done and blocker.finish_reason == "length"
+    assert queued.finish_reason == "cancelled" and not queued.output_tokens
+    # 3) cancel mid-admission (chunked prefill in flight)
+    long_req = eng.submit(Request(
+        prompt="one two three four five six seven eight nine ten " * 2,
+        max_tokens=30))
+    eng.step()
+    assert eng._prefilling  # genuinely mid-prefill
+    eng.cancel(long_req)
+    eng.step()
+    assert long_req.finish_reason == "cancelled"
+    assert not eng._prefilling and eng.slots[0] is None
+
+
+def test_http_disconnect_cancels_stream(runner):
+    """Closing the client socket mid-stream cancels the engine request
+    instead of decoding to max_tokens for nobody."""
+    import socket
+
+    eng = ServingEngine(runner, n_slots=1, seq_len=96)
+    t = threading.Thread(target=eng.run_forever, daemon=True)
+    t.start()
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        port = server.server_address[1]
+        body = json.dumps({"prompt": PROMPTS[0], "max_tokens": 60,
+                           "stream": True}).encode()
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        s.sendall(
+            b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body)
+        got = s.recv(4096)  # wait for the first streamed bytes
+        assert b"data:" in got or b"200" in got
+        s.close()  # client walks away mid-generation
+        import time as _t
+
+        deadline = _t.monotonic() + 60
+        while _t.monotonic() < deadline:
+            if eng.slots[0] is None and eng.requests_completed >= 1:
+                break
+            _t.sleep(0.2)
+        assert eng.slots[0] is None, "slot never freed after disconnect"
+        # well before max_tokens: the engine stopped decoding for nobody
+        assert eng.tokens_generated < 55
+    finally:
+        server.shutdown()
+        eng.shutdown()
