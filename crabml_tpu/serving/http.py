@@ -49,6 +49,12 @@ def make_handler(engine: ServingEngine):
             self.end_headers()
             self.wfile.write(body)
 
+        def _error(self, code: int, message: str, etype: str = "invalid_request_error"):
+            # OpenAI error envelope: clients read error.message/error.type
+            self._json(code, {"error": {
+                "message": message, "type": etype, "param": None, "code": None,
+            }})
+
         def do_GET(self):
             if self.path == "/health":
                 import time
@@ -128,7 +134,7 @@ def make_handler(engine: ServingEngine):
                     }],
                 })
             else:
-                self._json(404, {"error": "not found"})
+                self._error(404, "not found", "not_found_error")
 
         def _build_request(self, payload, prompt: str, extra_stop=()):
             """Shared sampling/stop/bias parsing for both POST routes."""
@@ -227,14 +233,26 @@ def make_handler(engine: ServingEngine):
 
         def do_POST(self):
             if self.path not in (
-                "/v1/completions", "/generate", "/v1/chat/completions"
+                "/v1/completions", "/generate", "/v1/chat/completions",
+                "/tokenize", "/detokenize",
             ):
-                self._json(404, {"error": "not found"})
+                self._error(404, "not found", "not_found_error")
                 return
             chat = self.path == "/v1/chat/completions"
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/tokenize":  # llama.cpp-server parity
+                    self._json(200, {"tokens": engine.tokenizer.encode(
+                        str(payload.get("content", "")),
+                        bos=bool(payload.get("add_special", False)))})
+                    return
+                if self.path == "/detokenize":
+                    toks = payload.get("tokens") or []
+                    if not all(isinstance(t, int) for t in toks):
+                        raise ValueError("tokens must be a list of ints")
+                    self._json(200, {"content": engine.tokenizer.decode_tokens(toks)})
+                    return
                 n_choices = int(payload.get("n", 1))
                 if not 1 <= n_choices <= engine.n_slots:
                     raise ValueError(
@@ -258,7 +276,7 @@ def make_handler(engine: ServingEngine):
                     ]
                 req = reqs[0]
             except (ValueError, json.JSONDecodeError) as e:
-                self._json(400, {"error": str(e)})
+                self._error(400, str(e))
                 return
 
             if payload.get("stream") and n_choices > 1:
@@ -324,6 +342,17 @@ def make_handler(engine: ServingEngine):
                 return
 
             if payload.get("stream"):
+                want_usage = bool(
+                    (payload.get("stream_options") or {}).get("include_usage"))
+
+                def usage_now():
+                    return {
+                        "prompt_tokens": len(req.prompt_tokens),
+                        "completion_tokens": len(req.output_tokens),
+                        "total_tokens": len(req.prompt_tokens)
+                        + len(req.output_tokens),
+                    }
+
                 stream = engine.enqueue_streaming(req)
                 if chat:
                     base = {
@@ -331,26 +360,27 @@ def make_handler(engine: ServingEngine):
                         "object": "chat.completion.chunk",
                         "model": engine.cfg.model_name,
                     }
+
+                    def chat_event(piece):
+                        if piece is not None:
+                            return {**base, "choices": [
+                                {"index": 0, "delta": {"content": piece}}]}
+                        final = {**base, "choices": [
+                            {"index": 0, "delta": {},
+                             "finish_reason": req.finish_reason}]}
+                        if want_usage:  # OpenAI stream_options.include_usage
+                            final["usage"] = usage_now()
+                        return final
+
                     self._stream_sse(
-                        stream,
-                        lambda piece: {
-                            **base,
-                            "choices": [
-                                {"index": 0, "delta": {"content": piece}}
-                                if piece is not None
-                                else {
-                                    "index": 0,
-                                    "delta": {},
-                                    "finish_reason": req.finish_reason,
-                                }
-                            ],
-                        },
+                        stream, chat_event,
                         on_disconnect=lambda: engine.cancel(req),
                     )
                 else:
                     self._stream_sse(
                         stream,
-                        lambda piece: {"text": piece} if piece is not None else None,
+                        lambda piece: {"text": piece} if piece is not None
+                        else ({"usage": usage_now()} if want_usage else None),
                         on_disconnect=lambda: engine.cancel(req),
                     )
                 return

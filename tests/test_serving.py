@@ -685,3 +685,55 @@ def test_http_disconnect_cancels_stream(runner):
     finally:
         server.shutdown()
         eng.shutdown()
+
+
+def test_tokenize_detokenize_and_stream_usage(runner):
+    eng = ServingEngine(runner, n_slots=1, seq_len=96)
+    t = threading.Thread(target=eng.run_forever, daemon=True)
+    t.start()
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(eng))
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        port = server.server_address[1]
+
+        def post(path, obj, expect=200):
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(obj).encode(),
+                headers={"Content-Type": "application/json"})
+            return json.loads(urllib.request.urlopen(rq, timeout=120).read())
+
+        toks = post("/tokenize", {"content": PROMPTS[0], "add_special": True})
+        assert toks["tokens"][0] == eng.tokenizer.bos_token
+        rt = post("/detokenize", {"tokens": toks["tokens"][1:]})
+        assert rt["content"].strip() == PROMPTS[0]
+
+        # stream_options.include_usage: final event before [DONE] carries it
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": PROMPTS[0], "max_tokens": 5,
+                             "stream": True,
+                             "stream_options": {"include_usage": True}}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(rq, timeout=120) as resp:
+            raw = resp.read().decode()
+        events = [json.loads(l[6:]) for l in raw.splitlines()
+                  if l.startswith("data: ") and l != "data: [DONE]"]
+        assert events[-1]["usage"]["completion_tokens"] == 5
+
+        # OpenAI error envelope
+        rq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "x", "n": 99}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(rq, timeout=60)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            err = json.loads(e.read())["error"]
+            assert err["type"] == "invalid_request_error" and "n must" in err["message"]
+    finally:
+        server.shutdown()
+        eng.shutdown()
