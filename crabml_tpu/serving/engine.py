@@ -411,6 +411,8 @@ class ServingEngine:
             if req.cancelled:  # never claimed a slot: close it directly
                 req.finish_reason = "cancelled"
                 self.requests_completed += 1
+                if req._t_submit:
+                    self.e2e_hist.observe(time.monotonic() - req._t_submit)
                 if req._stream is not None:
                     req._stream.put(None)
                 continue
@@ -597,7 +599,10 @@ class ServingEngine:
         # (an uncapped scan would scatter into clamped/last positions,
         # corrupting live KV mid-scan — the tokens LOOK discarded host-side
         # but the cache damage would be real)
-        pmax = int(max(pos0[i] for i in active))
+        # cap over ALL slots, not just active: a mid-prefill slot also gets
+        # multi KV writes at its filled offset; past seq_len they'd CLAMP
+        # and overwrite its real prompt KV backwards
+        pmax = int(self.pos.max())
         multi = max(1, min(multi, self.seq_len - 1 - pmax))
 
         if self.speculative:
@@ -646,8 +651,6 @@ class ServingEngine:
         self.steps += multi
         self.tokens_generated += len(active) * multi
         if self._started is None:
-            import time
-
             self._started = time.monotonic()
         for j in range(multi):
             for i in active:
@@ -666,6 +669,8 @@ class ServingEngine:
         non-greedy / uses penalties, bias, or logprobs; or the scan would
         cross the seq_len edge) — the caller then runs the plain tick."""
         K = self.speculative
+        # pmax covers ALL slots (see step()): the verify writes K+1
+        # positions for idle and mid-prefill slots too
         if pmax + K + 1 > self.seq_len - 1:
             return None
         for i in active:
@@ -702,17 +707,16 @@ class ServingEngine:
         )
         self.steps += 1
         self.spec_ticks += 1
-        emitted = sum(m + 1 for m in acc.values())
-        self.tokens_generated += emitted
-        self.spec_tokens += emitted
         if self._started is None:
-            import time
-
             self._started = time.monotonic()
         for j in range(K + 1):
             for i in active:
                 if j > acc[i] or self.slots[i] is not snapshot[i]:
                     continue  # rejected tail / finished earlier this tick
+                # count only tokens actually delivered (a slot finishing
+                # mid-tick drops its remaining accepted tokens)
+                self.tokens_generated += 1
+                self.spec_tokens += 1
                 self._deliver(i, int(out[i, j]), pos_after=int(pos0[i]) + j + 1)
         return sum(r is not None for r in self.slots)
 

@@ -275,7 +275,7 @@ def make_handler(engine: ServingEngine):
                         for _ in range(n_choices)
                     ]
                 req = reqs[0]
-            except (ValueError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._error(400, str(e))
                 return
 
@@ -334,6 +334,17 @@ def make_handler(engine: ServingEngine):
                         else:
                             ev = {"index": i, "text": piece}
                         chunk(b"data: " + json.dumps(ev).encode() + b"\n\n")
+                    if (payload.get("stream_options") or {}).get(
+                            "include_usage"):
+                        usage_ev = {"usage": {
+                            "prompt_tokens": len(req.prompt_tokens),
+                            "completion_tokens": sum(
+                                len(r.output_tokens) for r in reqs),
+                            "total_tokens": len(req.prompt_tokens) + sum(
+                                len(r.output_tokens) for r in reqs),
+                        }}
+                        chunk(b"data: " + json.dumps(usage_ev).encode()
+                              + b"\n\n")
                     chunk(b"data: [DONE]\n\n")
                     chunk(b"")
                 except (BrokenPipeError, ConnectionResetError):
@@ -506,6 +517,7 @@ def main(argv=None):
         engine = PagedServingEngine(
             runner, n_slots=args.slots, seq_len=args.seq_len, n_pages=args.pages,
             tick_tokens=args.tick_tokens, prefix_cache=not args.no_prefix_cache,
+            speculative=args.speculative,
         )
     else:
         engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len,

@@ -485,16 +485,18 @@ def test_n_multiple_choices(runner):
         texts = [c["text"] for c in out["choices"]]
         assert len(set(texts)) == 1 and texts[0]  # greedy: all identical
         assert out["usage"]["completion_tokens"] == 18
-        # n beyond the slot pool is a client error
-        bad = json.dumps({"prompt": "x", "n": 99}).encode()
-        rq = urllib.request.Request(
-            f"http://127.0.0.1:{port}/v1/completions", data=bad,
-            headers={"Content-Type": "application/json"})
-        try:
-            urllib.request.urlopen(rq, timeout=60)
-            raise AssertionError("expected 400")
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # n beyond the slot pool — and "n": null (TypeError path) — are
+        # client errors, not dropped connections
+        for bad_n in (99, None):
+            bad = json.dumps({"prompt": "x", "n": bad_n}).encode()
+            rq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/completions", data=bad,
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(rq, timeout=60)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         server.shutdown()
         eng.shutdown()
