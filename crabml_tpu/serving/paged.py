@@ -668,15 +668,25 @@ class PagedServingEngine(ServingEngine):
                 if pg is None:
                     break
                 reused.append(pg)
-        pages = self._alloc(n_prompt_pages - len(reused))
-        if pages is None:  # pool busy: leave queued for a later tick
-            self.pending.put(req)
-            return False
-        for pg in reused:  # commit refs only after alloc succeeded
+        # PIN the reused pages BEFORE allocating: _alloc evicts ref-0
+        # cached pages under pressure, and without the pin it could evict
+        # and re-hand-out the very pages we are about to reuse — one
+        # physical page mapped at two logical positions (corruption)
+        for pg in reused:
             r = self._ref.get(pg, 0)
             self._ref[pg] = r + 1
             if r == 0 and self._page_hash.get(pg) in self._evictable:
                 self._evictable.remove(self._page_hash[pg])
+        pages = self._alloc(n_prompt_pages - len(reused))
+        if pages is None:  # pool busy: leave queued for a later tick
+            for pg in reused:  # unpin; retain as evictable cache again
+                r = self._ref[pg] - 1
+                self._ref[pg] = r
+                dig = self._page_hash.get(pg)
+                if r == 0 and dig is not None:
+                    self._evictable.append(dig)
+            self.pending.put(req)
+            return False
         if reused:
             self.prefix_hits += 1
             self.prefix_tokens_reused += len(reused) * PAGE

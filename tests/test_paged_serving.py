@@ -456,3 +456,36 @@ def test_pool_pressure_preempts_not_errors(runner):
     assert eng.preemptions >= 1
     assert [r.finish_reason for r in reqs] == ["length", "length"]
     assert [_detok(eng, r) for r in reqs] == want
+
+
+def test_preempted_request_reuses_its_prefix_pages(runner):
+    """Preemption retains registered prompt pages as evictable prefix
+    cache; if pressure hasn't reclaimed them by requeue time, the
+    recompute prefill reuses them instead of recomputing the prompt."""
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=4)
+    # the OLDER request is short (never preempted); the YOUNGER one has a
+    # full-page prompt whose page registers in the prefix cache, gets
+    # preempted under pressure, and must reuse its own page on requeue —
+    # this also exercises the pin-before-alloc path (_alloc must not
+    # evict-and-reallocate the page being reused)
+    b = Request(prompt="", max_tokens=PAGE + 8)
+    b.prompt_tokens = [1] + list(range(200, 240))
+    eng.submit(b)
+    long_prompt = list(range(3, 3 + PAGE))
+    a = Request(prompt="", max_tokens=PAGE + 8)
+    a.prompt_tokens = list(long_prompt)
+    eng.submit(a)
+    eng.drain(max_steps=2000)
+    assert a.done and b.done
+    assert eng.preemptions >= 1
+    # the preempted request's requeue admitted through the prefix cache
+    assert eng.prefix_hits >= 1
+    # and the reused-page path produced the exact solo-run output (the
+    # pin-before-alloc fix: without it the reused page could be evicted
+    # and re-handed-out as the decode page, corrupting the prompt KV)
+    solo = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=8)
+    ra = Request(prompt="", max_tokens=PAGE + 8)
+    ra.prompt_tokens = list(long_prompt)
+    solo.submit(ra)
+    solo.drain(max_steps=2000)
+    assert a.output_tokens == ra.output_tokens
