@@ -680,19 +680,16 @@ class ServingEngine:
                     or r.presence_penalty):
                 return None
 
+        if not self._spec_prepare(active, K):
+            return None  # subclass veto (paged: page pre-allocation)
+
         tokens_in = np.zeros((self.n_slots, K + 1), np.int32)
         tokens_in[:, 0] = self.cur_tok
         for i in active:
             r = snapshot[i]
             tokens_in[i, 1:] = _lookup_draft(
                 r.prompt_tokens + r.output_tokens, K)
-        win = min(_bucket(int(self.pos.max()) + K + 1, 128), self.seq_len)
-        out, self.cache = _spec_verify_step(
-            self.weights, self.cache, jnp.asarray(tokens_in),
-            jnp.asarray(self.pos), self.cfg, self.compute_dtype,
-            attn_window=win,
-        )
-        out = np.asarray(out)  # (n_slots, K+1): greedy token after each pos
+        out = np.asarray(self._spec_verify(tokens_in))  # (n_slots, K+1)
 
         # accept the longest drafted prefix the model agrees with, plus
         # the bonus token (out[m]) — standard greedy-exact acceptance
@@ -719,6 +716,24 @@ class ServingEngine:
                 self.spec_tokens += 1
                 self._deliver(i, int(out[i, j]), pos_after=int(pos0[i]) + j + 1)
         return sum(r is not None for r in self.slots)
+
+    def _spec_prepare(self, active, K: int) -> bool:
+        """Subclass hook run before a speculative tick (paged: allocate
+        every page positions pos..pos+K can touch). True = proceed."""
+        return True
+
+    def _spec_verify(self, tokens_in: np.ndarray):
+        """Verify forward for the speculative tick: (n_slots, K+1) tokens
+        -> (n_slots, K+1) greedy next-token ids. Subclass hook (paged
+        verifies through the page pool)."""
+        win = min(_bucket(int(self.pos.max()) + tokens_in.shape[1], 128),
+                  self.seq_len)
+        out, self.cache = _spec_verify_step(
+            self.weights, self.cache, jnp.asarray(tokens_in),
+            jnp.asarray(self.pos), self.cfg, self.compute_dtype,
+            attn_window=win,
+        )
+        return out
 
     def _deliver_first(self, slot: int, req: Request, first, first_lp):
         """Deliver a slot's first sampled token (from prefill logits),

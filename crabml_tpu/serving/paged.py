@@ -441,6 +441,149 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
 
 @partial(
     jax.jit,
+    static_argnames=("cfg", "compute_dtype"),
+    donate_argnames=("cache",),
+)
+def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, cfg,
+                      compute_dtype):
+    """Speculative verify through the page pool: tokens (B, T=K+1) = each
+    slot's current token + its drafts; greedy argmax at every position.
+    T KV entries write through the block table (pages pre-allocated by
+    the engine); rejected tails sit past the accepted position, masked
+    until overwritten — same no-rollback argument as the dense
+    engine's _spec_verify_step. Attention uses the gathered-pages path
+    (the paged decode kernel is T=1-only)."""
+    from ..models.forward import _window_eff, attention
+    from ..ops.matmul import embedding_lookup
+
+    B, T = tokens.shape
+    D, H, KV, hd = cfg.embedding_dim, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    scale = cfg.attn_scale
+    lw = weights["layers"]
+    L = cfg.n_layers
+    rope_ff = weights.get("rope_freqs")
+    rope_ps = (1.0 / cfg.rope_scaling_factor
+               if cfg.rope_scaling_type == "linear" else 1.0)
+    quantized = cache.quantized
+    lane_pad = cache.k.shape[-1] - hd
+    mp = cache.table.shape[1]
+
+    positions = pos[:, None] + jnp.arange(T, dtype=pos.dtype)[None, :]  # (B,T)
+    pg_f = cache.table[
+        jnp.arange(B)[:, None], positions // PAGE].reshape(-1)  # (B*T,)
+    off_f = (positions % PAGE).reshape(-1)
+
+    x = embedding_lookup(weights["token_embed"], tokens, compute_dtype)
+    if cfg.scale_embedding:
+        x = x * jnp.sqrt(jnp.float32(D)).astype(compute_dtype)
+
+    def layer_step(x, per_layer):
+        if quantized:
+            l, k_pages, v_pages, ks_pages, vs_pages = per_layer
+        else:
+            l, k_pages, v_pages = per_layer
+            ks_pages = vs_pages = None
+        h = layer_norm_in(lw, l, x, cfg)
+        q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
+        q = q.reshape(B, T, H, hd)
+        k = k.reshape(B, T, KV, hd)
+        v = v.reshape(B, T, KV, hd)
+        if cfg.qk_norm:
+            q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
+            k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
+        q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
+                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
+                       mscale=cfg.rope_mscale)
+        k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
+                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
+                       mscale=cfg.rope_mscale)
+
+        kt = k.reshape(B * T, KV, hd)
+        vt = v.reshape(B * T, KV, hd)
+        if lane_pad:
+            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lane_pad)))
+            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lane_pad)))
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
+        if quantized:
+            def q8(a):
+                s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
+                s_ = jnp.maximum(s_.astype(jnp.float32), 1e-12)
+                qv = jnp.clip(jnp.round(a.astype(jnp.float32) / s_), -127, 127)
+                return qv.astype(jnp.int8), s_
+
+            kq, ks_new = q8(kt)
+            vq, vs_new = q8(vt)
+            k_pages = k_pages.at[pg_f, :, off_f].set(kq)
+            v_pages = v_pages.at[pg_f, :, off_f].set(vq)
+            ks_pages = ks_pages.at[pg_f, :, off_f].set(ks_new)
+            vs_pages = vs_pages.at[pg_f, :, off_f].set(vs_new)
+        else:
+            k_pages = k_pages.at[pg_f, :, off_f].set(kt.astype(k_pages.dtype))
+            v_pages = v_pages.at[pg_f, :, off_f].set(vt.astype(v_pages.dtype))
+
+        kg = k_pages[cache.table]  # (B, mp, KV, PAGE, hd)
+        vg = v_pages[cache.table]
+        if quantized:
+            kg = kg.astype(jnp.float32) * ks_pages[cache.table]
+            vg = vg.astype(jnp.float32) * vs_pages[cache.table]
+        kd = kg.transpose(0, 2, 1, 3, 4).reshape(
+            B, KV, mp * PAGE, hd + lane_pad)
+        vd = vg.transpose(0, 2, 1, 3, 4).reshape(
+            B, KV, mp * PAGE, hd + lane_pad)
+        out = attention(
+            q, kd, vd, pos, T, scale,
+            softcap=cfg.attn_logit_softcap,
+            local_window=cfg.sliding_window,
+            use_local=(l % 2 == 0) if cfg.alternating_window else None,
+        )
+        if lane_pad:
+            out = out.reshape(B, T, H, hd + lane_pad)[..., :hd].reshape(
+                B, T, H * hd)
+        attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype,
+                           layer=l)
+        if "bo" in lw:
+            attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
+        if cfg.post_norms:
+            attn_out = rms_norm(
+                attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
+            )
+        if cfg.parallel_residual:
+            ffn_in = h
+        else:
+            x2 = x + attn_out
+            ffn_in = rms_norm(x2, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
+        down = project_ffn(lw, l, ffn_in, cfg, compute_dtype)
+        if cfg.post_norms:
+            down = rms_norm(
+                down, jnp.asarray(lw["post_ffn_norm"])[l], cfg.rms_norm_eps
+            )
+        x_out = (x + attn_out + down) if cfg.parallel_residual else (x2 + down)
+        if quantized:
+            return x_out, (k_pages, v_pages, ks_pages, vs_pages)
+        return x_out, (k_pages, v_pages)
+
+    idx = jnp.arange(L, dtype=jnp.int32)
+    if quantized:
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            layer_step, x, (idx, cache.k, cache.v, cache.k_scale, cache.v_scale)
+        )
+    else:
+        x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
+        ks_new = vs_new = None
+    x = apply_final_norm(weights, x, cfg)
+    out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
+    logits = qmatmul(x, out_w, compute_dtype).astype(jnp.float32)
+    if weights.get("output_b") is not None:
+        logits = logits + jnp.asarray(weights["output_b"], jnp.float32)
+    if cfg.final_logit_softcap:
+        cap = jnp.float32(cfg.final_logit_softcap)
+        logits = cap * jnp.tanh(logits / cap)
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return nxt, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
+
+
+@partial(
+    jax.jit,
     static_argnames=("n_prompt_pages",),
     donate_argnames=("cache",),
 )
@@ -517,13 +660,6 @@ class PagedServingEngine(ServingEngine):
         kw.setdefault("prefill_chunk", 4 * PAGE)
         self._n_pages_cfg = n_pages
         self._prefix_on = prefix_cache
-        if kw.get("speculative"):
-            from ..errors import UnsupportedError
-
-            raise UnsupportedError(
-                "speculative serving rides the dense slot-pool engine; "
-                "the paged tick would need K+1-page pre-allocation"
-            )
         super().__init__(runner, **kw)
         # chunked admission writes pages directly when chunks are
         # page-multiples; other chunk sizes (and prefill_chunk=None —
@@ -815,6 +951,50 @@ class PagedServingEngine(ServingEngine):
         self.topp[slot] = req.topp
         self._deliver_first(slot, req, first, first_lp)
 
+    def _ensure_pages(self, active: list, horizon: int) -> bool:
+        """Pre-allocate every page the next `horizon` positions can touch
+        for each active slot, preempting the youngest under pool pressure
+        (recompute later; older requests keep making progress, which
+        guarantees the preemption cascade terminates). Mutates `active`
+        in place; False when no active slot survives."""
+        dirty = False
+        for i in list(active):  # copy: preemption below mutates membership
+            if i not in active:
+                continue  # preempted as a victim of an earlier slot's alloc
+            # clamp at the table width: a slot at the seq_len edge finishes
+            # via _deliver's length check before touching pages beyond it
+            need = min((int(self.pos[i]) + horizon - 1) // PAGE + 1,
+                       self.max_pages)
+            while len(self._owned[i]) < need:
+                new = self._alloc(1)
+                if new is None:
+                    victim = max(active,
+                                 key=lambda j: self.slots[j].request_id)
+                    self._preempt(victim)
+                    active.remove(victim)
+                    dirty = True
+                    if victim == i:
+                        break
+                    continue
+                self._table[i, len(self._owned[i])] = new[0]
+                self._owned[i].extend(new)
+                dirty = True
+        if dirty:
+            self._push_table()
+        return bool(active)
+
+    def _spec_prepare(self, active, K: int) -> bool:
+        """Speculative tick hook: the verify writes K+1 positions per
+        active slot; allocate their pages first (preempting if needed)."""
+        return self._ensure_pages(active, K + 1)
+
+    def _spec_verify(self, tokens_in):
+        out, self.cache = paged_verify_step(
+            self.weights, self.cache, jnp.asarray(tokens_in),
+            jnp.asarray(self.pos), self.cfg, self.compute_dtype,
+        )
+        return out
+
     def step(self, multi: int = 1) -> int:
         self._admit()
         self._prefill_tick()
@@ -831,35 +1011,15 @@ class PagedServingEngine(ServingEngine):
         # LAST page and overwrite its live KV history mid-scan
         pmax = int(max(pos0[i] for i in active))
         multi = max(1, min(multi, self.seq_len - 1 - pmax))
-        # pre-allocate every page the next `multi` positions can touch
-        dirty = False
-        for i in list(active):  # copy: preemption below mutates membership
-            if i not in active:
-                continue  # preempted as a victim of an earlier slot's alloc
-            # clamp at the table width: a slot at the seq_len edge finishes
-            # via _deliver's length check before touching pages beyond it
-            need = min((int(self.pos[i]) + multi - 1) // PAGE + 1, self.max_pages)
-            while len(self._owned[i]) < need:
-                new = self._alloc(1)
-                if new is None:
-                    # pool exhausted mid-flight: preempt the youngest
-                    # active request (recompute later) instead of erroring;
-                    # older requests keep making progress, which guarantees
-                    # the preemption cascade terminates
-                    victim = max(active,
-                                 key=lambda j: self.slots[j].request_id)
-                    self._preempt(victim)
-                    active.remove(victim)
-                    dirty = True
-                    if victim == i:
-                        break
-                    continue
-                self._table[i, len(self._owned[i])] = new[0]
-                self._owned[i].extend(new)
-                dirty = True
-        if dirty:
-            self._push_table()
-        if not active:
+
+        if self.speculative:
+            n = self._spec_tick(active, snapshot, pos0, pmax)
+            if n is not None:
+                return n
+            if not active:  # _spec_prepare preempted every active slot
+                return sum(r is not None for r in self.slots)
+
+        if not self._ensure_pages(active, multi):
             return sum(r is not None for r in self.slots)
 
         self._key, sub = jax.random.split(self._key)

@@ -489,3 +489,54 @@ def test_preempted_request_reuses_its_prefix_pages(runner):
     solo.submit(ra)
     solo.drain(max_steps=2000)
     assert a.output_tokens == ra.output_tokens
+
+
+def test_paged_speculative_exactness(runner):
+    """Paged speculative ticks (verify through the page pool) emit exactly
+    the plain paged engine's greedy tokens, including across page
+    boundaries."""
+    plain = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16)
+    want = [plain.generate([p], max_tokens=PAGE + 10)[0] for p in PROMPTS[:2]]
+
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16,
+                             speculative=5)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=PAGE + 10))
+            for p in PROMPTS[:2]]
+    eng.drain(max_steps=2000)
+    assert eng.spec_ticks > 0
+    assert [_detok(eng, r) for r in reqs] == want
+
+
+def test_paged_speculative_oracle_accepts_multi(runner, monkeypatch):
+    """Perfect drafts through the paged pool: multi-token acceptance per
+    tick with pages allocated ahead of the verify writes."""
+    import crabml_tpu.serving.engine as eng_mod
+
+    plain = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=8)
+    g = plain.submit(Request(prompt=PROMPTS[0], max_tokens=40))
+    plain.drain(max_steps=400)
+    full = g.prompt_tokens + g.output_tokens
+
+    def oracle(ctx, K):
+        d = full[len(ctx): len(ctx) + K]
+        return list(d) + [0] * (K - len(d))
+
+    monkeypatch.setattr(eng_mod, "_lookup_draft", oracle)
+    eng = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=8,
+                             speculative=5)
+    r = eng.submit(Request(prompt=PROMPTS[0], max_tokens=40))
+    eng.drain(max_steps=200)
+    assert r.output_tokens == g.output_tokens
+    assert eng.spec_tokens / eng.spec_ticks >= 3
+
+
+def test_paged_speculative_int8_pool(runner):
+    """Speculative verify writes quantized KV through the block table."""
+    import jax.numpy as jnp
+
+    plain = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=8,
+                               kv_dtype=jnp.int8)
+    want = plain.generate([PROMPTS[0]], max_tokens=20)
+    eng = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=8,
+                             kv_dtype=jnp.int8, speculative=4)
+    assert eng.generate([PROMPTS[0]], max_tokens=20) == want
