@@ -187,6 +187,31 @@ def _spec_verify_step(weights, cache, tokens, pos, cfg, compute_dtype,
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=("steps", "cfg", "compute_dtype", "attn_window"),
+    donate_argnames=("cache",),
+)
+def _draft_scan(weights, cache, tok, pos, steps, cfg, compute_dtype,
+                attn_window=None):
+    """Greedy draft chain for two-model speculative serving: `steps`
+    fused decode steps on the (small) draft model, batched over all
+    slots. Returns (B, steps) tokens; the cache gains `steps` KV entries
+    per slot (inputs t0, d1, ..., d_{steps-1}) — one MORE than the drafts
+    used, so on a full accept the draft cache already holds the last
+    accepted draft's KV and the next tick continues seamlessly."""
+
+    def body(carry, _):
+        cache, t, p = carry
+        logits, cache = forward(weights, cache, t[:, None], p, cfg,
+                                compute_dtype, attn_window=attn_window)
+        nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+        return (cache, nxt, p + 1), nxt
+
+    (cache, _, _), toks = jax.lax.scan(body, (cache, tok, pos), length=steps)
+    return toks.T, cache  # (B, steps)
+
+
 def _lookup_draft(ctx: list, K: int) -> list:
     """Prompt-lookup drafting (host-side): find the most recent earlier
     occurrence of the context's last 2-gram and propose the K tokens that
@@ -263,6 +288,7 @@ class ServingEngine:
         prefill_chunk: int | None = 256,
         kv_lane_pad: bool = False,
         speculative: int = 0,
+        draft_runner=None,
     ):
         self.mesh = None
         self.kv_lane_pad = kv_lane_pad
@@ -272,6 +298,12 @@ class ServingEngine:
             kv_dtype = kv_dtype or runner.kv_dtype
             self.kv_lane_pad = kv_lane_pad or getattr(
                 runner, "kv_lane_pad", False)
+            # Runner(draft_model=...) carries a small draft Runner: inherit
+            # it (and its draft length) for two-model speculative serving
+            if draft_runner is None:
+                draft_runner = getattr(runner, "_draft", None)
+                if draft_runner is not None and not speculative:
+                    speculative = getattr(runner, "speculative", 0) or 7
             # a GSPMD-sharded Runner (sharding=make_mesh(tp=...)) carries
             # its mesh here so the engine's cache shards over it too
             self.mesh = getattr(runner, "_sharding", None)
@@ -321,12 +353,31 @@ class ServingEngine:
         self.tokens_generated = 0
         self.requests_submitted = 0
         self.requests_completed = 0  # by finish reason, see _finish
-        # prompt-lookup speculative serving: draft length per verify tick
-        # (0 = off). Engages only when EVERY active slot is plain-greedy
-        # (exactness requires argmax verify without penalties/bias).
+        # speculative serving: draft length per verify tick (0 = off).
+        # Drafts come from prompt lookup, or from `draft_runner`'s small
+        # model (two-model). Engages only when EVERY active slot is
+        # plain-greedy (exactness requires argmax verify without
+        # penalties/bias).
         self.speculative = speculative
         self.spec_ticks = 0
         self.spec_tokens = 0  # tokens emitted by speculative ticks
+        self._draft_w = self._draft_cfg = self._draft_dtype = None
+        self._draft_cache = None
+        if draft_runner is not None and speculative:
+            if draft_runner.cfg.vocab_size != self.cfg.vocab_size:
+                from ..errors import UnsupportedError
+
+                raise UnsupportedError(
+                    "draft/target vocab mismatch — speculative verify "
+                    "requires a shared tokenizer")
+            self._draft_w = draft_runner.weights
+            self._draft_cfg = draft_runner.cfg
+            self._draft_dtype = draft_runner.compute_dtype
+            # slot-pool cache for the draft model, positions in lockstep
+            # with the target's (admission prefills both; accepted tokens
+            # advance both; rejected KV is masked until overwritten)
+            self._draft_cache = KVCache.create(
+                self._draft_cfg, n_slots, self.seq_len, self._draft_dtype)
         self.ttft_hist = LatencyHistogram()  # submit -> first token
         self.e2e_hist = LatencyHistogram()  # submit -> finish
         self._started = None  # first-step timestamp (serving uptime)
@@ -336,6 +387,9 @@ class ServingEngine:
         cache and per-slot device inputs. Subclasses owning extra state
         (page pools) must override and reset it too."""
         self.cache = self._make_cache()
+        if self._draft_cache is not None:
+            self._draft_cache = KVCache.create(
+                self._draft_cfg, self.n_slots, self.seq_len, self._draft_dtype)
         self.pos = np.zeros(self.n_slots, np.int32)
         self.cur_tok = np.zeros(self.n_slots, np.int32)
         self.minp = np.zeros(self.n_slots, np.float32)
@@ -514,6 +568,13 @@ class ServingEngine:
             self.cfg,
             self.compute_dtype,
         )
+        if self._draft_cache is not None:  # two-model speculation: the
+            # draft model must hold the prompt's KV too
+            _, self._draft_cache = _prefill_slot(
+                self._draft_w, self._draft_cache, jnp.asarray(padded),
+                jnp.int32(slot), jnp.int32(filled),
+                self._draft_cfg, self._draft_dtype,
+            )
         return logits
 
     def _prefill_complete(self, slot: int):
@@ -542,6 +603,12 @@ class ServingEngine:
             self.cfg,
             self.compute_dtype,
         )
+        if self._draft_cache is not None:
+            _, self._draft_cache = _prefill_slot(
+                self._draft_w, self._draft_cache, jnp.asarray(padded),
+                jnp.int32(slot), jnp.int32(0),
+                self._draft_cfg, self._draft_dtype,
+            )
         self._key, sub = jax.random.split(self._key)
         rec = np.full((1, self.REPEAT_WINDOW), -1, np.int32)
         tail = toks[-self.REPEAT_WINDOW:]
@@ -685,10 +752,9 @@ class ServingEngine:
 
         tokens_in = np.zeros((self.n_slots, K + 1), np.int32)
         tokens_in[:, 0] = self.cur_tok
+        drafts = self._make_drafts(active, snapshot, K)
         for i in active:
-            r = snapshot[i]
-            tokens_in[i, 1:] = _lookup_draft(
-                r.prompt_tokens + r.output_tokens, K)
+            tokens_in[i, 1:] = drafts[i]
         out = np.asarray(self._spec_verify(tokens_in))  # (n_slots, K+1)
 
         # accept the longest drafted prefix the model agrees with, plus
@@ -721,6 +787,23 @@ class ServingEngine:
         """Subclass hook run before a speculative tick (paged: allocate
         every page positions pos..pos+K can touch). True = proceed."""
         return True
+
+    def _make_drafts(self, active, snapshot, K: int) -> np.ndarray:
+        """(n_slots, K) drafted tokens: the small draft model's greedy
+        chain when one is attached, else host-side prompt lookup."""
+        if self._draft_w is not None:
+            win = min(_bucket(int(self.pos.max()) + K + 1, 128), self.seq_len)
+            toks, self._draft_cache = _draft_scan(
+                self._draft_w, self._draft_cache,
+                jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
+                K + 1, self._draft_cfg, self._draft_dtype, attn_window=win,
+            )
+            return np.asarray(toks)[:, :K]
+        drafts = np.zeros((self.n_slots, K), np.int32)
+        for i in active:
+            r = snapshot[i]
+            drafts[i] = _lookup_draft(r.prompt_tokens + r.output_tokens, K)
+        return drafts
 
     def _spec_verify(self, tokens_in: np.ndarray):
         """Verify forward for the speculative tick: (n_slots, K+1) tokens

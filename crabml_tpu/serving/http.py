@@ -501,15 +501,21 @@ def main(argv=None):
                     help="128-lane-padded KV cache/pool: odd-head models "
                          "(phi2 hd=80) ride the decode kernel")
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
-                    help="prompt-lookup speculative serving: verify K "
-                         "drafted tokens per tick (greedy requests only; "
-                         "dense engine)")
+                    help="speculative serving: verify K drafted tokens per "
+                         "tick (greedy requests only). Drafts come from "
+                         "prompt lookup, or from --draft's small model")
+    ap.add_argument("--draft", metavar="GGUF", default=None,
+                    help="small draft GGUF for two-model speculative "
+                         "serving (dense engine; implies --speculative 7 "
+                         "unless set)")
     args = ap.parse_args(argv)
+    if args.draft and not args.speculative:
+        args.speculative = 7
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     runner = Runner(
         args.model, seq_len=args.seq_len, compute_dtype=dt, backend=args.backend,
-        kv_lane_pad=args.kv_lane_pad,
+        kv_lane_pad=args.kv_lane_pad, draft_model=args.draft,
     )
     if args.paged:
         from .paged import PagedServingEngine

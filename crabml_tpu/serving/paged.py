@@ -661,6 +661,14 @@ class PagedServingEngine(ServingEngine):
         self._n_pages_cfg = n_pages
         self._prefix_on = prefix_cache
         super().__init__(runner, **kw)
+        if self._draft_w is not None:
+            from ..errors import UnsupportedError
+
+            raise UnsupportedError(
+                "two-model speculative serving rides the dense slot-pool "
+                "engine (the paged admission path doesn't prefill a draft "
+                "cache); prompt-lookup speculation works paged"
+            )
         # chunked admission writes pages directly when chunks are
         # page-multiples; other chunk sizes (and prefill_chunk=None —
         # legacy synchronous admission) keep the dense-scratch path

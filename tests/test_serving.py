@@ -739,3 +739,43 @@ def test_tokenize_detokenize_and_stream_usage(runner):
     finally:
         server.shutdown()
         eng.shutdown()
+
+
+def test_two_model_speculative_serving(stories260k_path):
+    """Two-model speculative serving: the draft model's greedy chain
+    drafts, the target verifies in one batched dispatch. With draft ==
+    target the chain is always right, so every tick must emit K+1 tokens
+    — and output is byte-identical to the plain engine."""
+    tr = Runner(stories260k_path, seq_len=96)
+    plain = ServingEngine(tr, n_slots=2, seq_len=96)
+    want = [plain.generate([p], max_tokens=24)[0] for p in PROMPTS[:2]]
+
+    spec_r = Runner(stories260k_path, seq_len=96,
+                    draft_model=stories260k_path)
+    eng = ServingEngine(spec_r, n_slots=2, seq_len=96, speculative=5)
+    assert eng._draft_w is not None  # inherited from the runner
+    reqs = [eng.submit(Request(prompt=p, max_tokens=24)) for p in PROMPTS[:2]]
+    eng.drain(max_steps=200)
+    assert [_detok(eng, r) for r in reqs] == want
+    # draft == target: full acceptance, ~K+1 tokens per slot-tick
+    assert eng.spec_ticks > 0
+    assert eng.spec_tokens / eng.spec_ticks >= 4
+
+
+def test_two_model_spec_serving_staggered_admission(stories260k_path):
+    """A request admitted mid-flight gets its draft cache prefilled too
+    (the chunked admission path); outputs stay exact."""
+    tr = Runner(stories260k_path, seq_len=96)
+    plain = ServingEngine(tr, n_slots=2, seq_len=96)
+    want = plain.generate([PROMPTS[0]], max_tokens=12)[0]
+
+    spec_r = Runner(stories260k_path, seq_len=96,
+                    draft_model=stories260k_path)
+    eng = ServingEngine(spec_r, n_slots=2, seq_len=96, speculative=4,
+                        prefill_chunk=8)
+    eng.submit(Request(prompt=PROMPTS[1], max_tokens=30))
+    for _ in range(4):
+        eng.step()
+    late = eng.submit(Request(prompt=PROMPTS[0], max_tokens=12))
+    eng.drain(max_steps=200)
+    assert _detok(eng, late) == want
