@@ -212,6 +212,21 @@ def _draft_scan(weights, cache, tok, pos, steps, cfg, compute_dtype,
     return toks.T, cache  # (B, steps)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "attn_window"),
+    donate_argnames=("cache",),
+)
+def _draft_sync(weights, cache, tokens, pos, cfg, compute_dtype,
+                attn_window=None):
+    """Teacher-forced draft-cache catch-up: write the TARGET's emitted
+    tokens' KV into the draft cache after a plain (non-speculative) tick,
+    so the draft's context never develops gaps that degrade acceptance."""
+    _, cache = forward(weights, cache, tokens, pos, cfg, compute_dtype,
+                       attn_window=attn_window)
+    return cache
+
+
 def _lookup_draft(ctx: list, K: int) -> list:
     """Prompt-lookup drafting (host-side): find the most recent earlier
     occurrence of the context's last 2-gram and propose the K tokens that
@@ -303,7 +318,9 @@ class ServingEngine:
             if draft_runner is None:
                 draft_runner = getattr(runner, "_draft", None)
                 if draft_runner is not None and not speculative:
-                    speculative = getattr(runner, "speculative", 0) or 7
+                    # Runner(draft_model=...) defaults its own speculative
+                    # draft length (runner.py); inherit the same K
+                    speculative = getattr(runner, "speculative", 0)
             # a GSPMD-sharded Runner (sharding=make_mesh(tp=...)) carries
             # its mesh here so the engine's cache shards over it too
             self.mesh = getattr(runner, "_sharding", None)
@@ -373,11 +390,12 @@ class ServingEngine:
             self._draft_w = draft_runner.weights
             self._draft_cfg = draft_runner.cfg
             self._draft_dtype = draft_runner.compute_dtype
+            self._draft_kv_dtype = draft_runner.kv_dtype
             # slot-pool cache for the draft model, positions in lockstep
             # with the target's (admission prefills both; accepted tokens
             # advance both; rejected KV is masked until overwritten)
             self._draft_cache = KVCache.create(
-                self._draft_cfg, n_slots, self.seq_len, self._draft_dtype)
+                self._draft_cfg, n_slots, self.seq_len, self._draft_kv_dtype)
         self.ttft_hist = LatencyHistogram()  # submit -> first token
         self.e2e_hist = LatencyHistogram()  # submit -> finish
         self._started = None  # first-step timestamp (serving uptime)
@@ -389,7 +407,8 @@ class ServingEngine:
         self.cache = self._make_cache()
         if self._draft_cache is not None:
             self._draft_cache = KVCache.create(
-                self._draft_cfg, self.n_slots, self.seq_len, self._draft_dtype)
+                self._draft_cfg, self.n_slots, self.seq_len,
+                self._draft_kv_dtype)
         self.pos = np.zeros(self.n_slots, np.int32)
         self.cur_tok = np.zeros(self.n_slots, np.int32)
         self.minp = np.zeros(self.n_slots, np.float32)
@@ -702,6 +721,18 @@ class ServingEngine:
                 multi, self.cfg, self.compute_dtype, attn_window=win,
             )
             toks = np.asarray(toks)
+        if self._draft_cache is not None:
+            # teacher-forced catch-up: the plain tick's emitted tokens
+            # must reach the draft cache too (review finding: without
+            # this, any fallback tick leaves a permanent KV gap that
+            # degrades draft acceptance for the rest of the request)
+            inputs = np.concatenate([self.cur_tok[:, None], toks[:, :-1]],
+                                    axis=1)
+            self._draft_cache = _draft_sync(
+                self._draft_w, self._draft_cache, jnp.asarray(inputs),
+                jnp.asarray(self.pos), self._draft_cfg, self._draft_dtype,
+                attn_window=win,
+            )
         # fetch the logprob arrays only when a live request asked for them
         # (computing them on device is cheap; each np.asarray fetch is a
         # round trip on this link, so default serving pays nothing extra)

@@ -506,11 +506,9 @@ def main(argv=None):
                          "prompt lookup, or from --draft's small model")
     ap.add_argument("--draft", metavar="GGUF", default=None,
                     help="small draft GGUF for two-model speculative "
-                         "serving (dense engine; implies --speculative 7 "
-                         "unless set)")
+                         "serving (dense engine; defaults the draft length "
+                         "when --speculative is unset)")
     args = ap.parse_args(argv)
-    if args.draft and not args.speculative:
-        args.speculative = 7
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     runner = Runner(

@@ -441,19 +441,21 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype"),
+    static_argnames=("cfg", "compute_dtype", "n_ctx_pages"),
     donate_argnames=("cache",),
 )
 def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, cfg,
-                      compute_dtype):
+                      compute_dtype, n_ctx_pages: int | None = None):
     """Speculative verify through the page pool: tokens (B, T=K+1) = each
     slot's current token + its drafts; greedy argmax at every position.
     T KV entries write through the block table (pages pre-allocated by
     the engine); rejected tails sit past the accepted position, masked
     until overwritten — same no-rollback argument as the dense
     engine's _spec_verify_step. Attention uses the gathered-pages path
-    (the paged decode kernel is T=1-only)."""
-    from ..models.forward import _window_eff, attention
+    (the paged decode kernel is T=1-only), bounded to the first
+    `n_ctx_pages` table columns (pow2-bucketed by the engine) so gather
+    bytes track the live context, not the table width."""
+    from ..models.forward import attention
     from ..ops.matmul import embedding_lookup
 
     B, T = tokens.shape
@@ -466,7 +468,8 @@ def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, cfg,
                if cfg.rope_scaling_type == "linear" else 1.0)
     quantized = cache.quantized
     lane_pad = cache.k.shape[-1] - hd
-    mp = cache.table.shape[1]
+    mp = min(n_ctx_pages or cache.table.shape[1], cache.table.shape[1])
+    ctx_table = cache.table[:, :mp]
 
     positions = pos[:, None] + jnp.arange(T, dtype=pos.dtype)[None, :]  # (B,T)
     pg_f = cache.table[
@@ -521,11 +524,11 @@ def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, cfg,
             k_pages = k_pages.at[pg_f, :, off_f].set(kt.astype(k_pages.dtype))
             v_pages = v_pages.at[pg_f, :, off_f].set(vt.astype(v_pages.dtype))
 
-        kg = k_pages[cache.table]  # (B, mp, KV, PAGE, hd)
-        vg = v_pages[cache.table]
+        kg = k_pages[ctx_table]  # (B, mp, KV, PAGE, hd)
+        vg = v_pages[ctx_table]
         if quantized:
-            kg = kg.astype(jnp.float32) * ks_pages[cache.table]
-            vg = vg.astype(jnp.float32) * vs_pages[cache.table]
+            kg = kg.astype(jnp.float32) * ks_pages[ctx_table]
+            vg = vg.astype(jnp.float32) * vs_pages[ctx_table]
         kd = kg.transpose(0, 2, 1, 3, 4).reshape(
             B, KV, mp * PAGE, hd + lane_pad)
         vd = vg.transpose(0, 2, 1, 3, 4).reshape(
@@ -997,9 +1000,15 @@ class PagedServingEngine(ServingEngine):
         return self._ensure_pages(active, K + 1)
 
     def _spec_verify(self, tokens_in):
+        need = -(-(int(self.pos.max()) + tokens_in.shape[1]) // PAGE)
+        n_ctx = 1
+        while n_ctx < need:
+            n_ctx *= 2
+        n_ctx = min(n_ctx, self.max_pages)
         out, self.cache = paged_verify_step(
             self.weights, self.cache, jnp.asarray(tokens_in),
             jnp.asarray(self.pos), self.cfg, self.compute_dtype,
+            n_ctx_pages=n_ctx,
         )
         return out
 

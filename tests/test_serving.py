@@ -779,3 +779,25 @@ def test_two_model_spec_serving_staggered_admission(stories260k_path):
     late = eng.submit(Request(prompt=PROMPTS[0], max_tokens=12))
     eng.drain(max_steps=200)
     assert _detok(eng, late) == want
+
+
+def test_two_model_spec_acceptance_survives_plain_ticks(stories260k_path):
+    """Review regression: plain-tick fallbacks (a sampling request in the
+    batch) teacher-force the emitted tokens into the draft cache, so
+    post-fallback speculative ticks keep full acceptance (draft == target
+    -> every draft must verify)."""
+    spec_r = Runner(stories260k_path, seq_len=96,
+                    draft_model=stories260k_path)
+    eng = ServingEngine(spec_r, n_slots=2, seq_len=96, speculative=5)
+    a = eng.submit(Request(prompt=PROMPTS[0], max_tokens=40))
+    for _ in range(2):
+        eng.step()  # a few spec ticks alone
+    ticks0, toks0 = eng.spec_ticks, eng.spec_tokens
+    b = eng.submit(Request(prompt=PROMPTS[1], max_tokens=6, temperature=0.8))
+    eng.drain(max_steps=300)
+    assert a.done and b.done
+    # spec ticks after the mixed phase: still ~K+1 tokens per tick
+    late_ticks = eng.spec_ticks - ticks0
+    late_tokens = eng.spec_tokens - toks0
+    assert late_ticks > 0
+    assert late_tokens / late_ticks >= 4, (late_tokens, late_ticks)
