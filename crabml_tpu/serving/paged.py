@@ -113,6 +113,90 @@ def _paged_attention_fallback(q, k_pages, v_pages, table, lengths, scale,
     return attention(q, kg, vg, lengths - 1, T, scale, **attn_kw)
 
 
+def _q8_vec(a):
+    """Symmetric per-vector int8 over the last axis (KV quantization);
+    zero pad lanes leave the max-abs scale unchanged (lane_pad-safe)."""
+    s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
+    s_ = jnp.maximum(s_.astype(jnp.float32), 1e-12)
+    qv = jnp.clip(jnp.round(a.astype(jnp.float32) / s_), -127, 127)
+    return qv.astype(jnp.int8), s_
+
+
+def _layer_body(lw, rope_ff, l, x, positions, cfg, compute_dtype, kv_io,
+                B, T, lane_pad):
+    """The transformer layer shared by the three paged forwards (decode /
+    direct-to-page prefill / speculative verify). Everything is common
+    except HOW k/v write into the pool and HOW attention reads it back:
+    `kv_io(q, k, v)` receives rope'd (and lane-padded) tensors, performs
+    its own page writes + attention, and returns (out, new_page_arrays).
+    One body means a new arch feature (norms, softcaps, rope variants)
+    lands in every paged path at once — the drift class ADVICE r2 flagged
+    when these bodies were hand-copied."""
+    H, KV, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rope_ps = (1.0 / cfg.rope_scaling_factor
+               if cfg.rope_scaling_type == "linear" else 1.0)
+    h = layer_norm_in(lw, l, x, cfg)
+    q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
+    q = q.reshape(B, T, H, hd)
+    k = k.reshape(B, T, KV, hd)
+    v = v.reshape(B, T, KV, hd)
+    if cfg.qk_norm:  # qwen3: per-head RMS norm before rope
+        q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
+        k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
+    q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
+                   cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
+                   mscale=cfg.rope_mscale)
+    k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
+                   cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
+                   mscale=cfg.rope_mscale)
+    if lane_pad:  # zero lanes: score- and scale-neutral (see KVCache)
+        padw = ((0, 0), (0, 0), (0, 0), (0, lane_pad))
+        q = jnp.pad(q, padw)
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+
+    out, pages = kv_io(q, k, v)
+
+    if lane_pad:  # drop the zero lanes before wo
+        out = out.reshape(B, T, H, hd + lane_pad)[..., :hd].reshape(
+            B, T, H * hd)
+    attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype,
+                       layer=l)
+    if "bo" in lw:
+        attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
+    if cfg.post_norms:  # gemma2: norm the block OUTPUT before residual
+        attn_out = rms_norm(
+            attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
+        )
+    if cfg.parallel_residual:
+        ffn_in = h
+    else:
+        x2 = x + attn_out
+        ffn_in = rms_norm(x2, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
+    down = project_ffn(lw, l, ffn_in, cfg, compute_dtype)
+    if cfg.post_norms:
+        down = rms_norm(
+            down, jnp.asarray(lw["post_ffn_norm"])[l], cfg.rms_norm_eps
+        )
+    x_out = (x + attn_out + down) if cfg.parallel_residual else (x2 + down)
+    return x_out, pages
+
+
+def _final_logits(weights, x, cfg, compute_dtype):
+    """Final norm -> lm head (+bias, +softcap): the shared tail of the
+    three paged forwards."""
+    x = apply_final_norm(weights, x, cfg)
+    out_w = (weights["output"] if weights["output"] is not None
+             else weights["token_embed"])
+    logits = qmatmul(x, out_w, compute_dtype).astype(jnp.float32)
+    if weights.get("output_b") is not None:  # phi2 lm_head bias
+        logits = logits + jnp.asarray(weights["output_b"], jnp.float32)
+    if cfg.final_logit_softcap:
+        cap = jnp.float32(cfg.final_logit_softcap)
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype"),
@@ -152,112 +236,65 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
         else:
             l, k_pages, v_pages = per_layer
             ks_pages = vs_pages = None
-        h = layer_norm_in(lw, l, x, cfg)
-        q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
-        q = q.reshape(B, 1, H, hd)
-        k = k.reshape(B, 1, KV, hd)
-        v = v.reshape(B, 1, KV, hd)
-        if cfg.qk_norm:  # qwen3: per-head RMS norm before rope
-            q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
-            k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
-        q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
-                       mscale=cfg.rope_mscale)
-        k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
-                       mscale=cfg.rope_mscale)
 
-        # scatter this token's K/V into each sequence's current page
-        kt = k[:, 0]  # (B, KV, hd)
-        vt = v[:, 0]
-        if lane_pad:
-            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lane_pad)))
-            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lane_pad)))
-            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
-        if quantized:
-            def q8(a):  # symmetric per-(batch, head) int8 over hd
-                s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
-                s_ = jnp.maximum(s_.astype(jnp.float32), 1e-12)
-                qv = jnp.clip(jnp.round(a.astype(jnp.float32) / s_), -127, 127)
-                return qv.astype(jnp.int8), s_
-
-            kq, ks_new = q8(kt)
-            vq, vs_new = q8(vt)
-            k_pages = k_pages.at[page_of, :, off].set(kq)
-            v_pages = v_pages.at[page_of, :, off].set(vq)
-            ks_pages = ks_pages.at[page_of, :, off].set(ks_new)
-            vs_pages = vs_pages.at[page_of, :, off].set(vs_new)
-        else:
-            k_pages = k_pages.at[page_of, :, off].set(kt.astype(k_pages.dtype))
-            v_pages = v_pages.at[page_of, :, off].set(vt.astype(v_pages.dtype))
-
-        use_local = (l % 2 == 0) if cfg.alternating_window else None
-        attn_kw = dict(
-            softcap=cfg.attn_logit_softcap,
-            local_window=cfg.sliding_window,
-            use_local=use_local,
-        )
-        out = None
-        if jax.default_backend() == "tpu" and (hd + lane_pad) % 128 == 0:
-            # int8 pools ride the kernel with their scale pools (half the
-            # pool HBM AND no XLA gather+materialize on the hot path);
-            # gemma2 softcap/sliding-window ride the kernel too
-            from ..models.forward import _window_eff
-
-            out = paged_decode_attention(
-                q, k_pages, v_pages, cache.table, pos + 1, scale,
-                k_scale=ks_pages, v_scale=vs_pages,
-                softcap=cfg.attn_logit_softcap,
-                local_window=_window_eff(cfg.sliding_window, use_local),
-            )
-        if out is None:
+        def kv_io(q, k, v):
+            # scatter this token's K/V into each sequence's current page
+            kp, vp, ksp, vsp = k_pages, v_pages, ks_pages, vs_pages
+            kt = k[:, 0]  # (B, KV, hd[+pad])
+            vt = v[:, 0]
             if quantized:
-                # dequantize the gathered pages, then the masked fallback
-                mp = cache.table.shape[1]
-                kd = (k_pages[cache.table].astype(jnp.float32)
-                      * ks_pages[cache.table])
-                vd = (v_pages[cache.table].astype(jnp.float32)
-                      * vs_pages[cache.table])
-                kd = kd.transpose(0, 2, 1, 3, 4).reshape(
-                    B, KV, mp * PAGE, hd + lane_pad)
-                vd = vd.transpose(0, 2, 1, 3, 4).reshape(
-                    B, KV, mp * PAGE, hd + lane_pad)
-                from ..models.forward import attention
-
-                out = attention(q, kd, vd, pos, 1, scale, **attn_kw)
+                kq, ks_new = _q8_vec(kt)
+                vq, vs_new = _q8_vec(vt)
+                kp = kp.at[page_of, :, off].set(kq)
+                vp = vp.at[page_of, :, off].set(vq)
+                ksp = ksp.at[page_of, :, off].set(ks_new)
+                vsp = vsp.at[page_of, :, off].set(vs_new)
             else:
-                out = _paged_attention_fallback(q, k_pages, v_pages, cache.table,
-                                                pos + 1, scale, **attn_kw)
-        if lane_pad:  # drop the zero lanes before wo
-            out = out.reshape(B, 1, H, hd + lane_pad)[..., :hd].reshape(
-                B, 1, H * hd)
-        attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype, layer=l)
-        if "bo" in lw:
-            attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
-        if cfg.post_norms:  # gemma2: norm the block OUTPUT before residual
-            attn_out = rms_norm(
-                attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
-            )
+                kp = kp.at[page_of, :, off].set(kt.astype(kp.dtype))
+                vp = vp.at[page_of, :, off].set(vt.astype(vp.dtype))
 
-        if cfg.parallel_residual:
-            ffn_in = h
-        else:
-            x2 = x + attn_out
-            ffn_in = rms_norm(x2, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
+            use_local = (l % 2 == 0) if cfg.alternating_window else None
+            out = None
+            if jax.default_backend() == "tpu" and (hd + lane_pad) % 128 == 0:
+                # int8 pools ride the kernel with their scale pools (half
+                # the pool HBM AND no XLA gather+materialize on the hot
+                # path); gemma2 softcap/sliding-window ride the kernel too
+                from ..models.forward import _window_eff
 
-        down = project_ffn(lw, l, ffn_in, cfg, compute_dtype)
-        if cfg.post_norms:
-            down = rms_norm(
-                down, jnp.asarray(lw["post_ffn_norm"])[l], cfg.rms_norm_eps
-            )
+                out = paged_decode_attention(
+                    q, kp, vp, cache.table, pos + 1, scale,
+                    k_scale=ksp, v_scale=vsp,
+                    softcap=cfg.attn_logit_softcap,
+                    local_window=_window_eff(cfg.sliding_window, use_local),
+                )
+            if out is None:
+                attn_kw = dict(
+                    softcap=cfg.attn_logit_softcap,
+                    local_window=cfg.sliding_window,
+                    use_local=use_local,
+                )
+                if quantized:
+                    # dequantize the gathered pages, then masked fallback
+                    mp = cache.table.shape[1]
+                    kd = (kp[cache.table].astype(jnp.float32)
+                          * ksp[cache.table])
+                    vd = (vp[cache.table].astype(jnp.float32)
+                          * vsp[cache.table])
+                    kd = kd.transpose(0, 2, 1, 3, 4).reshape(
+                        B, KV, mp * PAGE, hd + lane_pad)
+                    vd = vd.transpose(0, 2, 1, 3, 4).reshape(
+                        B, KV, mp * PAGE, hd + lane_pad)
+                    from ..models.forward import attention
 
-        if cfg.parallel_residual:
-            x_out = x + attn_out + down
-        else:
-            x_out = x2 + down
-        if quantized:
-            return x_out, (k_pages, v_pages, ks_pages, vs_pages)
-        return x_out, (k_pages, v_pages)
+                    out = attention(q, kd, vd, pos, 1, scale, **attn_kw)
+                else:
+                    out = _paged_attention_fallback(
+                        q, kp, vp, cache.table, pos + 1, scale, **attn_kw)
+            pages = ((kp, vp, ksp, vsp) if quantized else (kp, vp))
+            return out, pages
+
+        return _layer_body(lw, rope_ff, l, x, positions, cfg, compute_dtype,
+                           kv_io, B, 1, lane_pad)
 
     idx = jnp.arange(L, dtype=jnp.int32)
     if quantized:
@@ -267,14 +304,7 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
         ks_new = vs_new = None
-    x = apply_final_norm(weights, x, cfg)
-    out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
-    logits = qmatmul(x, out_w, compute_dtype)[:, 0].astype(jnp.float32)
-    if weights.get("output_b") is not None:  # phi2 lm_head bias
-        logits = logits + jnp.asarray(weights["output_b"], jnp.float32)
-    if cfg.final_logit_softcap:
-        cap = jnp.float32(cfg.final_logit_softcap)
-        logits = cap * jnp.tanh(logits / cap)
+    logits = _final_logits(weights, x, cfg, compute_dtype)[:, 0]
     nxt, lp = sample_batch(logits, key, temp, topp, minp=minp,
                            recent_tokens=recent, repetition_penalty=rep_pen,
                            frequency_penalty=freq_pen, presence_penalty=pres_pen,
@@ -335,90 +365,48 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
         else:
             l, k_pages, v_pages = per_layer
             ks_pages = vs_pages = None
-        h = layer_norm_in(lw, l, x, cfg)
-        q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
-        q = q.reshape(B, T, H, hd)
-        k = k.reshape(B, T, KV, hd)
-        v = v.reshape(B, T, KV, hd)
-        if cfg.qk_norm:
-            q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
-            k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
-        q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
-                       mscale=cfg.rope_mscale)
-        k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
-                       mscale=cfg.rope_mscale)
 
-        # write the whole chunk straight into its pages: (KV, T, hd)
-        kt = k[0].transpose(1, 0, 2)
-        vt = v[0].transpose(1, 0, 2)
-        if lane_pad:
-            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lane_pad)))
-            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lane_pad)))
-            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
-        if quantized:
-            def q8(a):
-                s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
-                s_ = jnp.maximum(s_.astype(jnp.float32), 1e-12)
-                qv = jnp.clip(jnp.round(a.astype(jnp.float32) / s_), -127, 127)
-                return qv.astype(jnp.int8), s_
+        def kv_io(q, k, v):
+            # write the whole chunk straight into its pages: (KV, T, hd)
+            kp, vp, ksp, vsp = k_pages, v_pages, ks_pages, vs_pages
+            kt = k[0].transpose(1, 0, 2)
+            vt = v[0].transpose(1, 0, 2)
+            if quantized:
+                kq, ks_new = _q8_vec(kt)
+                vq, vs_new = _q8_vec(vt)
+                for j, pg in enumerate(pages_here):
+                    sl = slice(j * PAGE, (j + 1) * PAGE)
+                    kp = kp.at[pg].set(kq[:, sl])
+                    vp = vp.at[pg].set(vq[:, sl])
+                    ksp = ksp.at[pg].set(ks_new[:, sl])
+                    vsp = vsp.at[pg].set(vs_new[:, sl])
+            else:
+                for j, pg in enumerate(pages_here):
+                    sl = slice(j * PAGE, (j + 1) * PAGE)
+                    kp = kp.at[pg].set(kt[:, sl].astype(kp.dtype))
+                    vp = vp.at[pg].set(vt[:, sl].astype(vp.dtype))
 
-            kq, ks_new = q8(kt)
-            vq, vs_new = q8(vt)
-            for j, pg in enumerate(pages_here):
-                sl = slice(j * PAGE, (j + 1) * PAGE)
-                k_pages = k_pages.at[pg].set(kq[:, sl])
-                v_pages = v_pages.at[pg].set(vq[:, sl])
-                ks_pages = ks_pages.at[pg].set(ks_new[:, sl])
-                vs_pages = vs_pages.at[pg].set(vs_new[:, sl])
-        else:
-            for j, pg in enumerate(pages_here):
-                sl = slice(j * PAGE, (j + 1) * PAGE)
-                k_pages = k_pages.at[pg].set(kt[:, sl].astype(k_pages.dtype))
-                v_pages = v_pages.at[pg].set(vt[:, sl].astype(v_pages.dtype))
-
-        # attend over this slot's live pages (incl. the page just written)
-        kg = k_pages[ctx]  # (n_ctx_pages, KV, PAGE, hd)
-        vg = v_pages[ctx]
-        if quantized:
-            kg = kg.astype(jnp.float32) * ks_pages[ctx]
-            vg = vg.astype(jnp.float32) * vs_pages[ctx]
-        kd = kg.transpose(1, 0, 2, 3).reshape(
-            1, KV, n_ctx_pages * PAGE, hd + lane_pad)
-        vd = vg.transpose(1, 0, 2, 3).reshape(
-            1, KV, n_ctx_pages * PAGE, hd + lane_pad)
-        out = attention(
-            q, kd, vd, jnp.reshape(filled, (1,)), T, scale,
-            softcap=cfg.attn_logit_softcap,
-            local_window=cfg.sliding_window,
-            use_local=(l % 2 == 0) if cfg.alternating_window else None,
-        )
-        if lane_pad:
-            out = out.reshape(B, T, H, hd + lane_pad)[..., :hd].reshape(
-                B, T, H * hd)
-        attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype,
-                           layer=l)
-        if "bo" in lw:
-            attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
-        if cfg.post_norms:
-            attn_out = rms_norm(
-                attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
+            # attend over this slot's live pages (incl. the one just written)
+            kg = kp[ctx]  # (n_ctx_pages, KV, PAGE, hd)
+            vg = vp[ctx]
+            if quantized:
+                kg = kg.astype(jnp.float32) * ksp[ctx]
+                vg = vg.astype(jnp.float32) * vsp[ctx]
+            kd = kg.transpose(1, 0, 2, 3).reshape(
+                1, KV, n_ctx_pages * PAGE, hd + lane_pad)
+            vd = vg.transpose(1, 0, 2, 3).reshape(
+                1, KV, n_ctx_pages * PAGE, hd + lane_pad)
+            out = attention(
+                q, kd, vd, jnp.reshape(filled, (1,)), T, scale,
+                softcap=cfg.attn_logit_softcap,
+                local_window=cfg.sliding_window,
+                use_local=(l % 2 == 0) if cfg.alternating_window else None,
             )
-        if cfg.parallel_residual:
-            ffn_in = h
-        else:
-            x2 = x + attn_out
-            ffn_in = rms_norm(x2, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
-        down = project_ffn(lw, l, ffn_in, cfg, compute_dtype)
-        if cfg.post_norms:
-            down = rms_norm(
-                down, jnp.asarray(lw["post_ffn_norm"])[l], cfg.rms_norm_eps
-            )
-        x_out = (x + attn_out + down) if cfg.parallel_residual else (x2 + down)
-        if quantized:
-            return x_out, (k_pages, v_pages, ks_pages, vs_pages)
-        return x_out, (k_pages, v_pages)
+            pages = ((kp, vp, ksp, vsp) if quantized else (kp, vp))
+            return out, pages
+
+        return _layer_body(lw, rope_ff, l, x, positions, cfg, compute_dtype,
+                           kv_io, B, T, lane_pad)
 
     idx = jnp.arange(L, dtype=jnp.int32)
     if quantized:
@@ -428,14 +416,7 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
         ks_new = vs_new = None
-    x = apply_final_norm(weights, x, cfg)
-    out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
-    logits = qmatmul(x, out_w, compute_dtype).astype(jnp.float32)
-    if weights.get("output_b") is not None:  # phi2 lm_head bias
-        logits = logits + jnp.asarray(weights["output_b"], jnp.float32)
-    if cfg.final_logit_softcap:
-        cap = jnp.float32(cfg.final_logit_softcap)
-        logits = cap * jnp.tanh(logits / cap)
+    logits = _final_logits(weights, x, cfg, compute_dtype)
     return logits, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
 
 
@@ -486,84 +467,44 @@ def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, cfg,
         else:
             l, k_pages, v_pages = per_layer
             ks_pages = vs_pages = None
-        h = layer_norm_in(lw, l, x, cfg)
-        q, k, v = project_qkv(lw, l, h, cfg, compute_dtype)
-        q = q.reshape(B, T, H, hd)
-        k = k.reshape(B, T, KV, hd)
-        v = v.reshape(B, T, KV, hd)
-        if cfg.qk_norm:
-            q = rms_norm(q, jnp.asarray(lw["q_norm"])[l], cfg.rms_norm_eps)
-            k = rms_norm(k, jnp.asarray(lw["k_norm"])[l], cfg.rms_norm_eps)
-        q = apply_rope(q, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
-                       mscale=cfg.rope_mscale)
-        k = apply_rope(k, positions, cfg.effective_rope_dim, cfg.rope_mode,
-                       cfg.rope_base, freq_factors=rope_ff, pos_scale=rope_ps,
-                       mscale=cfg.rope_mscale)
 
-        kt = k.reshape(B * T, KV, hd)
-        vt = v.reshape(B * T, KV, hd)
-        if lane_pad:
-            kt = jnp.pad(kt, ((0, 0), (0, 0), (0, lane_pad)))
-            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, lane_pad)))
-            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, lane_pad)))
-        if quantized:
-            def q8(a):
-                s_ = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
-                s_ = jnp.maximum(s_.astype(jnp.float32), 1e-12)
-                qv = jnp.clip(jnp.round(a.astype(jnp.float32) / s_), -127, 127)
-                return qv.astype(jnp.int8), s_
+        def kv_io(q, k, v):
+            # flat scatter: every slot's K+1 tokens through the block
+            # table (page boundaries straddled via per-token indices)
+            kp, vp, ksp, vsp = k_pages, v_pages, ks_pages, vs_pages
+            kt = k.reshape(B * T, KV, hd + lane_pad)
+            vt = v.reshape(B * T, KV, hd + lane_pad)
+            if quantized:
+                kq, ks_new = _q8_vec(kt)
+                vq, vs_new = _q8_vec(vt)
+                kp = kp.at[pg_f, :, off_f].set(kq)
+                vp = vp.at[pg_f, :, off_f].set(vq)
+                ksp = ksp.at[pg_f, :, off_f].set(ks_new)
+                vsp = vsp.at[pg_f, :, off_f].set(vs_new)
+            else:
+                kp = kp.at[pg_f, :, off_f].set(kt.astype(kp.dtype))
+                vp = vp.at[pg_f, :, off_f].set(vt.astype(vp.dtype))
 
-            kq, ks_new = q8(kt)
-            vq, vs_new = q8(vt)
-            k_pages = k_pages.at[pg_f, :, off_f].set(kq)
-            v_pages = v_pages.at[pg_f, :, off_f].set(vq)
-            ks_pages = ks_pages.at[pg_f, :, off_f].set(ks_new)
-            vs_pages = vs_pages.at[pg_f, :, off_f].set(vs_new)
-        else:
-            k_pages = k_pages.at[pg_f, :, off_f].set(kt.astype(k_pages.dtype))
-            v_pages = v_pages.at[pg_f, :, off_f].set(vt.astype(v_pages.dtype))
-
-        kg = k_pages[ctx_table]  # (B, mp, KV, PAGE, hd)
-        vg = v_pages[ctx_table]
-        if quantized:
-            kg = kg.astype(jnp.float32) * ks_pages[ctx_table]
-            vg = vg.astype(jnp.float32) * vs_pages[ctx_table]
-        kd = kg.transpose(0, 2, 1, 3, 4).reshape(
-            B, KV, mp * PAGE, hd + lane_pad)
-        vd = vg.transpose(0, 2, 1, 3, 4).reshape(
-            B, KV, mp * PAGE, hd + lane_pad)
-        out = attention(
-            q, kd, vd, pos, T, scale,
-            softcap=cfg.attn_logit_softcap,
-            local_window=cfg.sliding_window,
-            use_local=(l % 2 == 0) if cfg.alternating_window else None,
-        )
-        if lane_pad:
-            out = out.reshape(B, T, H, hd + lane_pad)[..., :hd].reshape(
-                B, T, H * hd)
-        attn_out = qmatmul(out.astype(compute_dtype), lw["wo"], compute_dtype,
-                           layer=l)
-        if "bo" in lw:
-            attn_out = attn_out + jnp.asarray(lw["bo"])[l].astype(compute_dtype)
-        if cfg.post_norms:
-            attn_out = rms_norm(
-                attn_out, jnp.asarray(lw["post_attn_norm"])[l], cfg.rms_norm_eps
+            kg = kp[ctx_table]  # (B, mp, KV, PAGE, hd)
+            vg = vp[ctx_table]
+            if quantized:
+                kg = kg.astype(jnp.float32) * ksp[ctx_table]
+                vg = vg.astype(jnp.float32) * vsp[ctx_table]
+            kd = kg.transpose(0, 2, 1, 3, 4).reshape(
+                B, KV, mp * PAGE, hd + lane_pad)
+            vd = vg.transpose(0, 2, 1, 3, 4).reshape(
+                B, KV, mp * PAGE, hd + lane_pad)
+            out = attention(
+                q, kd, vd, pos, T, scale,
+                softcap=cfg.attn_logit_softcap,
+                local_window=cfg.sliding_window,
+                use_local=(l % 2 == 0) if cfg.alternating_window else None,
             )
-        if cfg.parallel_residual:
-            ffn_in = h
-        else:
-            x2 = x + attn_out
-            ffn_in = rms_norm(x2, jnp.asarray(lw["ffn_norm"])[l], cfg.rms_norm_eps)
-        down = project_ffn(lw, l, ffn_in, cfg, compute_dtype)
-        if cfg.post_norms:
-            down = rms_norm(
-                down, jnp.asarray(lw["post_ffn_norm"])[l], cfg.rms_norm_eps
-            )
-        x_out = (x + attn_out + down) if cfg.parallel_residual else (x2 + down)
-        if quantized:
-            return x_out, (k_pages, v_pages, ks_pages, vs_pages)
-        return x_out, (k_pages, v_pages)
+            pages = ((kp, vp, ksp, vsp) if quantized else (kp, vp))
+            return out, pages
+
+        return _layer_body(lw, rope_ff, l, x, positions, cfg, compute_dtype,
+                           kv_io, B, T, lane_pad)
 
     idx = jnp.arange(L, dtype=jnp.int32)
     if quantized:
@@ -573,14 +514,7 @@ def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, cfg,
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
         ks_new = vs_new = None
-    x = apply_final_norm(weights, x, cfg)
-    out_w = weights["output"] if weights["output"] is not None else weights["token_embed"]
-    logits = qmatmul(x, out_w, compute_dtype).astype(jnp.float32)
-    if weights.get("output_b") is not None:
-        logits = logits + jnp.asarray(weights["output_b"], jnp.float32)
-    if cfg.final_logit_softcap:
-        cap = jnp.float32(cfg.final_logit_softcap)
-        logits = cap * jnp.tanh(logits / cap)
+    logits = _final_logits(weights, x, cfg, compute_dtype)
     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return nxt, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
 
