@@ -264,3 +264,26 @@ def test_hf_bos_eos_from_post_processor(tmp_path):
     p2.write_text(json.dumps(tj2))
     tk2 = tokenizer_from_hf_json(str(p2))
     assert tk2.eos_token == n0
+
+
+def test_spm_roundtrip_fuzz(tk260):
+    """Hypothesis: encode→decode roundtrips arbitrary unicode exactly
+    (byte fallback covers anything outside the vocab; Utf8Buf reassembles
+    split multibyte sequences). The reference pins this only on
+    hand-picked strings (tokenizer_llama.rs:145-206)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crabml_tpu.tokenizer import Utf8Buf
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(min_size=1, max_size=60))
+    def roundtrip(s):
+        ids = tk260.encode(s, bos=False)
+        buf = Utf8Buf()
+        out = "".join(tk260.decode(t, buf) for t in ids)
+        # SPM prepends one space at encode time (the ▁ convention);
+        # everything else must round-trip byte-exactly
+        assert out == " " + s or out == s
+
+    roundtrip()
