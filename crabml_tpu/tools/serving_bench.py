@@ -68,7 +68,7 @@ def run_workload(make_engine, prompts, max_tokens: int, tick: int) -> dict:
                   getattr(cache, "k_scale", None), getattr(cache, "v_scale", None))
         if a is not None
     )
-    return {
+    out = {
         "completion_tokens": out_toks,
         "seconds": round(dt, 2),
         "tok_s": round(out_toks / dt, 2),
@@ -76,6 +76,11 @@ def run_workload(make_engine, prompts, max_tokens: int, tick: int) -> dict:
         "kv_pool_bytes": int(pool_bytes),
         "finish_reasons": sorted({r.finish_reason for r in reqs}),
     }
+    if getattr(eng, "spec_ticks", 0):
+        out["spec_ticks"] = eng.spec_ticks
+        out["spec_tokens"] = eng.spec_tokens
+        out["spec_tokens_per_tick"] = round(eng.spec_tokens / eng.spec_ticks, 2)
+    return out
 
 
 def main(argv=None):
@@ -86,7 +91,11 @@ def main(argv=None):
     ap.add_argument("--quant", default="q4_k")
     ap.add_argument("--backend", default="w4a8",
                     choices=["auto", "xla", "pallas", "w4a8"])
-    ap.add_argument("--engines", default="dense,paged")
+    ap.add_argument("--engines", default="dense,paged",
+                    help="comma list of dense,paged,spec ('spec' = dense "
+                         "engine with prompt-lookup speculative ticks)")
+    ap.add_argument("--speculative", type=int, default=7,
+                    help="draft length K for the 'spec' engine kind")
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--prompt", type=int, default=512)
@@ -144,6 +153,11 @@ def main(argv=None):
                       tick_tokens=args.tick)
         if kind == "dense":
             return lambda: ServingEngine(**common)
+        if kind == "spec":
+            # greedy workload (temperature=0.0 in run_workload) so the
+            # speculative tick engages on every slot
+            return lambda: ServingEngine(speculative=args.speculative,
+                                         **common)
         return lambda: PagedServingEngine(n_pages=n_pages, **common)
 
     results = {}
@@ -171,8 +185,17 @@ def main(argv=None):
         if kind == "paged":
             res["page_size"] = PAGE
             res["n_pages"] = n_pages
+        if kind == "spec":
+            res["speculative"] = args.speculative
         results[kind] = res
         print(json.dumps(res))
+    if "dense" in results and "spec" in results:
+        print(json.dumps({
+            "metric": "spec_vs_dense",
+            "value": round(results["spec"]["tok_s"]
+                           / results["dense"]["tok_s"], 4),
+            "speculative": args.speculative,
+        }))
     if "dense" in results and "paged" in results:
         print(json.dumps({
             "metric": "paged_vs_dense",
