@@ -42,6 +42,12 @@ def enable_compilation_cache(path: str | None = None):
     import jax
 
     path = path or os.environ.get("CRABML_JAX_CACHE")
+    if path in ("off", "0", "none"):
+        # opt-out (tests set this): a pytest process that drives the CLI /
+        # tool mains would otherwise write CPU executables into the same
+        # cache dir a concurrent TPU bench is writing — observed to
+        # segfault inside the zstd cache-write path under contention
+        return None
     if path is None:
         path = os.path.join(os.path.dirname(__file__), "..", "..", ".cache", "jax")
     path = os.path.abspath(os.path.expanduser(path))

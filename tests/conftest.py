@@ -8,6 +8,11 @@ import os
 
 # NB: the axon sitecustomize force-sets JAX_PLATFORMS=axon; only
 # jax.config.update after import actually wins on this image.
+# keep test processes out of the shared persistent XLA cache (tests that
+# drive the CLI/tool mains would enable it process-wide and race a
+# concurrently running TPU bench's cache writes)
+os.environ.setdefault("CRABML_JAX_CACHE", "off")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
