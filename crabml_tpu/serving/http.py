@@ -506,8 +506,11 @@ def main(argv=None):
                          "prompt lookup, or from --draft's small model")
     ap.add_argument("--draft", metavar="GGUF", default=None,
                     help="small draft GGUF for two-model speculative "
-                         "serving (dense engine; defaults the draft length "
-                         "when --speculative is unset)")
+                         "serving (defaults the draft length when "
+                         "--speculative is unset)")
+    ap.add_argument("--repeat-window", type=int, default=None,
+                    help="repetition/frequency/presence penalty window "
+                         "(llama.cpp repeat_last_n; default 64)")
     args = ap.parse_args(argv)
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -521,12 +524,13 @@ def main(argv=None):
         engine = PagedServingEngine(
             runner, n_slots=args.slots, seq_len=args.seq_len, n_pages=args.pages,
             tick_tokens=args.tick_tokens, prefix_cache=not args.no_prefix_cache,
-            speculative=args.speculative,
+            speculative=args.speculative, repeat_window=args.repeat_window,
         )
     else:
         engine = ServingEngine(runner, n_slots=args.slots, seq_len=args.seq_len,
                                tick_tokens=args.tick_tokens,
-                               speculative=args.speculative)
+                               speculative=args.speculative,
+                               repeat_window=args.repeat_window)
     print(f"serving {engine.cfg.model_name} on {args.host}:{args.port} "
           f"({args.slots} slots, seq_len={engine.seq_len})")
     serve(engine, args.host, args.port)

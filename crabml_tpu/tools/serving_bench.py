@@ -14,10 +14,22 @@ pinned separately by tests/test_paged_serving.py; this tool measures the
 throughput side of the same comparison.
 
 Usage:
-    python -m crabml_tpu.tools.serving_bench --gguf auto [--engines dense,paged]
+    python -m crabml_tpu.tools.serving_bench --gguf auto
+        [--engines dense,paged,spec] [--speculative 7]
         [--slots 16] [--prompt 512] [--max-tokens 192] [--tick 8]
 
-Prints one JSON line per engine plus a `paged_vs_dense` summary line.
+Prints one JSON line per engine plus `paged_vs_dense` / `spec_vs_dense`
+summary lines when both sides of a pair ran.
+
+Caveat on the 'spec' engine kind (dense engine + prompt-lookup
+speculative ticks, draft length ``--speculative``): the synthetic
+prompts are uniform-random tokens, on which n-gram prompt-lookup
+acceptance is unrepresentative of real text — near zero against the
+prompt itself, or artificially high once an untrained model's greedy
+output turns repetitive. Interpret `spec_vs_dense` together with the
+emitted `spec_tokens_per_tick` (accepted+1 per verify tick): at ~1.0
+the run mostly measured verify overhead; real-text acceptance needs a
+trained model + natural prompts (see bench.py --mode speculative).
 """
 
 from __future__ import annotations
@@ -110,6 +122,11 @@ def main(argv=None):
     ap.add_argument("--no-warmup", dest="warmup", action="store_false")
     args = ap.parse_args(argv)
 
+    kinds = args.engines.split(",")
+    bad = [k for k in kinds if k not in ("dense", "paged", "spec")]
+    if bad:
+        ap.error(f"unknown engine kind(s) {bad}; valid: dense, paged, spec")
+
     import jax.numpy as jnp
 
     from ..ops import matmul as matmul_mod
@@ -134,9 +151,14 @@ def main(argv=None):
     kv_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
     seq_len = args.seq_len
     # every request's positions stay >= tick below the seq_len edge so the
-    # fused-scan length (and its executable) never varies mid-run
-    assert args.prompt + args.max_tokens + args.tick < seq_len, \
-        "workload would clamp the fused tick at the seq_len edge"
+    # fused-scan length (and its executable) never varies mid-run; a 'spec'
+    # engine additionally needs speculative+1 headroom per verify tick or
+    # it silently falls back to plain ticks near the edge (engine returns
+    # None), quietly diluting the spec_vs_dense measurement
+    worst_tick = max(args.tick,
+                     args.speculative + 1 if "spec" in kinds else 0)
+    assert args.prompt + args.max_tokens + worst_tick < seq_len, \
+        "workload would clamp the fused/speculative tick at the seq_len edge"
 
     from ..ops.pallas.decode_attention import BK as PAGE
     from ..serving.engine import ServingEngine
@@ -161,7 +183,7 @@ def main(argv=None):
         return lambda: PagedServingEngine(n_pages=n_pages, **common)
 
     results = {}
-    for kind in args.engines.split(","):
+    for kind in kinds:
         prompts = _mk_prompts(args.requests, args.prompt, cfg.vocab_size,
                               seed=0)
         if args.warmup:
@@ -195,6 +217,10 @@ def main(argv=None):
             "value": round(results["spec"]["tok_s"]
                            / results["dense"]["tok_s"], 4),
             "speculative": args.speculative,
+            # interpretation key: ~1.0 tokens/tick means the random-prompt
+            # workload measured verify overhead, not realistic acceptance
+            "spec_tokens_per_tick":
+                results["spec"].get("spec_tokens_per_tick"),
         }))
     if "dense" in results and "paged" in results:
         print(json.dumps({

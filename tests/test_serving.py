@@ -801,3 +801,59 @@ def test_two_model_spec_acceptance_survives_plain_ticks(stories260k_path):
     late_tokens = eng.spec_tokens - toks0
     assert late_ticks > 0
     assert late_tokens / late_ticks >= 4, (late_tokens, late_ticks)
+
+
+def test_per_slot_speculation_mixed_traffic(stories260k_path):
+    """VERDICT r3 #4 done-criterion: greedy slots keep emitting >1
+    token/tick while sampled and penalized slots in the SAME batch stream
+    correctly. Uses draft == target so the greedy slot's acceptance is
+    guaranteed; the penalized slot (temp 0 + repetition penalty — spec-
+    ineligible but deterministic) must match its plain-engine output
+    byte-exactly via the verify tick's position-0 sampled token."""
+    tr = Runner(stories260k_path, seq_len=96)
+    plain = ServingEngine(tr, n_slots=3, seq_len=96)
+    want_greedy = plain.generate([PROMPTS[0]], max_tokens=20)[0]
+    plain2 = ServingEngine(tr, n_slots=3, seq_len=96)
+    want_pen = plain2.generate([PROMPTS[2]], max_tokens=20,
+                               repetition_penalty=1.3)[0]
+
+    spec_r = Runner(stories260k_path, seq_len=96,
+                    draft_model=stories260k_path)
+    eng = ServingEngine(spec_r, n_slots=3, seq_len=96, speculative=5)
+    rg = eng.submit(Request(prompt=PROMPTS[0], max_tokens=20))
+    rs = eng.submit(Request(prompt=PROMPTS[1], max_tokens=10,
+                            temperature=0.9))
+    rp = eng.submit(Request(prompt=PROMPTS[2], max_tokens=20,
+                            repetition_penalty=1.3))
+    eng.drain(max_steps=300)
+    assert rg.done and rs.done and rp.done
+    assert _detok(eng, rg) == want_greedy
+    assert _detok(eng, rp) == want_pen
+    assert rs.finish_reason in ("length", "stop")
+    # the greedy slot accepted multi-token ticks DESPITE the mixed batch
+    assert eng.spec_ticks > 0
+    assert eng.spec_tokens / eng.spec_ticks >= 4
+
+
+def test_per_slot_speculation_sampled_logprobs(runner):
+    """A logprobs-requesting sampled slot rides the verify tick's pos-0
+    sample: its logprob record stays aligned with its tokens."""
+    eng = ServingEngine(runner, n_slots=2, seq_len=96, speculative=4)
+    rg = eng.submit(Request(prompt=PROMPTS[0], max_tokens=12))
+    rl = eng.submit(Request(prompt=PROMPTS[1], max_tokens=8,
+                            temperature=0.7, logprobs=2))
+    eng.drain(max_steps=300)
+    assert rg.done and rl.done
+    assert len(rl.output_logprobs) == len(rl.output_tokens)
+    assert all(len(t) == 2 for t in rl.output_top_logprobs)
+
+
+def test_all_sampled_batch_takes_plain_ticks(runner):
+    """When NO active slot is spec-eligible the engine skips the verify
+    dispatch entirely (a plain tick is strictly cheaper)."""
+    eng = ServingEngine(runner, n_slots=2, seq_len=96, speculative=4)
+    r1 = eng.submit(Request(prompt=PROMPTS[0], max_tokens=8, temperature=0.8))
+    r2 = eng.submit(Request(prompt=PROMPTS[1], max_tokens=8, temperature=0.8))
+    eng.drain(max_steps=200)
+    assert r1.done and r2.done
+    assert eng.spec_ticks == 0
