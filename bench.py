@@ -281,6 +281,15 @@ def main():
         for _ in runner.generate(tok, steps=17):
             n += 1
         gen_s = time.perf_counter() - gen_t0
+        # split the conflated first-TTFT (VERDICT r3 #9): the same prefill
+        # executable re-run on a reset cache is the engine's WARM prompt
+        # latency; the delta is one-time compile + (on the tunneled axon
+        # backend) the server-side first-execution kernel build — both
+        # environmental, neither paid per request
+        runner.reset()
+        t1 = time.perf_counter()
+        runner.prefill("Once upon a time", bos=True)
+        warm_prefill = time.perf_counter() - t1
         import os
 
         result = {
@@ -296,7 +305,15 @@ def main():
                 "load_cache_read_s": round(runner.metrics.times_ns.get("load.cache_read", 0) / 1e9, 2),
                 "load_cache_write_s": round(runner.metrics.times_ns.get("load.cache_write", 0) / 1e9, 2),
                 "load_device_put_s": round(runner.metrics.times_ns.get("load.device_put", 0) / 1e9, 2),
+                # auto-W8 prefill planes (one-time host requant; cached)
+                "load_w8_augment_s": round(runner.metrics.times_ns.get("load.w8_augment", 0) / 1e9, 2),
+                "prefill_w8": runner.prefill_w8,
                 "prefill_plus_compile_s": round(ttft, 2),
+                # the engine's steady-state prompt latency (same executable,
+                # reset cache); first-run minus this = one-time compile +
+                # server-side backend build (environmental)
+                "prefill_warm_s": round(warm_prefill, 2),
+                "compile_plus_backend_build_s": round(ttft - warm_prefill, 2),
                 "decode_tok_s_dispatched": round(n / gen_s, 1),
                 "device": jax.devices()[0].device_kind,
             },

@@ -38,10 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "sequence axis over N devices (ring-attention "
                          "prefill), for contexts beyond one chip's HBM")
     ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas", "w4a8"])
-    ap.add_argument("--prefill-w8", action="store_true",
+    ap.add_argument("--prefill-w8", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="attach W8 prefill planes: unpack-free prefill "
                          "tiles at 82%% of the chip's matmul rate, costing "
-                         "+8 bits/weight of HBM")
+                         "+8 bits/weight of HBM. Default: AUTO — enabled "
+                         "(fully or partially) when the planes fit free "
+                         "HBM on TPU; --no-prefill-w8 forces off")
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
                     help="prompt-lookup speculative decoding with draft "
                          "length K (greedy only): drafts come from the "

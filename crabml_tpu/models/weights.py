@@ -150,20 +150,50 @@ def repack_weights(weights: dict, cfg: ModelConfig | None = None) -> dict:
     return out
 
 
-def augment_w8_weights(weights: dict) -> dict:
-    """Attach W8 prefill planes (int8 weights + per-chunk scales) to every
-    repacked layer matmul + the output head — the unpack-free prefill path
+def w8_plane_bytes(qt: QTensor) -> int:
+    """HBM bytes augment_w8 would add to this tensor: one int8/weight plus
+    one f32 scale per (column, W8_KSC-chunk)."""
+    from ..ops.pallas.gemm_quant import W8_KSC
+
+    n = 1
+    for d in qt.shape:
+        n *= d
+    return int(n * (1 + 4 / W8_KSC))
+
+
+def augment_w8_weights(weights: dict, budget_bytes: int | None = None) -> dict:
+    """Attach W8 prefill planes (int8 weights + per-chunk scales) to the
+    repacked layer matmuls + the output head — the unpack-free prefill path
     (ops.pallas.gemm_quant.augment_w8). token_embed stays untouched (gather
-    path). Costs +8 bits/weight of HBM; callers opt in (Runner prefill_w8)."""
+    path). Costs +8 bits/weight of HBM.
+
+    `budget_bytes` caps the added HBM: tensors augment LARGEST-first until
+    the budget runs out (partial W8 — e.g. a 13B model on a 16 GB chip
+    augments the tensors that fit; the rest prefill through the bf16
+    dequant kernels, since the matmul dispatch keys on per-tensor plane
+    presence). None = augment everything (the legacy full opt-in)."""
     from ..ops.pallas.gemm_quant import augment_w8
 
     out = dict(weights)
-    out["layers"] = {
-        name: (augment_w8(val) if isinstance(val, QTensor) else val)
-        for name, val in weights["layers"].items()
-    }
+    layers = dict(weights["layers"])
+    cands = [(n, v) for n, v in layers.items() if isinstance(v, QTensor)]
     if isinstance(weights.get("output"), QTensor):
-        out["output"] = augment_w8(weights["output"])
+        cands.append(("output", weights["output"]))
+    # largest first: the prefill win per tensor tracks its byte share
+    cands.sort(key=lambda kv: -w8_plane_bytes(kv[1]))
+    spent = 0
+    for name, qt in cands:
+        cost = w8_plane_bytes(qt)
+        if budget_bytes is not None and spent + cost > budget_bytes:
+            continue  # keep trying smaller tensors
+        new = augment_w8(qt)
+        if new is not qt:  # augment_w8 no-ops on ineligible tensors
+            spent += cost
+            if name == "output":
+                out["output"] = new
+            else:
+                layers[name] = new
+    out["layers"] = layers
     return out
 
 

@@ -476,15 +476,21 @@ class SequenceParallelRunner:
     MAX_CHUNK_PER_DEV = 512  # per-device rows per prefill chunk
 
     def prefill(self, prompt: str, bos: bool = True):
+        """Text prefill; returns (pos, last_token, first_gen)."""
+        toks = self.tokenizer.encode(prompt, bos=bos)
+        row = self.prefill_tokens(toks)
+        return self.pos, toks[-1], self._pick(row)
+
+    def prefill_tokens(self, toks: list[int]) -> np.ndarray:
         """CHUNKED sequence-parallel prefill: the prompt pays only its own
         (bucket-padded) length — a 100-token prompt on an sp=4 x 4096-slot
         cache prefills 128 rows, not 4096 (VERDICT r2 #7). Chunks of up to
         sp*512 tokens stream through `_sp_prefill_chunk_local`; per-device
         chunk widths bucket to powers of two to bound compile count.
-        Returns (pos, last_token, first_gen)."""
+        Returns the last prompt position's logits row (V,) — the serving
+        tier picks with its own per-request sampler (serving.sp_engine)."""
         from ..utils import bucket as _bucket
 
-        toks = self.tokenizer.encode(prompt, bos=bos)
         limit = self.seq_len - 1
         if len(toks) > limit:
             toks = toks[-limit:]
@@ -508,8 +514,7 @@ class SequenceParallelRunner:
             t0 += min(len(rest), C)
         owner = (last_row - t0_last) // cl_last
         self.pos = len(toks)
-        tok = self._pick(np.asarray(logits)[owner, 0])
-        return self.pos, toks[-1], tok
+        return np.asarray(logits)[owner, 0]
 
     def _pick(self, logits_row) -> int:
         """Greedy by default; a Sampler gives temperature/top-p parity with
@@ -520,18 +525,24 @@ class SequenceParallelRunner:
         return int(np.asarray(self.sampler.sample(
             jnp.asarray(logits_row)[None], sub))[0])
 
+    def decode_logits(self, token: int) -> np.ndarray:
+        """One sp decode step: feed `token` at the current position,
+        advance, return the next-token logits row (V,)."""
+        logits, self.cache = self._decode(
+            self.weights, self.cache,
+            jnp.asarray([token], jnp.int32),
+            jnp.asarray([self.pos], jnp.int32),
+        )
+        self.pos += 1
+        return np.asarray(logits)[0]
+
     def generate(self, token: int, steps: int):
         """Streaming decode (text pieces), reference-style. Greedy unless
         a Sampler was given (sampler parity with runtime.Runner)."""
         yield self.tokenizer.decode(token, self._utf8)
         cur = token
         for _ in range(min(steps - 1, self.seq_len - self.pos - 1)):
-            logits, self.cache = self._decode(
-                self.weights, self.cache,
-                jnp.asarray([cur], jnp.int32), jnp.asarray([self.pos], jnp.int32),
-            )
-            self.pos += 1
-            cur = self._pick(np.asarray(logits)[0])
+            cur = self._pick(self.decode_logits(cur))
             if cur == self.tokenizer.eos_token:
                 return
             yield self.tokenizer.decode(cur, self._utf8)

@@ -29,6 +29,71 @@ from ..utils.metrics import Metrics
 from .sampler import Sampler
 
 
+def _device_hbm_bytes() -> int:
+    """Per-chip HBM: memory_stats when the backend exposes it, else a
+    device-kind table (the tunneled axon backend reports device_kind but
+    not always memory_stats)."""
+    d = jax.devices()[0]
+    try:
+        stats = d.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    kind = d.device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind or "v6 lite" in kind:
+        return 16 << 30
+    if "v4" in kind or "v6" in kind:
+        return 32 << 30
+    if "v5p" in kind or "v5" in kind:
+        return 95 << 30
+    return 16 << 30
+
+
+def _auto_w8_budget(gf: GGUFFile, cfg, batch: int, seq_len: int,
+                    kv_dtype) -> int | None:
+    """VERDICT r3 #3: decide (pre-load, from the GGUF header alone)
+    whether W8 prefill planes fit HBM. Returns None (off), -1 (full
+    augmentation fits), or a byte budget for partial augmentation
+    (largest tensors first — see models.weights.augment_w8_weights).
+
+    Auto-engages only on TPU (where prefill throughput matters) and only
+    for files >1 GiB: small/test models keep bit-exact bf16-dequant
+    prefill, so goldens pinned against the numpy oracle stay byte-stable.
+    """
+    if jax.default_backend() != "tpu":
+        return None
+    wbytes = os.path.getsize(gf.path)
+    if wbytes < (1 << 30):
+        return None
+    # full-augmentation cost: every 2D matmul except the embedding
+    full = sum(
+        ti.n_elems for ti in gf.tensor_infos
+        if len(ti.dimensions) == 2 and "token_embd" not in ti.name
+    )
+    full = int(full * 1.008)  # + per-512-chunk f32 scales
+    kv_item = 1 if kv_dtype == jnp.int8 else 2
+    kv = (2 * cfg.n_layers * batch * seq_len
+          * cfg.n_kv_heads * cfg.head_dim * kv_item)
+    slack = 2 << 30  # activations, compile scratch, serving KV pools
+    budget = _device_hbm_bytes() - slack - wbytes - kv
+    import logging
+
+    log = logging.getLogger("crabml_tpu")
+    if budget <= 0:
+        log.info("prefill W8 planes auto-disabled: no HBM headroom "
+                 "(weights %.1f GiB)", wbytes / 2**30)
+        return None
+    if budget >= full:
+        log.info("prefill W8 planes auto-enabled (+%.1f GiB HBM, fits); "
+                 "pass prefill_w8=False to disable", full / 2**30)
+        return -1
+    log.info("prefill W8 planes PARTIALLY auto-enabled: %.1f of %.1f GiB "
+             "fits HBM; largest tensors augment first",
+             budget / 2**30, full / 2**30)
+    return budget
+
+
 class Runner:
     def __init__(
         self,
@@ -43,7 +108,7 @@ class Runner:
         backend: str | None = None,
         scale_dtype=None,
         weight_cache: bool | None = None,
-        prefill_w8: bool = False,
+        prefill_w8: bool | None = None,
         speculative: int = 0,
         draft_model: "str | GGUFFile | None" = None,
         kv_lane_pad: bool = False,
@@ -84,35 +149,65 @@ class Runner:
                     sharding is None
                     and os.path.getsize(gf.path) > 512 * 1024 * 1024
                 )
+            # W8 prefill planes (int8 storage, unpack-free prefill tiles;
+            # +8 bits/weight HBM). prefill_w8=True: full augmentation
+            # (legacy opt-in). None (the DEFAULT): auto — augment when the
+            # planes fit free HBM, partially when only some do (largest
+            # tensors first), never on CPU or for small models (so pinned
+            # goldens stay byte-exact). False: off.
+            w8_budget = None  # None=off, -1=full, >0 = partial byte budget
+            if backend in ("pallas", "w4a8"):
+                if prefill_w8 is True:
+                    w8_budget = -1
+                elif prefill_w8 is None and sharding is None:
+                    w8_budget = _auto_w8_budget(
+                        gf, self.cfg, batch_size, self.seq_len, self.kv_dtype)
+            self.prefill_w8 = w8_budget is not None
+
             wc_root = _wc.default_root() if weight_cache else None
-            wc_key = (
-                _wc.cache_key(gf.path, layout, str(sdt)) if weight_cache else None
-            )
+            # augmented planes cache under their own key (partial budgets
+            # quantize to GiB so the key is stable across runs): warm
+            # starts skip the deterministic augment pass too
+            w8_tag = ("" if w8_budget is None
+                      else ("+w8" if w8_budget == -1
+                            else f"+w8b{w8_budget >> 30}"))
+            wc_key = (_wc.cache_key(gf.path, layout + w8_tag, str(sdt))
+                      if weight_cache else None)
+            wc_key_base = (_wc.cache_key(gf.path, layout, str(sdt))
+                           if weight_cache else None)
             host_weights = None
             if weight_cache:
                 with self.metrics.track("load.cache_read"):
                     host_weights = _wc.load(wc_root, wc_key)
             if host_weights is None:
-                with self.metrics.track("load.repack"):
-                    host_weights = load_weights(gf, self.cfg, layout, sdt)
-                    if sharding is None:
-                        # QKV/gate-up fusion is single-device only (fused rows
-                        # would straddle q|k|v boundaries under row sharding)
-                        host_weights = fuse_weights(host_weights, self.cfg)
-                    if backend in ("pallas", "w4a8"):
-                        host_weights = repack_weights(host_weights, self.cfg)  # stragglers
+                base = (_wc.load(wc_root, wc_key_base)
+                        if weight_cache and w8_budget is not None else None)
+                if base is None:
+                    with self.metrics.track("load.repack"):
+                        base = load_weights(gf, self.cfg, layout, sdt)
+                        if sharding is None:
+                            # QKV/gate-up fusion is single-device only
+                            # (fused rows would straddle q|k|v boundaries
+                            # under row sharding)
+                            base = fuse_weights(base, self.cfg)
+                        if backend in ("pallas", "w4a8"):
+                            base = repack_weights(base, self.cfg)  # stragglers
+                    if weight_cache and w8_budget is not None:
+                        # save the un-augmented planes too: other configs
+                        # (decode-only, sharded) start from this entry
+                        with self.metrics.track("load.cache_write"):
+                            _wc.save(wc_root, wc_key_base, base)
+                host_weights = base
+                if w8_budget is not None:
+                    with self.metrics.track("load.w8_augment"):
+                        from ..models.weights import augment_w8_weights
+
+                        host_weights = augment_w8_weights(
+                            base,
+                            None if w8_budget == -1 else w8_budget)
                 if weight_cache:
                     with self.metrics.track("load.cache_write"):
                         _wc.save(wc_root, wc_key, host_weights)
-            if prefill_w8 and backend in ("pallas", "w4a8"):
-                # W8 prefill planes: +8 bits/weight HBM for unpack-free
-                # prefill tiles (ops.pallas.gemm_quant.augment_w8). Opt-in;
-                # NOT covered by the weight cache key (derived determinis-
-                # tically from the cached planes, ~seconds per GB).
-                with self.metrics.track("load.w8_augment"):
-                    from ..models.weights import augment_w8_weights
-
-                    host_weights = augment_w8_weights(host_weights)
             if sharding is not None:
                 from ..parallel.tp import make_tp_forward
 

@@ -34,7 +34,21 @@ from ..runtime.sampler import LOGPROB_TOPK
 from .engine import Request, ServingEngine
 
 
-def make_handler(engine: ServingEngine):
+def make_handler(engine: ServingEngine, longctx=None):
+    """`longctx`: optional serving.sp_engine.SpServingEngine — requests
+    whose prompt + max_tokens exceed the primary engine's per-slot cache
+    route there (the sequence-parallel long-context tier, SURVEY §5.7)
+    instead of being sliding-window-trimmed."""
+
+    def _route(req: Request):
+        if longctx is None:
+            return engine
+        if not req.prompt_tokens:
+            req.prompt_tokens = engine.tokenizer.encode(req.prompt, bos=True)
+        if len(req.prompt_tokens) + req.max_tokens >= engine.seq_len:
+            return longctx
+        return engine
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -275,6 +289,7 @@ def make_handler(engine: ServingEngine):
                         for _ in range(n_choices)
                     ]
                 req = reqs[0]
+                target = _route(req)  # sp long-context tier when attached
             except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._error(400, str(e))
                 return
@@ -282,7 +297,7 @@ def make_handler(engine: ServingEngine):
             if payload.get("stream") and n_choices > 1:
                 # OpenAI n>1 streaming: per-choice indexed chunks, all
                 # choices decode concurrently (they share engine ticks)
-                streams = [engine.enqueue_streaming(r) for r in reqs]
+                streams = [target.enqueue_streaming(r) for r in reqs]
                 merged: "queue.SimpleQueue" = queue.SimpleQueue()
 
                 def pump(i, st):
@@ -349,7 +364,7 @@ def make_handler(engine: ServingEngine):
                     chunk(b"")
                 except (BrokenPipeError, ConnectionResetError):
                     for r in reqs:
-                        engine.cancel(r)
+                        target.cancel(r)
                 return
 
             if payload.get("stream"):
@@ -364,7 +379,7 @@ def make_handler(engine: ServingEngine):
                         + len(req.output_tokens),
                     }
 
-                stream = engine.enqueue_streaming(req)
+                stream = target.enqueue_streaming(req)
                 if chat:
                     base = {
                         "id": f"chatcmpl-{req.request_id}",
@@ -385,18 +400,18 @@ def make_handler(engine: ServingEngine):
 
                     self._stream_sse(
                         stream, chat_event,
-                        on_disconnect=lambda: engine.cancel(req),
+                        on_disconnect=lambda: target.cancel(req),
                     )
                 else:
                     self._stream_sse(
                         stream,
                         lambda piece: {"text": piece} if piece is not None
                         else ({"usage": usage_now()} if want_usage else None),
-                        on_disconnect=lambda: engine.cancel(req),
+                        on_disconnect=lambda: target.cancel(req),
                     )
                 return
 
-            streams = [engine.enqueue_streaming(r) for r in reqs]
+            streams = [target.enqueue_streaming(r) for r in reqs]
             texts = []
             for r, stream in zip(reqs, streams):
                 parts = []
@@ -460,15 +475,21 @@ def make_handler(engine: ServingEngine):
     return Handler
 
 
-def serve(engine: ServingEngine, host: str = "0.0.0.0", port: int = 8000):
-    """Run the engine loop + HTTP server until interrupted."""
+def serve(engine: ServingEngine, host: str = "0.0.0.0", port: int = 8000,
+          longctx=None):
+    """Run the engine loop(s) + HTTP server until interrupted. `longctx`:
+    optional SpServingEngine for over-one-chip contexts (see make_handler)."""
     loop = threading.Thread(target=engine.run_forever, daemon=True)
     loop.start()
-    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    if longctx is not None:
+        threading.Thread(target=longctx.run_forever, daemon=True).start()
+    server = ThreadingHTTPServer((host, port), make_handler(engine, longctx))
     try:
         server.serve_forever()
     finally:
         engine.shutdown()
+        if longctx is not None:
+            longctx.shutdown()
         server.server_close()
 
 
@@ -511,6 +532,14 @@ def main(argv=None):
     ap.add_argument("--repeat-window", type=int, default=None,
                     help="repetition/frequency/presence penalty window "
                          "(llama.cpp repeat_last_n; default 64)")
+    ap.add_argument("--sp-longctx", type=int, default=0, metavar="N",
+                    help="attach a sequence-parallel long-context tier "
+                         "over N devices: requests whose prompt+max_tokens "
+                         "exceed --seq-len stream through the sp mesh "
+                         "(B=1, serial) instead of being trimmed")
+    ap.add_argument("--sp-seq-len", type=int, default=None,
+                    help="context budget of the sp tier (default: the "
+                         "model's full seq_len)")
     args = ap.parse_args(argv)
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -531,9 +560,21 @@ def main(argv=None):
                                tick_tokens=args.tick_tokens,
                                speculative=args.speculative,
                                repeat_window=args.repeat_window)
+    longctx = None
+    if args.sp_longctx:
+        from ..parallel.sp import SequenceParallelRunner
+        from .sp_engine import SpServingEngine
+
+        sp_runner = SequenceParallelRunner(
+            args.model, sp=args.sp_longctx, seq_len=args.sp_seq_len,
+            compute_dtype=dt,
+        )
+        longctx = SpServingEngine(sp_runner)
+        print(f"long-context tier: sp={args.sp_longctx}, "
+              f"seq_len={sp_runner.seq_len}")
     print(f"serving {engine.cfg.model_name} on {args.host}:{args.port} "
           f"({args.slots} slots, seq_len={engine.seq_len})")
-    serve(engine, args.host, args.port)
+    serve(engine, args.host, args.port, longctx=longctx)
 
 
 if __name__ == "__main__":

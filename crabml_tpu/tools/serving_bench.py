@@ -104,10 +104,14 @@ def main(argv=None):
     ap.add_argument("--backend", default="w4a8",
                     choices=["auto", "xla", "pallas", "w4a8"])
     ap.add_argument("--engines", default="dense,paged",
-                    help="comma list of dense,paged,spec ('spec' = dense "
-                         "engine with prompt-lookup speculative ticks)")
+                    help="comma list of dense,paged,spec,spec-paged "
+                         "('spec' = dense engine with speculative ticks; "
+                         "'spec-paged' = paged engine with them)")
     ap.add_argument("--speculative", type=int, default=7,
-                    help="draft length K for the 'spec' engine kind")
+                    help="draft length K for the spec engine kinds")
+    ap.add_argument("--draft-gguf", default=None, metavar="GGUF",
+                    help="small draft model for the spec kinds: two-model "
+                         "speculation instead of prompt lookup")
     ap.add_argument("--slots", type=int, default=16)
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--prompt", type=int, default=512)
@@ -123,9 +127,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     kinds = args.engines.split(",")
-    bad = [k for k in kinds if k not in ("dense", "paged", "spec")]
+    valid = ("dense", "paged", "spec", "spec-paged")
+    bad = [k for k in kinds if k not in valid]
     if bad:
-        ap.error(f"unknown engine kind(s) {bad}; valid: dense, paged, spec")
+        ap.error(f"unknown engine kind(s) {bad}; valid: {', '.join(valid)}")
 
     import jax.numpy as jnp
 
@@ -156,7 +161,8 @@ def main(argv=None):
     # it silently falls back to plain ticks near the edge (engine returns
     # None), quietly diluting the spec_vs_dense measurement
     worst_tick = max(args.tick,
-                     args.speculative + 1 if "spec" in kinds else 0)
+                     args.speculative + 1
+                     if any(k.startswith("spec") for k in kinds) else 0)
     assert args.prompt + args.max_tokens + worst_tick < seq_len, \
         "workload would clamp the fused/speculative tick at the seq_len edge"
 
@@ -167,19 +173,35 @@ def main(argv=None):
     per_seq_pages = -(-(args.prompt + args.max_tokens + args.tick) // PAGE)
     n_pages = args.slots * per_seq_pages + 8 + 1  # + slack + scratch page
 
+    compute = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
+    draft_runner = None
+    if args.draft_gguf:
+        # two-model speculation: the engines only need weights/cfg/dtypes
+        # off the draft handle (serving.engine reads exactly these)
+        from types import SimpleNamespace
+
+        d_weights, d_cfg, d_load = load_gguf_weights(
+            args.draft_gguf, matmul_mod._BACKEND)
+        print(f"draft {args.draft_gguf}: {d_load}", file=sys.stderr)
+        draft_runner = SimpleNamespace(weights=d_weights, cfg=d_cfg,
+                                       compute_dtype=compute,
+                                       kv_dtype=kv_dtype)
+
     def mk(kind):
-        compute = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
         common = dict(weights=weights, cfg=cfg, tokenizer=None,
                       n_slots=args.slots, seq_len=seq_len,
                       compute_dtype=compute, kv_dtype=kv_dtype,
                       tick_tokens=args.tick)
+        # greedy workload (temperature=0.0 in run_workload) so the
+        # speculative tick engages on every slot
+        spec = dict(speculative=args.speculative, draft_runner=draft_runner)
         if kind == "dense":
             return lambda: ServingEngine(**common)
         if kind == "spec":
-            # greedy workload (temperature=0.0 in run_workload) so the
-            # speculative tick engages on every slot
-            return lambda: ServingEngine(speculative=args.speculative,
-                                         **common)
+            return lambda: ServingEngine(**spec, **common)
+        if kind == "spec-paged":
+            return lambda: PagedServingEngine(n_pages=n_pages, **spec,
+                                              **common)
         return lambda: PagedServingEngine(n_pages=n_pages, **common)
 
     results = {}
@@ -204,11 +226,12 @@ def main(argv=None):
             "kv_dtype": args.kv_dtype,
             "backend": matmul_mod._BACKEND,
         })
-        if kind == "paged":
+        if kind in ("paged", "spec-paged"):
             res["page_size"] = PAGE
             res["n_pages"] = n_pages
-        if kind == "spec":
+        if kind in ("spec", "spec-paged"):
             res["speculative"] = args.speculative
+            res["draft"] = "model" if draft_runner is not None else "lookup"
         results[kind] = res
         print(json.dumps(res))
     if "dense" in results and "spec" in results:
@@ -221,6 +244,15 @@ def main(argv=None):
             # workload measured verify overhead, not realistic acceptance
             "spec_tokens_per_tick":
                 results["spec"].get("spec_tokens_per_tick"),
+        }))
+    if "paged" in results and "spec-paged" in results:
+        print(json.dumps({
+            "metric": "spec_paged_vs_paged",
+            "value": round(results["spec-paged"]["tok_s"]
+                           / results["paged"]["tok_s"], 4),
+            "speculative": args.speculative,
+            "spec_tokens_per_tick":
+                results["spec-paged"].get("spec_tokens_per_tick"),
         }))
     if "dense" in results and "paged" in results:
         print(json.dumps({

@@ -928,3 +928,56 @@ def test_moe_grouped_prefill_w8_planes_engage(tmp_path):
         gemm_quant._run_grouped_w8 = orig
     assert calls, "grouped W8 kernel did not engage"
     assert tok == tok_ref  # int8-storage noise must not flip the argmax
+
+
+def test_auto_w8_policy(monkeypatch, stories260k_path):
+    """VERDICT r3 #3: the flagless Runner auto-enables W8 prefill planes
+    only on TPU with HBM headroom; small files and CPU stay byte-exact."""
+    import jax.numpy as jnp
+
+    from crabml_tpu.gguf.reader import GGUFFile
+    from crabml_tpu.models.config import config_from_gguf
+    from crabml_tpu.runtime import runner as rmod
+
+    gf = GGUFFile(stories260k_path)
+    cfg = config_from_gguf(gf.metadata)
+    # off-TPU (these tests run on CPU): never auto-engages
+    assert rmod._auto_w8_budget(gf, cfg, 1, 256, jnp.bfloat16) is None
+    monkeypatch.setattr(rmod.jax, "default_backend", lambda: "tpu")
+    # small file (<1 GiB): stays exact
+    assert rmod._auto_w8_budget(gf, cfg, 1, 256, jnp.bfloat16) is None
+    # 7B-shaped file on a 16 GiB chip: full augmentation fits
+    monkeypatch.setattr(rmod.os.path, "getsize", lambda p: 4 << 30)
+    monkeypatch.setattr(rmod, "_device_hbm_bytes", lambda: 16 << 30)
+    assert rmod._auto_w8_budget(gf, cfg, 1, 256, jnp.bfloat16) == -1
+    # 13B-shaped file: no headroom at all -> off
+    monkeypatch.setattr(rmod.os.path, "getsize", lambda p: 15 << 30)
+    assert rmod._auto_w8_budget(gf, cfg, 1, 256, jnp.bfloat16) is None
+
+
+def test_augment_w8_budget_partial():
+    """Partial W8: with a byte budget, the LARGEST eligible tensors gain
+    planes first and the rest stay un-augmented (the matmul dispatch keys
+    on per-tensor plane presence, so mixed sets are fine)."""
+    import numpy as np
+
+    from crabml_tpu.gguf.constants import GGMLType
+    from crabml_tpu.models.weights import augment_w8_weights, w8_plane_bytes
+    from crabml_tpu.ops.pallas.gemm_quant import random_repacked
+
+    rng = np.random.default_rng(0)
+    big = random_repacked(GGMLType.Q4_K, (1024, 512), rng)
+    small = random_repacked(GGMLType.Q4_K, (256, 512), rng)
+    w = {"layers": {"big": big, "small": small}, "output": None}
+
+    full = augment_w8_weights(w)
+    assert "w8" in full["layers"]["big"].planes
+    assert "w8" in full["layers"]["small"].planes
+
+    budget = w8_plane_bytes(big) + 16  # room for big only
+    part = augment_w8_weights(w, budget_bytes=budget)
+    assert "w8" in part["layers"]["big"].planes
+    assert "w8" not in part["layers"]["small"].planes
+
+    none = augment_w8_weights(w, budget_bytes=8)
+    assert "w8" not in none["layers"]["big"].planes
