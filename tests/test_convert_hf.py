@@ -331,3 +331,48 @@ def test_convert_phi3_matches_torch(tmp_path):
     tokens = [0, 7, 42, 270, 3]
     gf = _convert_and_compare(hf_dir, tmp_path, model, tokens)
     assert gf.metadata.get_str("general.architecture") == "phi3"
+
+
+def test_convert_gemma2_matches_torch(tmp_path):
+    """gemma2: softcaps, alternating sliding window, post-norms,
+    query_pre_attn_scalar, tied embeddings with embedding scaling."""
+    V = 272
+    cfg = transformers.Gemma2Config(
+        vocab_size=V, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=16, sliding_window=8,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(10)
+    model = transformers.Gemma2ForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    _mk_tokenizer_json(hf_dir / "tokenizer.json", V)
+
+    gf = _convert_and_compare(hf_dir, tmp_path, model,
+                              [0, 5, 99, 260, 17, 3, 42, 7, 201, 111],
+                              rtol=5e-4, atol=5e-4)
+    md = gf.metadata
+    assert md.get_str("general.architecture") == "gemma2"
+    assert md.get_int("gemma2.attention.sliding_window") == 8
+
+
+def test_convert_qwen3_matches_torch(tmp_path):
+    """qwen3: per-head q/k RMS norms before rope + explicit head_dim."""
+    V = 272
+    cfg = transformers.Qwen3Config(
+        vocab_size=V, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=100000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+    )
+    torch.manual_seed(11)
+    model = transformers.Qwen3ForCausalLM(cfg).eval()
+    hf_dir = tmp_path / "hf"
+    model.save_pretrained(str(hf_dir), safe_serialization=True)
+    _mk_tokenizer_json(hf_dir / "tokenizer.json", V)
+
+    gf = _convert_and_compare(hf_dir, tmp_path, model, [1, 7, 42, 200, 9])
+    assert gf.metadata.get_str("general.architecture") == "qwen3"
