@@ -124,6 +124,8 @@ def make_handler(engine: ServingEngine, longctx=None):
                          engine.prefix_hits),
                         ("crabml_prefix_tokens_reused_total", "counter",
                          engine.prefix_tokens_reused),
+                        ("crabml_prefix_evictions_total", "counter",
+                         engine.prefix_evictions),
                         ("crabml_preemptions_total", "counter",
                          engine.preemptions),
                     ]

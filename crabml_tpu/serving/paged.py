@@ -642,6 +642,7 @@ class PagedServingEngine(ServingEngine):
         self._reuse: dict[int, int] = {}  # slot -> reused token count
         self.prefix_hits = 0
         self.prefix_tokens_reused = 0
+        self.prefix_evictions = 0  # cached ref-0 pages dropped on pressure
         self.preemptions = 0  # pool-pressure recompute preemptions
         self._table = np.zeros((self.n_slots, self.max_pages), np.int32)
         self._scratch = {}  # slot -> dense KVCache accumulating prefill chunks
@@ -687,6 +688,7 @@ class PagedServingEngine(ServingEngine):
             del self._hash_page[dig]
             del self._page_hash[pg]
             self._free.append(pg)
+            self.prefix_evictions += 1
             return True
         return False
 

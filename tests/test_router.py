@@ -42,8 +42,10 @@ def _spawn_replica(model: str, port: int) -> subprocess.Popen:
         "import jax; jax.config.update('jax_platforms','cpu');"
         "from crabml_tpu.serving.http import main;"
         # f32: this jax build's CPU backend lacks the bf16 dot thunk
+        # paged replicas: the fleet-summed metrics include the prefix-
+        # cache counters (hits/reused/evictions) — VERDICT r3 #7
         f"main([{model!r},'--port','{port}','--slots','2',"
-        f"'--host','127.0.0.1','--dtype','f32'])"
+        f"'--host','127.0.0.1','--dtype','f32','--paged','--pages','32'])"
     )
     return subprocess.Popen(
         [sys.executable, "-c", code],
@@ -269,6 +271,9 @@ def test_router_metrics_aggregation(two_replicas):
         assert "# TYPE crabml_requests_submitted_total counter" in text
         # histogram buckets sum across replicas; no TYPE line per bucket
         assert metrics['crabml_ttft_seconds_bucket{le="+Inf"}'] >= 1
+        # prefix-cache observability rides the same aggregation (paged
+        # replicas): evictions exported fleet-wide even when zero
+        assert "crabml_prefix_evictions_total" in metrics
         assert "# TYPE crabml_ttft_seconds histogram" in text
         assert '# TYPE crabml_ttft_seconds_bucket' not in text
     finally:
