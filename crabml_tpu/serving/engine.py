@@ -162,6 +162,8 @@ class Request:
     output_text: str | None = None  # decoded + stop-trimmed (when stop set)
     cancelled: bool = field(default=False, repr=False)  # set via engine.cancel
     _t_submit: float = field(default=0.0, repr=False)
+    _t_first: float = field(default=0.0, repr=False)  # first delivered token
+    _t_finish: float = field(default=0.0, repr=False)
     _stream: "queue.SimpleQueue[str | None] | None" = field(default=None, repr=False)
     _utf8: Utf8Buf = field(default_factory=Utf8Buf, repr=False)
 
@@ -950,7 +952,8 @@ class ServingEngine:
         if not req.output_tokens and req._t_submit:
             # first token ever for this request (preemption-safe: requeued
             # requests keep their output and don't re-observe)
-            self.ttft_hist.observe(time.monotonic() - req._t_submit)
+            req._t_first = time.monotonic()
+            self.ttft_hist.observe(req._t_first - req._t_submit)
         eos = self.tokenizer.eos_token if self.tokenizer else -1
         stop = req.stop_token_ids
         if token == eos or token in stop:
@@ -996,8 +999,9 @@ class ServingEngine:
         req = self.slots[slot]
         req.finish_reason = reason
         self.requests_completed += 1
+        req._t_finish = time.monotonic()
         if req._t_submit:
-            self.e2e_hist.observe(time.monotonic() - req._t_submit)
+            self.e2e_hist.observe(req._t_finish - req._t_submit)
         if req._stream is not None:
             req._stream.put(None)  # sentinel: stream closed
         self._clear_slot(slot)

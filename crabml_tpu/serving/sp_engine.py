@@ -147,7 +147,8 @@ class SpServingEngine:
         if self._started is None:
             self._started = time.monotonic()
         if req._t_submit:
-            self.ttft_hist.observe(time.monotonic() - req._t_submit)
+            req._t_first = time.monotonic()
+            self.ttft_hist.observe(req._t_first - req._t_submit)
         cur = self._pick(row, req)
         utf8 = req._utf8
         eos = self.tokenizer.eos_token if self.tokenizer else -1
@@ -184,7 +185,8 @@ class SpServingEngine:
     def _finish(self, req: Request, reason: str):
         req.finish_reason = reason
         self.requests_completed += 1
+        req._t_finish = time.monotonic()
         if req._t_submit:
-            self.e2e_hist.observe(time.monotonic() - req._t_submit)
+            self.e2e_hist.observe(req._t_finish - req._t_submit)
         if req._stream is not None:
             req._stream.put(None)

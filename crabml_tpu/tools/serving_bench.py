@@ -92,6 +92,19 @@ def run_workload(make_engine, prompts, max_tokens: int, tick: int) -> dict:
         out["spec_ticks"] = eng.spec_ticks
         out["spec_tokens"] = eng.spec_tokens
         out["spec_tokens_per_tick"] = round(eng.spec_tokens / eng.spec_ticks, 2)
+    # per-request SLO percentiles (VERDICT r3 #8): TTFT includes queueing
+    # (all requests submitted up front — the under-load view a deployer
+    # sees); ITL = steady inter-token latency after the first token
+    ttfts = [r._t_first - r._t_submit for r in reqs if r._t_first]
+    itls = [(r._t_finish - r._t_first) / (len(r.output_tokens) - 1)
+            for r in reqs
+            if r._t_first and r._t_finish and len(r.output_tokens) > 1]
+
+    def pct(a, q):
+        return round(float(np.percentile(a, q)), 4) if a else None
+
+    out.update(ttft_p50_s=pct(ttfts, 50), ttft_p99_s=pct(ttfts, 99),
+               itl_p50_s=pct(itls, 50), itl_p99_s=pct(itls, 99))
     return out
 
 
@@ -124,6 +137,13 @@ def main(argv=None):
                     help="f32 for CPU smoke runs (XLA:CPU lacks bf16 dots)")
     ap.add_argument("--warmup", action="store_true", default=True)
     ap.add_argument("--no-warmup", dest="warmup", action="store_false")
+    ap.add_argument("--sweep", default=None, metavar="S:T,...",
+                    help="SLO sweep (VERDICT r3 #8): comma list of "
+                         "slots:tick configs (e.g. 8:1,8:8,32:1,32:8); "
+                         "runs the FIRST --engines kind per config with "
+                         "requests=2*slots and prints one JSON line each "
+                         "with tok/s + p50/p99 TTFT and inter-token "
+                         "latency (instead of the normal engine loop)")
     args = ap.parse_args(argv)
 
     kinds = args.engines.split(",")
@@ -170,8 +190,11 @@ def main(argv=None):
     from ..serving.engine import ServingEngine
     from ..serving.paged import PagedServingEngine
 
-    per_seq_pages = -(-(args.prompt + args.max_tokens + args.tick) // PAGE)
-    n_pages = args.slots * per_seq_pages + 8 + 1  # + slack + scratch page
+    def pages_for(slots, tick):
+        per_seq = -(-(args.prompt + args.max_tokens + tick) // PAGE)
+        return slots * per_seq + 8 + 1  # + slack + scratch page
+
+    n_pages = pages_for(args.slots, args.tick)
 
     compute = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
     draft_runner = None
@@ -187,22 +210,42 @@ def main(argv=None):
                                        compute_dtype=compute,
                                        kv_dtype=kv_dtype)
 
-    def mk(kind):
+    def mk(kind, slots=None, tick=None):
+        slots = slots or args.slots
+        tick = tick or args.tick
         common = dict(weights=weights, cfg=cfg, tokenizer=None,
-                      n_slots=args.slots, seq_len=seq_len,
+                      n_slots=slots, seq_len=seq_len,
                       compute_dtype=compute, kv_dtype=kv_dtype,
-                      tick_tokens=args.tick)
+                      tick_tokens=tick)
         # greedy workload (temperature=0.0 in run_workload) so the
         # speculative tick engages on every slot
         spec = dict(speculative=args.speculative, draft_runner=draft_runner)
+        np_ = pages_for(slots, tick)
         if kind == "dense":
             return lambda: ServingEngine(**common)
         if kind == "spec":
             return lambda: ServingEngine(**spec, **common)
         if kind == "spec-paged":
-            return lambda: PagedServingEngine(n_pages=n_pages, **spec,
-                                              **common)
-        return lambda: PagedServingEngine(n_pages=n_pages, **common)
+            return lambda: PagedServingEngine(n_pages=np_, **spec, **common)
+        return lambda: PagedServingEngine(n_pages=np_, **common)
+
+    if args.sweep:
+        kind = kinds[0]
+        out = []
+        for part in args.sweep.split(","):
+            s_, t_ = (int(x) for x in part.split(":"))
+            prompts = _mk_prompts(2 * s_, args.prompt, cfg.vocab_size, seed=0)
+            if args.warmup:
+                run_workload(mk(kind, s_, t_), prompts[:s_],
+                             args.max_tokens, t_)
+            res = run_workload(mk(kind, s_, t_), prompts, args.max_tokens, t_)
+            res.update(metric="serving_slo", engine=kind, slots=s_, tick=t_,
+                       requests=2 * s_, prompt_tokens=args.prompt,
+                       max_tokens=args.max_tokens, kv_dtype=args.kv_dtype,
+                       backend=matmul_mod._BACKEND)
+            out.append(res)
+            print(json.dumps(res))
+        return out
 
     results = {}
     for kind in kinds:

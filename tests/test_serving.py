@@ -857,3 +857,33 @@ def test_all_sampled_batch_takes_plain_ticks(runner):
     eng.drain(max_steps=200)
     assert r1.done and r2.done
     assert eng.spec_ticks == 0
+
+
+def test_speculative_stop_string_mid_tick(stories260k_path):
+    """VERDICT r3 #10: a stop string matched MID-tick (inside a multi-token
+    accepted draft) must finish the request at the match — output_text
+    trimmed at the stop, the tick's remaining accepted tokens dropped —
+    byte-identical to the plain engine with the same stop."""
+    tr = Runner(stories260k_path, seq_len=96)
+    plain = ServingEngine(tr, n_slots=1, seq_len=96)
+    full = plain.generate([PROMPTS[0]], max_tokens=24)[0]
+    # pick a stop string that lands mid-stream (inside the continuation)
+    stop = full[8:13]
+    assert stop and stop in full
+
+    plain2 = ServingEngine(tr, n_slots=1, seq_len=96)
+    r_plain = plain2.submit(Request(prompt=PROMPTS[0], max_tokens=24,
+                                    stop=(stop,)))
+    plain2.drain(max_steps=200)
+
+    spec_r = Runner(stories260k_path, seq_len=96,
+                    draft_model=stories260k_path)  # full acceptance
+    eng = ServingEngine(spec_r, n_slots=1, seq_len=96, speculative=6)
+    r_spec = eng.submit(Request(prompt=PROMPTS[0], max_tokens=24,
+                                stop=(stop,)))
+    eng.drain(max_steps=200)
+
+    assert eng.spec_ticks > 0  # the stop really hit inside spec ticks
+    assert r_spec.finish_reason == "stop" == r_plain.finish_reason
+    assert r_spec.output_text == r_plain.output_text  # trimmed AT the stop
+    assert r_spec.output_tokens == r_plain.output_tokens
