@@ -178,9 +178,21 @@ def load_gguf_weights(path, backend, prefill_w8=False):
             host = repack_weights(host, cfg)
         _wc.save(wc_root, wc_key, host)
     if prefill_w8 and kern:
+        # same fit-HBM budget policy as the flagless Runner: full W8 when
+        # it fits, largest-tensors-first partial when it doesn't (13B on a
+        # 16 GiB chip), so `--mode prefill --model 13b` measures the
+        # partial-W8 path instead of OOMing
+        from crabml_tpu.runtime.runner import _auto_w8_budget
+
+        budget = _auto_w8_budget(gf, cfg, 1, 1024, None)
         tw = time.perf_counter()
-        host = augment_w8_weights(host)
+        if budget is not None:
+            host = augment_w8_weights(
+                host, None if budget == -1 else budget)
         t["w8_augment_s"] = round(time.perf_counter() - tw, 2)
+        t["w8_budget"] = ("full" if budget == -1
+                          else "off" if budget is None
+                          else f"{budget / 2**30:.1f}GiB")
     t["repack_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     weights = jax.tree.map(jax.device_put, host)
