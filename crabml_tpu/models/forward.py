@@ -264,10 +264,18 @@ def moe_ffn(lw, l, ffn_in, cfg, compute_dtype):
     if rows * K < E and aligned:
         return _moe_cond_experts(lw, l, ffn_in, route, cfg, compute_dtype)
 
-    if rows >= _GROUPED_MIN_ROWS and K < E and aligned:
+    # CRABML_MOE_PREFILL=all forces the all-experts path (measurement
+    # baseline for the grouped kernel's E/K win; not a user knob)
+    import os as _os
+
+    if (rows >= _GROUPED_MIN_ROWS and K < E and aligned
+            and _os.environ.get("CRABML_MOE_PREFILL") != "all"):
         from ..ops import matmul as _mm
 
-        if _mm.get_backend() == "pallas" and all(
+        # both kernel backends share the layout qmatmul_grouped reads
+        # (bf16-dequant planes, or W8 planes when attached); w4a8's int8
+        # activation path is decode-only so prefill rows land here too
+        if _mm.get_backend() in ("pallas", "w4a8") and all(
             _is_groupable(lw[n])
             for n in ("ffn_gate_exps", "ffn_up_exps", "ffn_down_exps")
         ):

@@ -621,6 +621,14 @@ class PagedServingEngine(ServingEngine):
         )
         # prefix caching rides direct-to-page admission only: the dense
         # scratch path's in-chunk attention cannot see reused pool pages
+        if self._prefix_on and not self._direct_prefill:
+            import logging
+
+            logging.getLogger("crabml_tpu").warning(
+                "prefix caching DISABLED: it requires page-multiple chunked "
+                "admission (prefill_chunk %% %d == 0; got %r). Pass a "
+                "PAGE-multiple prefill_chunk to re-enable.",
+                PAGE, self.prefill_chunk)
         self._prefix_on = self._prefix_on and self._direct_prefill
 
     def _make_cache(self):
