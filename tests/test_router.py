@@ -274,6 +274,9 @@ def test_router_metrics_aggregation(two_replicas):
         # prefix-cache observability rides the same aggregation (paged
         # replicas): evictions exported fleet-wide even when zero
         assert "crabml_prefix_evictions_total" in metrics
+        # router-level affinity stickiness counters
+        assert "crabml_router_affinity_hits_total" in metrics
+        assert "crabml_router_affinity_repoints_total" in metrics
         assert "# TYPE crabml_ttft_seconds histogram" in text
         assert '# TYPE crabml_ttft_seconds_bucket' not in text
     finally:
