@@ -174,9 +174,15 @@ def draft_model_loop(
             nt = jnp.argmax(dlogits[0, 0]).astype(jnp.int32)
             return (dcache, nt, p + 1), nt
 
+        # draft+1 steps (not draft): on a full accept pos advances by
+        # draft+1, and without the extra step the draft cache would hold
+        # a permanent one-position hole at the accepted frontier — every
+        # later round would draft across it and acceptance degrades (the
+        # serving engines' _draft_scan runs K+1 steps for the same reason)
         (dcache, _, _), dr = jax.lax.scan(
-            dstep, (dcache, token, pos), length=draft
+            dstep, (dcache, token, pos), length=draft + 1
         )
+        dr = dr[:draft]
         tok_seq = jnp.concatenate([token[None], dr])  # (draft+1,)
         logits, cache = forward(
             weights, cache, tok_seq[None, :], pos[None], cfg, compute_dtype,

@@ -240,6 +240,110 @@ def _draft_sync(weights, cache, tokens, pos, cfg, compute_dtype,
     return cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=("rounds", "draft", "match_len", "two_model", "cfg",
+                     "dcfg", "compute_dtype", "attn_window"),
+    donate_argnames=("cache", "dcache"),
+)
+def _spec_scan(weights, cache, hist, token, pos, active, eligible, key,
+               temp, topp, minp, recent, rep_pen, freq_pen, pres_pen, bias,
+               dweights, dcache, rounds, draft, cfg, compute_dtype,
+               dcfg=None, match_len: int = 2, two_model: bool = False,
+               attn_window=None):
+    """`rounds` fused draft+verify rounds batched over the slot pool —
+    the serving form of runtime.speculative.speculative_loop. A single
+    speculative tick pays one dispatch round trip per K+1 tokens while
+    the dense engine fuses tick_tokens steps per dispatch; on a high-RTT
+    link that gap alone can eat speculation's win, so when no admission
+    is pending the engine runs this scan instead: R rounds per dispatch,
+    drafts computed ON DEVICE (vectorized 2-gram prompt lookup over a
+    per-slot history buffer, or the draft model's fused greedy chain
+    when `two_model`).
+
+    active: (B,) bool — only active slots advance pos / emit (idle and
+    mid-prefill rows still forward — the batch is the pool — writing
+    junk KV at their fixed pos that admission later overwrites).
+    eligible: (B,) bool — greedy-exact slots accept drafted prefixes +
+    bonus token; other ACTIVE slots take each round's position-0 token
+    sampled with their full per-slot params (1 token/round, exactly a
+    plain tick). Junk history/cache entries above each accepted frontier
+    are masked-until-overwritten (runtime.speculative's hygiene
+    argument, per row).
+
+    Returns (outs (R, B, K+1), counts (R, B), per-round pos-0 logprob
+    arrays, cache, dcache)."""
+    B, S = hist.shape
+    idx = jnp.arange(S, dtype=jnp.int32)
+
+    def draft_one(h, t, p):
+        """Most-recent 2-gram match over one slot's history (B=1 logic
+        from runtime.speculative.speculative_loop verbatim)."""
+        h = h.at[p].set(t)
+        match = jnp.ones(S, dtype=bool)
+        for off in range(match_len):
+            suffix_tok = h[p - off]
+            shifted = jnp.roll(h, off)
+            match = match & (shifted == suffix_tok) & (idx >= off)
+        match = match & (idx < p)
+        j = jnp.max(jnp.where(match, idx, -1))
+        start = jnp.where(j < 0, p, j + 1)
+        return jax.lax.dynamic_slice(h, (start,), (draft,)), h
+
+    def body(carry, key_r):
+        cache, dcache, hist, token, pos, rec = carry
+        if two_model:
+            def dstep(dc, _):
+                dcache, t, p = dc
+                dlogits, dcache = forward(dweights, dcache, t[:, None], p,
+                                          dcfg, compute_dtype,
+                                          attn_window=attn_window)
+                nt = jnp.argmax(dlogits[:, 0], -1).astype(jnp.int32)
+                return (dcache, nt, p + 1), nt
+
+            # draft+1 steps (not draft): on a full accept the LAST
+            # accepted draft's KV must already be in the draft cache or
+            # every later round drafts across a one-position hole and
+            # acceptance collapses (the _draft_scan invariant)
+            (dcache, _, _), dr = jax.lax.scan(
+                dstep, (dcache, token, pos), length=draft + 1)
+            dr = dr.T[:, :draft]  # (B, draft)
+        else:
+            dr, hist = jax.vmap(draft_one)(hist, token, pos)
+        tok_seq = jnp.concatenate([token[:, None], dr], axis=1)  # (B, K+1)
+        logits, cache = forward(weights, cache, tok_seq, pos, cfg,
+                                compute_dtype, attn_window=attn_window)
+        g = jnp.argmax(logits, -1).astype(jnp.int32)  # (B, K+1)
+        nxt, lp = sample_batch(logits[:, 0], key_r, temp, topp, minp=minp,
+                               recent_tokens=rec, repetition_penalty=rep_pen,
+                               frequency_penalty=freq_pen,
+                               presence_penalty=pres_pen, logit_bias=bias,
+                               with_logprobs=True)
+        ok = dr == g[:, :draft]
+        n_acc = jnp.argmin(
+            jnp.concatenate([ok, jnp.zeros((B, 1), bool)], axis=1), axis=1)
+        n_acc = jnp.where(eligible, n_acc, 0)
+        count = jnp.where(active, n_acc + 1, 0)
+        chosen = jnp.take_along_axis(g, n_acc[:, None], 1)[:, 0]
+        token_new = jnp.where(eligible, chosen, nxt)
+        token = jnp.where(active, token_new, token)
+        out = g.at[:, 0].set(jnp.where(eligible, g[:, 0], nxt))
+        # history gains this round's emissions at pos+1.. (per-row junk
+        # past the frontier is rewritten by the round that passes it)
+        hist = jax.vmap(
+            lambda h, row, p: jax.lax.dynamic_update_slice(h, row, (p + 1,))
+        )(hist, out, pos)
+        rec = jnp.concatenate([rec[:, 1:], token[:, None]], axis=1)
+        pos = pos + count
+        return (cache, dcache, hist, token, pos, rec), (out, count, *lp)
+
+    keys = jax.random.split(key, rounds)
+    (cache, dcache, _, _, _, _), (outs, counts, tok_lp, top_lp, top_id) = (
+        jax.lax.scan(body, (cache, dcache, hist, token, pos, recent), keys)
+    )
+    return outs, counts, (tok_lp, top_lp, top_id), cache, dcache
+
+
 def _lookup_draft(ctx, K: int) -> list:
     """Prompt-lookup drafting (host-side): find the most recent earlier
     occurrence of the context's last 2-gram and propose the K tokens that
@@ -723,7 +827,11 @@ class ServingEngine:
         multi = max(1, min(multi, self.seq_len - 1 - pmax))
 
         if self.speculative:
-            n = self._spec_tick(active, snapshot, pos0, pmax)
+            n = None
+            if multi > 1:  # idle admission: fuse rounds in one dispatch
+                n = self._spec_scan_tick(active, snapshot, pos0, pmax, multi)
+            if n is None:
+                n = self._spec_tick(active, snapshot, pos0, pmax)
             if n is not None:
                 return n
 
@@ -877,6 +985,95 @@ class ServingEngine:
                         logprob=None if tok_lp is None else float(tok_lp[i]),
                         top=None if top_id is None else (top_id[i], top_lp[i]),
                     )
+        return sum(r is not None for r in self.slots)
+
+    def _spec_scan_tick(self, active, snapshot, pos0, pmax,
+                        multi: int) -> int | None:
+        """Fused multi-round speculative tick (_spec_scan): when admission
+        is idle, up to `multi` draft+verify rounds run in ONE dispatch with
+        ON-DEVICE drafting — the single-tick path pays a dispatch round
+        trip per K+1 tokens, which on a high-RTT link can cost more than
+        speculation wins. Returns the occupied-slot count, or None when
+        not applicable (too close to the seq_len edge for >=2 rounds, no
+        eligible slot, subclass without a fused path) — the caller then
+        tries the single-dispatch spec tick."""
+        K = self.speculative
+        rounds = min(multi, (self.seq_len - 1 - pmax) // (K + 1))
+        # every round emits >=1 token/slot, so no slot needs more rounds
+        # than its remaining budget — cap to curb wasted tail rounds
+        rem = max(snapshot[i].max_tokens - len(snapshot[i].output_tokens)
+                  for i in active)
+        rounds = min(rounds, max(rem, 1))
+        if rounds < 2:
+            return None
+        spec_slots = [i for i in active if self._spec_eligible(snapshot[i])]
+        if not spec_slots:
+            return None
+        if not self._spec_prepare(active, rounds * (K + 1)):
+            return None
+        B = self.n_slots
+        hist = np.zeros((B, self.seq_len), np.int32)
+        for i in active:
+            r = snapshot[i]
+            consumed = list(self._trim_prompt(r)) + r.output_tokens[:-1]
+            consumed = consumed[: int(pos0[i])]
+            hist[i, : len(consumed)] = consumed
+        eligible = np.zeros(B, bool)
+        eligible[spec_slots] = True
+        active_m = np.zeros(B, bool)
+        active_m[active] = True
+        self._key, sub = jax.random.split(self._key)
+        win = min(_bucket(pmax + rounds * (K + 1), 128), self.seq_len)
+        two = self._draft_w is not None
+        outs, counts, lp, self.cache, dcache = _spec_scan(
+            self.weights, self.cache, jnp.asarray(hist),
+            jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
+            jnp.asarray(active_m), jnp.asarray(eligible), sub,
+            jnp.asarray(self.temp), jnp.asarray(self.topp),
+            jnp.asarray(self.minp), jnp.asarray(self.recent),
+            jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
+            jnp.asarray(self.pres_pen), self._bias(),
+            self._draft_w, self._draft_cache,
+            rounds, K, self.cfg, self.compute_dtype,
+            dcfg=self._draft_cfg, two_model=two, attn_window=win,
+        )
+        if two:
+            self._draft_cache = dcache
+        outs = np.asarray(outs)  # (R, B, K+1)
+        counts = np.asarray(counts)  # (R, B)
+        spec_set = set(spec_slots)
+        if any(snapshot[i] is not None and snapshot[i].logprobs is not None
+               for i in active if i not in spec_set):
+            tok_lp, top_lp, top_id = (np.asarray(a) for a in lp)
+        else:
+            tok_lp = top_lp = top_id = None
+        self.pos = self.pos + counts.sum(axis=0).astype(np.int32)
+        self.steps += rounds
+        self.spec_ticks += rounds
+        if self._started is None:
+            self._started = time.monotonic()
+        off = dict.fromkeys(active, 0)
+        for r in range(rounds):
+            for i in active:
+                c = int(counts[r, i])
+                for j in range(c):
+                    if self.slots[i] is not snapshot[i]:
+                        break  # finished earlier this scan
+                    self.tokens_generated += 1
+                    if i in spec_set:
+                        self.spec_tokens += 1
+                        self._deliver(i, int(outs[r, i, j]),
+                                      pos_after=int(pos0[i]) + off[i] + j + 1)
+                    else:  # c == 1: the round's pos-0 sampled token
+                        self._deliver(
+                            i, int(outs[r, i, 0]),
+                            pos_after=int(pos0[i]) + off[i] + 1,
+                            logprob=(None if tok_lp is None
+                                     else float(tok_lp[r, i])),
+                            top=(None if top_id is None
+                                 else (top_id[r, i], top_lp[r, i])),
+                        )
+                off[i] += c
         return sum(r is not None for r in self.slots)
 
     def _spec_prepare(self, active, K: int) -> bool:

@@ -959,6 +959,12 @@ class PagedServingEngine(ServingEngine):
         active slot; allocate their pages first (preempting if needed)."""
         return self._ensure_pages(active, K + 1)
 
+    def _spec_scan_tick(self, active, snapshot, pos0, pmax, multi):
+        """The fused multi-round scan is dense-cache-only (its verify
+        forward writes through KVCache, not the page pool); the paged
+        engine keeps single-dispatch speculative ticks."""
+        return None
+
     def _spec_verify(self, tokens_in, key):
         need = -(-(int(self.pos.max()) + tokens_in.shape[1]) // PAGE)
         n_ctx = 1

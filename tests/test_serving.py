@@ -887,3 +887,76 @@ def test_speculative_stop_string_mid_tick(stories260k_path):
     assert r_spec.finish_reason == "stop" == r_plain.finish_reason
     assert r_spec.output_text == r_plain.output_text  # trimmed AT the stop
     assert r_spec.output_tokens == r_plain.output_tokens
+
+
+def _drain_fused(eng, multi, max_steps=200):
+    n = 0
+    while (any(eng.slots) or not eng.pending.empty()) and n < max_steps:
+        idle = eng.pending.empty() and not eng._prefilling
+        eng.step(multi if idle else 1)
+        n += 1
+
+
+def test_fused_spec_scan_exactness(runner):
+    """The fused multi-round speculative scan (on-device n-gram drafts,
+    R rounds per dispatch) emits exactly the plain engine's greedy
+    tokens, like the single-tick path."""
+    plain = ServingEngine(runner, n_slots=2, seq_len=96)
+    want = [plain.generate([p], max_tokens=20)[0] for p in PROMPTS[:2]]
+
+    eng = ServingEngine(runner, n_slots=2, seq_len=96, speculative=4,
+                        tick_tokens=6)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=20))
+            for p in PROMPTS[:2]]
+    _drain_fused(eng, 6)
+    assert [_detok(eng, r) for r in reqs] == want
+    assert eng.spec_ticks > 0
+
+
+def test_fused_spec_scan_two_model(stories260k_path):
+    """Two-model fused scan: draft == target gives full acceptance
+    (every round emits K+1 per slot) and byte-exact output."""
+    tr = Runner(stories260k_path, seq_len=128)
+    plain = ServingEngine(tr, n_slots=2, seq_len=128)
+    want = [plain.generate([p], max_tokens=30)[0] for p in PROMPTS[:2]]
+
+    spec_r = Runner(stories260k_path, seq_len=128,
+                    draft_model=stories260k_path)
+    eng = ServingEngine(spec_r, n_slots=2, seq_len=128, speculative=4,
+                        tick_tokens=4)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=30))
+            for p in PROMPTS[:2]]
+    _drain_fused(eng, 4)
+    assert [_detok(eng, r) for r in reqs] == want
+    # full acceptance: K+1 per slot per round. The 2-slot ideal is 10;
+    # observed is diluted by the staggered-admission phase (single-
+    # active single ticks) and tail rounds after a slot hits max_tokens
+    # mid-scan — anything above K+1=5 already proves rounds where BOTH
+    # slots accepted their full drafts.
+    assert eng.spec_tokens / eng.spec_ticks > 5
+
+
+def test_fused_spec_scan_mixed_traffic(stories260k_path):
+    """Per-slot eligibility through the FUSED path: the penalized
+    deterministic slot matches plain output while the greedy slot
+    accepts multi-token rounds."""
+    tr = Runner(stories260k_path, seq_len=128)
+    plain = ServingEngine(tr, n_slots=3, seq_len=128)
+    want_g = plain.generate([PROMPTS[0]], max_tokens=18)[0]
+    plain2 = ServingEngine(tr, n_slots=3, seq_len=128)
+    want_p = plain2.generate([PROMPTS[2]], max_tokens=18,
+                             repetition_penalty=1.3)[0]
+
+    spec_r = Runner(stories260k_path, seq_len=128,
+                    draft_model=stories260k_path)
+    eng = ServingEngine(spec_r, n_slots=3, seq_len=128, speculative=4,
+                        tick_tokens=4)
+    rg = eng.submit(Request(prompt=PROMPTS[0], max_tokens=18))
+    rs = eng.submit(Request(prompt=PROMPTS[1], max_tokens=8,
+                            temperature=0.9))
+    rp = eng.submit(Request(prompt=PROMPTS[2], max_tokens=18,
+                            repetition_penalty=1.3))
+    _drain_fused(eng, 4)
+    assert rg.done and rs.done and rp.done
+    assert _detok(eng, rg) == want_g
+    assert _detok(eng, rp) == want_p
