@@ -396,7 +396,10 @@ def test_prefix_cache_eviction_under_pressure(runner):
     assert ra2.output_tokens == ra.output_tokens
     # pool never leaks: free + evictable is conserved across the churn
     assert len(eng._free) + len(eng._evictable) == free0 + 1
-    # observability (VERDICT r3 #7): the pressure evictions were counted
+    # observability (VERDICT r3 #7): force real pressure — allocating past
+    # the free list must reclaim cached pages AND count the evictions
+    assert eng.prefix_evictions == 0 and len(eng._evictable) > 0
+    assert eng._alloc(len(eng._free) + 1) is not None
     assert eng.prefix_evictions >= 1
 
 
