@@ -492,7 +492,9 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None,
         from ..ops import matmul as _mm
 
         if _mm._BACKEND == "pallas":
-            if T > 1:  # prefill: flash kernel (O(1) score memory)
+            from ..ops.pallas.decode_attention import MAX_T
+
+            if T > MAX_T:  # prefill: flash kernel (O(1) score memory)
                 from ..ops.pallas.flash_attention import flash_attention
 
                 out = flash_attention(q, k_cache, v_cache, pos, scale,
@@ -500,7 +502,8 @@ def attention(q, k_cache, v_cache, pos, t_new, scale, probe=None, window=None,
                                       local_window=w_eff)
                 if out is not None:
                     return out
-            else:  # decode: manual-DMA kernel reads only each seq's live prefix
+            else:  # decode (T=1) / speculative verify (T<=MAX_T): manual-
+                #    DMA kernel reads only each sequence's live prefix
                 from ..ops.pallas.decode_attention import decode_attention
 
                 out = decode_attention(q, k_cache, v_cache, pos, scale,
@@ -671,10 +674,14 @@ def forward(
             from ..ops import matmul as _mm
 
             attn = None
-            if T == 1 and _mm._BACKEND == "pallas":
+            if _mm._BACKEND == "pallas":
                 # decode kernel reads the int8 cache + scales directly:
                 # half the bytes of bf16, and only the live prefix;
-                # gemma2 softcap/sliding-window ride the kernel too
+                # gemma2 softcap/sliding-window ride the kernel too.
+                # T in 2..MAX_T (the speculative verify) rides it as well —
+                # the kernel folds the T tokens into its row dim with
+                # per-row causal bounds; wider T falls through (returns
+                # None) to the windowed-dequant prefill path below
                 from ..ops.pallas.decode_attention import decode_attention
 
                 attn = decode_attention(
@@ -686,10 +693,16 @@ def forward(
                     ),
                 )
             if attn is None:
-                # dequantize only the windowed view, then attend over it
+                # dequantize only the windowed view, then attend over it —
+                # in the COMPUTE dtype: the attention einsum runs bf16
+                # anyway (see attention()), and an f32 intermediate here
+                # doubles the dominant HBM traffic of a T>1 verify step
+                # (measured ~1.6 GB/round at B=8 win=768; int8 values are
+                # exact in bf16, only the scale multiply rounds)
                 win = attn_window if attn_window is not None else k_l.shape[2]
-                k_att = k_l[:, :, :win].astype(jnp.float32) * ks_l[:, :, :win]
-                v_att = v_l[:, :, :win].astype(jnp.float32) * vs_l[:, :, :win]
+                dq = q.dtype  # f32 on the exact-f32 (golden-test) path
+                k_att = k_l[:, :, :win].astype(dq) * ks_l[:, :, :win].astype(dq)
+                v_att = v_l[:, :, :win].astype(dq) * vs_l[:, :, :win].astype(dq)
                 attn = attention(
                     q, k_att, v_att, pos, T, scale,
                     softcap=cfg.attn_logit_softcap,

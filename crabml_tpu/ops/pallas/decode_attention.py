@@ -32,10 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 BK = 128  # tokens per DMA chunk (matches the 128-token window buckets)
+MAX_T = 8  # widest q the kernel takes per step: decode (T=1) and the
+#            speculative verify's K+1 tokens; prefill widths ride flash/XLA
 
 
 def _kernel(*refs, scale: float, quantized: bool, paged: bool,
-            softcap: float):
+            softcap: float, t_new: int = 1):
     if paged and quantized:
         # int8 page pools carry per-(page-slot, head) scale pools that DMA
         # through the table exactly like the payload pages
@@ -58,12 +60,17 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool,
     b = pl.program_id(0)
     kv = pl.program_id(1)
     length = len_ref[b]
-    # sliding window (gemma2): only cols >= length - win are visible, so
-    # whole leading chunks are SKIPPED (win=0 disables; traced because
-    # alternating local/global layers toggle it per scan step)
+    # sliding window (gemma2): only cols >= own_pos + 1 - win are visible,
+    # so whole leading chunks are SKIPPED (win=0 disables; traced because
+    # alternating local/global layers toggle it per scan step). With
+    # t_new > 1 (speculative verify: q carries T tokens whose KV is
+    # already written at length-T..length-1) the EARLIEST row's window
+    # start bounds the skip: row t's own position is length - t_new + t.
     win = win_ref[0]
     first = jnp.where(
-        win > 0, jax.lax.div(jnp.maximum(length - win, 0), BK), 0
+        win > 0,
+        jax.lax.div(jnp.maximum(length - (t_new - 1) - win, 0), BK),
+        0,
     )
     n_chunks = jax.lax.div(length + BK - 1, BK)
 
@@ -101,8 +108,17 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool,
     @pl.when(n_chunks > 0)
     def _run():
         copy_in(first, jax.lax.rem(first, 2))
-        q = q_ref[0, 0].astype(jnp.float32) * scale  # (G, hd)
-        G = q.shape[0]
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # (T*G, hd)
+        TG = q.shape[0]
+        G = TG // t_new
+        # row r holds query token t = r // G (t_new > 1: verify rows);
+        # its own absolute position is length - t_new + (r // G)
+        row_pos = (
+            length - t_new
+            + jax.lax.div(
+                jax.lax.broadcasted_iota(jnp.int32, (TG, BK), 0), G
+            )
+        )  # (TG, BK), constant along lanes
 
         def body(i, carry):
             m, l, acc = carry
@@ -166,9 +182,9 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool,
                 s = s * ks_buf[slot]  # (1, BK) broadcast over G
             if softcap:  # gemma2: cap*tanh(s/cap) BEFORE masking
                 s = softcap * jnp.tanh(s / softcap)
-            col = i * BK + jax.lax.broadcasted_iota(jnp.int32, (G, BK), 1)
-            live = col < length
-            live &= (win == 0) | (col >= length - win)
+            col = i * BK + jax.lax.broadcasted_iota(jnp.int32, (TG, BK), 1)
+            live = col <= row_pos  # causal per row (col < length at T=1)
+            live &= (win == 0) | (col > row_pos - win)
             s = jnp.where(live, s, NEG_INF)
 
             m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
@@ -185,17 +201,17 @@ def _kernel(*refs, scale: float, quantized: bool, paged: bool,
             return jnp.broadcast_to(m_new, m.shape), l, acc
 
         hd = q.shape[-1]
-        m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-        l0 = jnp.zeros((G, 1), jnp.float32)
-        acc0 = jnp.zeros((G, hd), jnp.float32)
+        m0 = jnp.full((TG, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((TG, 1), jnp.float32)
+        acc0 = jnp.zeros((TG, hd), jnp.float32)
         m, l, acc = jax.lax.fori_loop(first, n_chunks, body, (m0, l0, acc0))
         o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap"))
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "t_new"))
 def _run(q, k_cache, v_cache, lengths, win, scale: float, k_scale=None,
-         v_scale=None, softcap: float = 0.0):
-    B, KV, G, hd = q.shape
+         v_scale=None, softcap: float = 0.0, t_new: int = 1):
+    B, KV, G, hd = q.shape  # G = t_new * q_heads_per_kv (rows per grid step)
     quantized = k_scale is not None
     grid = (B, KV)
     in_specs = [
@@ -232,7 +248,7 @@ def _run(q, k_cache, v_cache, lengths, win, scale: float, k_scale=None,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_kernel, scale=scale, quantized=quantized,
-                               paged=False, softcap=softcap)
+                               paged=False, softcap=softcap, t_new=t_new)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
@@ -244,10 +260,11 @@ def _run(q, k_cache, v_cache, lengths, win, scale: float, k_scale=None,
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "softcap"))
+@functools.partial(jax.jit, static_argnames=("scale", "softcap", "t_new"))
 def _run_paged(q, k_pages, v_pages, page_table, lengths, win, scale: float,
-               k_scale=None, v_scale=None, softcap: float = 0.0):
-    B, KV, G, hd = q.shape
+               k_scale=None, v_scale=None, softcap: float = 0.0,
+               t_new: int = 1):
+    B, KV, G, hd = q.shape  # G = t_new * q_heads_per_kv (rows per grid step)
     quantized = k_scale is not None
     in_specs = [
         pl.BlockSpec((1, 1, G, hd), lambda b, kv, *_: (b, kv, 0, 0)),
@@ -284,7 +301,7 @@ def _run_paged(q, k_pages, v_pages, page_table, lengths, win, scale: float,
         scratch_shapes=scratch,
     )
     kernel = functools.partial(_kernel, scale=scale, quantized=quantized,
-                               paged=True, softcap=softcap)
+                               paged=True, softcap=softcap, t_new=t_new)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
@@ -314,8 +331,8 @@ def paged_decode_attention(q, k_pages, v_pages, page_table, lengths,
     `softcap`/`local_window` as in decode_attention.
     """
     B, T, H, hd = q.shape
-    if T != 1:
-        return None
+    if T > MAX_T:
+        return None  # decode/verify-class only
     KV = k_pages.shape[1]
     if H % KV or hd % 128 or k_pages.shape[2] != BK:
         from ...utils import log_fallback
@@ -324,10 +341,21 @@ def paged_decode_attention(q, k_pages, v_pages, page_table, lengths,
                      f"H={H} KV={KV} hd={hd} page={k_pages.shape[2]}")
         return None
     G = H // KV
-    out = _run_paged(q.reshape(B, KV, G, hd), k_pages, v_pages, page_table,
+    if T == 1:
+        qg = q.reshape(B, KV, G, hd)
+    else:  # verify rows (see decode_attention); lengths must already
+        #    count the T tokens written through the block table
+        qg = (q.reshape(B, T, KV, G, hd)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(B, KV, T * G, hd))
+    out = _run_paged(qg, k_pages, v_pages, page_table,
                      lengths, _win_arr(local_window), scale, k_scale, v_scale,
-                     float(softcap))
-    return out.reshape(B, 1, H * hd)
+                     float(softcap), t_new=T)
+    if T == 1:
+        return out.reshape(B, 1, H * hd)
+    return (out.reshape(B, KV, T, G, hd)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(B, T, H * hd))
 
 
 def decode_attention(q, k_cache, v_cache, pos, scale: float,
@@ -347,8 +375,8 @@ def decode_attention(q, k_cache, v_cache, pos, scale: float,
     never DMA'd, so local layers read O(window) bytes, not O(context).
     """
     B, T, H, hd = q.shape
-    if T != 1:
-        return None
+    if T > MAX_T:
+        return None  # decode/verify-class only; prefill rides flash/XLA
     KV, S = k_cache.shape[1], k_cache.shape[2]
     # hd must be a 128 multiple here: the in-kernel DMA slices (BK, hd)
     # chunks out of the lane-tiled HBM cache, and Mosaic cannot slice a
@@ -363,7 +391,19 @@ def decode_attention(q, k_cache, v_cache, pos, scale: float,
                      f"hd%128==0, S%{BK}==0)")
         return None
     G = H // KV
-    qg = q.reshape(B, KV, G, hd)
-    out = _run(qg, k_cache, v_cache, pos + 1, _win_arr(local_window), scale,
-               k_scale, v_scale, float(softcap))
-    return out.reshape(B, 1, H * hd)
+    if T == 1:
+        qg = q.reshape(B, KV, G, hd)
+    else:
+        # speculative verify: fold the T new tokens into the row dim —
+        # (B, T, KV, G, hd) -> (B, KV, T*G, hd); the kernel masks each
+        # row to its own causal bound (their KV is already in the cache)
+        qg = (q.reshape(B, T, KV, G, hd)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(B, KV, T * G, hd))
+    out = _run(qg, k_cache, v_cache, pos + T, _win_arr(local_window), scale,
+               k_scale, v_scale, float(softcap), t_new=T)
+    if T == 1:
+        return out.reshape(B, 1, H * hd)
+    return (out.reshape(B, KV, T, G, hd)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(B, T, H * hd))

@@ -390,8 +390,11 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
             kg = kp[ctx]  # (n_ctx_pages, KV, PAGE, hd)
             vg = vp[ctx]
             if quantized:
-                kg = kg.astype(jnp.float32) * ksp[ctx]
-                vg = vg.astype(jnp.float32) * vsp[ctx]
+                # dequantize in the compute dtype: the attention einsum is
+                # bf16 anyway and an f32 intermediate doubles the gather's
+                # HBM traffic (same reasoning as models/forward.py)
+                kg = kg.astype(q.dtype) * ksp[ctx].astype(q.dtype)
+                vg = vg.astype(q.dtype) * vsp[ctx].astype(q.dtype)
             kd = kg.transpose(1, 0, 2, 3).reshape(
                 1, KV, n_ctx_pages * PAGE, hd + lane_pad)
             vd = vg.transpose(1, 0, 2, 3).reshape(
@@ -433,10 +436,13 @@ def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, key, temp,
     T KV entries write through the block table (pages pre-allocated by
     the engine); rejected tails sit past the accepted position, masked
     until overwritten — same no-rollback argument as the dense
-    engine's _spec_verify_step. Attention uses the gathered-pages path
-    (the paged decode kernel is T=1-only), bounded to the first
-    `n_ctx_pages` table columns (pow2-bucketed by the engine) so gather
-    bytes track the live context, not the table width.
+    engine's _spec_verify_step. Attention rides the multi-token decode
+    kernel (all K+1 rows per slot read the pool through the block table
+    with per-row causal bounds — no page gather, no dequant
+    materialization); ineligible shapes fall back to the gathered-pages
+    path, bounded to the first `n_ctx_pages` table columns
+    (pow2-bucketed by the engine) so gather bytes track the live
+    context, not the table width.
 
     Position 0 is additionally sampled with the full per-slot params so
     non-greedy slots take one correct token from the same dispatch (see
@@ -490,21 +496,37 @@ def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, key, temp,
                 kp = kp.at[pg_f, :, off_f].set(kt.astype(kp.dtype))
                 vp = vp.at[pg_f, :, off_f].set(vt.astype(vp.dtype))
 
-            kg = kp[ctx_table]  # (B, mp, KV, PAGE, hd)
-            vg = vp[ctx_table]
-            if quantized:
-                kg = kg.astype(jnp.float32) * ksp[ctx_table]
-                vg = vg.astype(jnp.float32) * vsp[ctx_table]
-            kd = kg.transpose(0, 2, 1, 3, 4).reshape(
-                B, KV, mp * PAGE, hd + lane_pad)
-            vd = vg.transpose(0, 2, 1, 3, 4).reshape(
-                B, KV, mp * PAGE, hd + lane_pad)
-            out = attention(
-                q, kd, vd, pos, T, scale,
-                softcap=cfg.attn_logit_softcap,
-                local_window=cfg.sliding_window,
-                use_local=(l % 2 == 0) if cfg.alternating_window else None,
-            )
+            use_local = (l % 2 == 0) if cfg.alternating_window else None
+            out = None
+            if jax.default_backend() == "tpu" and (hd + lane_pad) % 128 == 0:
+                # the multi-token decode kernel attends all K+1 verify
+                # rows through the block table in-register (per-row causal
+                # bounds) — no page gather, no dequant materialization
+                from ..models.forward import _window_eff
+
+                out = paged_decode_attention(
+                    q, kp, vp, cache.table, pos + T, scale,
+                    k_scale=ksp, v_scale=vsp,
+                    softcap=cfg.attn_logit_softcap,
+                    local_window=_window_eff(cfg.sliding_window, use_local),
+                )
+            if out is None:
+                kg = kp[ctx_table]  # (B, mp, KV, PAGE, hd)
+                vg = vp[ctx_table]
+                if quantized:
+                    # compute-dtype dequant (see the admission-path note)
+                    kg = kg.astype(q.dtype) * ksp[ctx_table].astype(q.dtype)
+                    vg = vg.astype(q.dtype) * vsp[ctx_table].astype(q.dtype)
+                kd = kg.transpose(0, 2, 1, 3, 4).reshape(
+                    B, KV, mp * PAGE, hd + lane_pad)
+                vd = vg.transpose(0, 2, 1, 3, 4).reshape(
+                    B, KV, mp * PAGE, hd + lane_pad)
+                out = attention(
+                    q, kd, vd, pos, T, scale,
+                    softcap=cfg.attn_logit_softcap,
+                    local_window=cfg.sliding_window,
+                    use_local=use_local,
+                )
             pages = ((kp, vp, ksp, vsp) if quantized else (kp, vp))
             return out, pages
 

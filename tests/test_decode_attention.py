@@ -26,7 +26,7 @@ def test_decode_attention_matches_xla(gqa):
 
 
 def test_decode_attention_fallbacks():
-    q = jnp.zeros((1, 2, 4, 128))  # T=2: not decode
+    q = jnp.zeros((1, 9, 4, 128))  # T=9 > MAX_T: prefill-class, not decode
     k = jnp.zeros((1, 4, 512, 128))
     assert decode_attention(q, k, k, jnp.zeros(1, jnp.int32), 1.0) is None
     q = jnp.zeros((1, 1, 4, 64))  # hd 64: ineligible
@@ -255,5 +255,145 @@ def test_paged_decode_attention_softcap_window():
     want = fwd.attention(q, jnp.asarray(dense_k), jnp.asarray(dense_v),
                          jnp.asarray(lengths - 1), 1, scale,
                          softcap=cap, local_window=win)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# multi-token q (the speculative verify shape, T <= MAX_T)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("gqa", [1, 4], ids=["mha", "gqa4"])
+def test_decode_attention_multitoken_matches_xla(gqa):
+    """T=5 verify rows fold into the kernel's row dim with per-row causal
+    bounds; must match the XLA masked-attention path exactly."""
+    B, S, KV, hd, T = 3, 512, 2, 128, 5
+    H = KV * gqa
+    rng = np.random.default_rng(21 + gqa)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    # pos = live entries BEFORE the T new tokens (whose KV sits at
+    # pos..pos+T-1 in the cache); includes chunk-boundary cases
+    pos = jnp.asarray([0, 123, 380], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    want = fwd.attention(q, k, v, pos, T, scale)
+    got = decode_attention(q, k, v, pos, scale)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_multitoken_rowwise_exact():
+    """Causal exactness: row t of a T=4 call equals a T=1 call at pos+t
+    (teacher-forced equivalence) — no future-column leakage possible."""
+    B, S, KV, G, hd, T = 2, 256, 2, 2, 128, 4
+    H = KV * G
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    pos = jnp.asarray([50, 127], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    multi = decode_attention(q, k, v, pos, scale)
+    assert multi is not None
+    for t in range(T):
+        one = decode_attention(q[:, t : t + 1], k, v, pos + t, scale)
+        np.testing.assert_allclose(
+            np.asarray(multi[:, t]), np.asarray(one[:, 0]),
+            rtol=2e-6, atol=2e-6,
+        )
+
+
+def test_decode_attention_multitoken_int8():
+    """T=3 verify over an int8 cache + scales vs dequantize-then-attend."""
+    B, S, KV, G, hd, T = 2, 256, 2, 2, 128, 3
+    H = KV * G
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    kf = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    vf = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    ks = (np.abs(kf).max(axis=-1, keepdims=True) / 127.0).astype(np.float32)
+    vs = (np.abs(vf).max(axis=-1, keepdims=True) / 127.0).astype(np.float32)
+    k8 = np.clip(np.round(kf / ks), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs), -127, 127).astype(np.int8)
+    pos = jnp.asarray([100, 253], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    want = fwd.attention(
+        q, jnp.asarray(k8.astype(np.float32) * ks),
+        jnp.asarray(v8.astype(np.float32) * vs), pos, T, scale,
+    )
+    got = decode_attention(
+        q, jnp.asarray(k8), jnp.asarray(v8), pos, scale,
+        k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs),
+    )
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("win", [64, 200])
+def test_decode_attention_multitoken_window(win):
+    """Sliding window with T=4: each row's window is its OWN position's
+    (gemma2 local layers under a verify tick)."""
+    B, S, KV, G, hd, T = 2, 384, 2, 2, 128, 4
+    H = KV * G
+    rng = np.random.default_rng(win)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KV, S, hd)), jnp.float32)
+    pos = jnp.asarray([150, 300], jnp.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    want = fwd.attention(q, k, v, pos, T, scale, probe={"x": None},
+                         local_window=win)
+    got = decode_attention(q, k, v, pos, scale, local_window=win)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_attention_multitoken():
+    """T=4 verify through the page table (the paged engine's verify path):
+    matches dense XLA attention over the scattered pages."""
+    from crabml_tpu.ops.pallas.decode_attention import BK, paged_decode_attention
+
+    B, KV, G, hd, T = 2, 2, 2, 128, 4
+    H = KV * G
+    max_pages = 3
+    S = max_pages * BK
+    rng = np.random.default_rng(17)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    dense_k = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    dense_v = rng.standard_normal((B, KV, S, hd)).astype(np.float32)
+    # lengths INCLUDE the T verify tokens already written through the table
+    pos = np.asarray([100, 250], np.int32)
+    lengths = pos + T
+
+    n_pages = B * max_pages
+    perm = rng.permutation(n_pages)
+    k_pages = np.zeros((n_pages, KV, BK, hd), np.float32)
+    v_pages = np.zeros((n_pages, KV, BK, hd), np.float32)
+    table = np.zeros((B, max_pages), np.int32)
+    for b in range(B):
+        for c in range(max_pages):
+            p = perm[b * max_pages + c]
+            table[b, c] = p
+            sl = slice(c * BK, (c + 1) * BK)
+            k_pages[p] = dense_k[b, :, sl]
+            v_pages[p] = dense_v[b, :, sl]
+
+    scale = 1.0 / np.sqrt(hd)
+    got = paged_decode_attention(
+        q, jnp.asarray(k_pages), jnp.asarray(v_pages), jnp.asarray(table),
+        jnp.asarray(lengths), scale,
+    )
+    assert got is not None
+    want = fwd.attention(jnp.asarray(q), jnp.asarray(dense_k),
+                         jnp.asarray(dense_v), jnp.asarray(pos), T, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
