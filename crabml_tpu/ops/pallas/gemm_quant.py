@@ -64,6 +64,11 @@ TM = 256
 TK_CHOICES = (1024, 512, 256)  # k elements per grid step (k pads up to a multiple)
 MAX_PAD_FRAC = 0.04  # accept <=4% zero-padding of k to use a bigger TK
 B_PAD = 8
+# W4A8 routing cap, decoupled from the B_PAD pad tile: the depth-32 int8
+# group dots beat the bf16 dequant kernels up to ~16 padded rows (v5e
+# decode_loop sweep, r4: 16 rows W4A8 32.9 ms/step vs bf16 36.2; 32 rows
+# 50.7 vs 46.7; 40-row verify 70.1 vs 59.8 — crossover between 16 and 24)
+W4A8_MAX_ROWS = 16
 W8_MIN_ROWS = 256  # padded row count above which W8 prefill planes win
 
 
@@ -945,11 +950,12 @@ def qmatmul_pallas(x, qt: QTensor, compute_dtype=jnp.bfloat16, layer=None,
     qplanes = [p[f"q{i}"] for i in range(len(s.planes))]
     splanes = [p["dsub"]] + ([p["msub"]] if s.has_min else [])
     # Routing by padded row count (all measured on the v5e):
-    # - decode-class (<= B_PAD rows) + act_quant: W4A8 — fewest bytes wins
+    # - decode-class (<= W4A8_MAX_ROWS) + act_quant: W4A8 — fewest bytes
+    #   wins (covers B<=16 serving slots and K=1 verify rows)
     # - prefill-class (>= W8_MIN_ROWS) with W8 planes present: depth-KSC
     #   int8 MXU dots, no unpack — compute-bound regime, 2x the bf16 rate
     # - otherwise: bf16 dequant kernels
-    if act_quant and x2.shape[0] <= B_PAD:
+    if act_quant and x2.shape[0] <= W4A8_MAX_ROWS:
         xq, dx, sx = quantize_activation(x2, s.gr, tk)
         out = _run_w4a8(kind, m, tk, stacked, xq, dx, sx,
                         layer if stacked else 0, *qplanes, *splanes)
