@@ -240,6 +240,42 @@ def _draft_sync(weights, cache, tokens, pos, cfg, compute_dtype,
     return cache
 
 
+def _draft_2gram_one(h, t, p, *, draft: int, match_len: int):
+    """Most-recent 2-gram match over one slot's history (B=1 logic from
+    runtime.speculative.speculative_loop verbatim). vmap over slots."""
+    S = h.shape[0]
+    idx = jnp.arange(S, dtype=jnp.int32)
+    h = h.at[p].set(t)
+    match = jnp.ones(S, dtype=bool)
+    for off in range(match_len):
+        suffix_tok = h[p - off]
+        shifted = jnp.roll(h, off)
+        match = match & (shifted == suffix_tok) & (idx >= off)
+    match = match & (idx < p)
+    j = jnp.max(jnp.where(match, idx, -1))
+    start = jnp.where(j < 0, p, j + 1)
+    return jax.lax.dynamic_slice(h, (start,), (draft,)), h
+
+
+def _accept_round(g, dr, nxt, token, active, eligible, draft: int):
+    """Greedy-exact acceptance for one fused round (shared by the dense
+    and paged spec scans): eligible slots take their longest
+    argmax-matching drafted prefix + bonus token; other ACTIVE slots take
+    the round's position-0 sampled token. Returns (out (B, K+1) tokens to
+    emit, count (B,) emitted per slot, token (B,) next input token)."""
+    B = g.shape[0]
+    ok = dr == g[:, :draft]
+    n_acc = jnp.argmin(
+        jnp.concatenate([ok, jnp.zeros((B, 1), bool)], axis=1), axis=1)
+    n_acc = jnp.where(eligible, n_acc, 0)
+    count = jnp.where(active, n_acc + 1, 0)
+    chosen = jnp.take_along_axis(g, n_acc[:, None], 1)[:, 0]
+    token_new = jnp.where(eligible, chosen, nxt)
+    token = jnp.where(active, token_new, token)
+    out = g.at[:, 0].set(jnp.where(eligible, g[:, 0], nxt))
+    return out, count, token
+
+
 @partial(
     jax.jit,
     static_argnames=("rounds", "draft", "match_len", "two_model", "cfg",
@@ -274,21 +310,7 @@ def _spec_scan(weights, cache, hist, token, pos, active, eligible, key,
     Returns (outs (R, B, K+1), counts (R, B), per-round pos-0 logprob
     arrays, cache, dcache)."""
     B, S = hist.shape
-    idx = jnp.arange(S, dtype=jnp.int32)
-
-    def draft_one(h, t, p):
-        """Most-recent 2-gram match over one slot's history (B=1 logic
-        from runtime.speculative.speculative_loop verbatim)."""
-        h = h.at[p].set(t)
-        match = jnp.ones(S, dtype=bool)
-        for off in range(match_len):
-            suffix_tok = h[p - off]
-            shifted = jnp.roll(h, off)
-            match = match & (shifted == suffix_tok) & (idx >= off)
-        match = match & (idx < p)
-        j = jnp.max(jnp.where(match, idx, -1))
-        start = jnp.where(j < 0, p, j + 1)
-        return jax.lax.dynamic_slice(h, (start,), (draft,)), h
+    draft_one = partial(_draft_2gram_one, draft=draft, match_len=match_len)
 
     def body(carry, key_r):
         cache, dcache, hist, token, pos, rec = carry
@@ -319,15 +341,8 @@ def _spec_scan(weights, cache, hist, token, pos, active, eligible, key,
                                frequency_penalty=freq_pen,
                                presence_penalty=pres_pen, logit_bias=bias,
                                with_logprobs=True)
-        ok = dr == g[:, :draft]
-        n_acc = jnp.argmin(
-            jnp.concatenate([ok, jnp.zeros((B, 1), bool)], axis=1), axis=1)
-        n_acc = jnp.where(eligible, n_acc, 0)
-        count = jnp.where(active, n_acc + 1, 0)
-        chosen = jnp.take_along_axis(g, n_acc[:, None], 1)[:, 0]
-        token_new = jnp.where(eligible, chosen, nxt)
-        token = jnp.where(active, token_new, token)
-        out = g.at[:, 0].set(jnp.where(eligible, g[:, 0], nxt))
+        out, count, token = _accept_round(g, dr, nxt, token, active,
+                                          eligible, draft)
         # history gains this round's emissions at pos+1.. (per-row junk
         # past the frontier is rewritten by the round that passes it)
         hist = jax.vmap(
@@ -1022,23 +1037,8 @@ class ServingEngine:
         eligible[spec_slots] = True
         active_m = np.zeros(B, bool)
         active_m[active] = True
-        self._key, sub = jax.random.split(self._key)
-        win = min(_bucket(pmax + rounds * (K + 1), 128), self.seq_len)
-        two = self._draft_w is not None
-        outs, counts, lp, self.cache, dcache = _spec_scan(
-            self.weights, self.cache, jnp.asarray(hist),
-            jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
-            jnp.asarray(active_m), jnp.asarray(eligible), sub,
-            jnp.asarray(self.temp), jnp.asarray(self.topp),
-            jnp.asarray(self.minp), jnp.asarray(self.recent),
-            jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
-            jnp.asarray(self.pres_pen), self._bias(),
-            self._draft_w, self._draft_cache,
-            rounds, K, self.cfg, self.compute_dtype,
-            dcfg=self._draft_cfg, two_model=two, attn_window=win,
-        )
-        if two:
-            self._draft_cache = dcache
+        outs, counts, lp = self._run_spec_scan(hist, active_m, eligible,
+                                               rounds, K, pmax)
         outs = np.asarray(outs)  # (R, B, K+1)
         counts = np.asarray(counts)  # (R, B)
         spec_set = set(spec_slots)
@@ -1101,6 +1101,33 @@ class ServingEngine:
                                 np.asarray(r.output_tokens, np.int32)])
                 if r.output_tokens else r.prompt_tokens, K)
         return drafts
+
+    def _run_spec_scan(self, hist, active_m, eligible, rounds: int,
+                       K: int, pmax: int):
+        """Device half of the fused multi-round tick: run `rounds`
+        draft+verify rounds in one dispatch over the dense slot cache.
+        Subclasses override to run the scan through their own cache
+        (PagedServingEngine writes through the block table). Returns
+        (outs (R, B, K+1), counts (R, B), lp) and updates self.cache
+        (+ the draft cache when two-model)."""
+        self._key, sub = jax.random.split(self._key)
+        win = min(_bucket(pmax + rounds * (K + 1), 128), self.seq_len)
+        two = self._draft_w is not None
+        outs, counts, lp, self.cache, dcache = _spec_scan(
+            self.weights, self.cache, jnp.asarray(hist),
+            jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
+            jnp.asarray(active_m), jnp.asarray(eligible), sub,
+            jnp.asarray(self.temp), jnp.asarray(self.topp),
+            jnp.asarray(self.minp), jnp.asarray(self.recent),
+            jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
+            jnp.asarray(self.pres_pen), self._bias(),
+            self._draft_w, self._draft_cache,
+            rounds, K, self.cfg, self.compute_dtype,
+            dcfg=self._draft_cfg, two_model=two, attn_window=win,
+        )
+        if two:
+            self._draft_cache = dcache
+        return outs, counts, lp
 
     def _spec_verify(self, tokens_in: np.ndarray, key):
         """Verify forward for the speculative tick: (n_slots, K+1) tokens

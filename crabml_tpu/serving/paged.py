@@ -53,7 +53,8 @@ from ..ops.norm import rms_norm
 from ..ops.rope import apply_rope
 from ..runtime.sampler import sample_batch
 from ..utils import bucket as _bucket
-from .engine import Request, ServingEngine
+from .engine import (Request, ServingEngine, _accept_round,
+                     _draft_2gram_one)
 
 
 @partial(
@@ -423,16 +424,12 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
     return logits, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "compute_dtype", "n_ctx_pages"),
-    donate_argnames=("cache",),
-)
-def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, key, temp,
-                      topp, minp, recent, rep_pen, freq_pen, pres_pen, bias,
+def _paged_verify_fwd(weights, cache: PagedKVCache, tokens, pos,
                       cfg, compute_dtype, n_ctx_pages: int | None = None):
-    """Speculative verify through the page pool: tokens (B, T=K+1) = each
-    slot's current token + its drafts; greedy argmax at every position.
+    """Traceable verify forward through the page pool (shared by the
+    single-dispatch paged_verify_step jit and the fused multi-round
+    _paged_spec_scan): tokens (B, T=K+1) = each
+    slot's current token + its drafts; returns (logits (B, T, V), cache).
     T KV entries write through the block table (pages pre-allocated by
     the engine); rejected tails sit past the accepted position, masked
     until overwritten — same no-rollback argument as the dense
@@ -542,13 +539,97 @@ def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, key, temp,
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
         ks_new = vs_new = None
     logits = _final_logits(weights, x, cfg, compute_dtype)
+    return logits, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "n_ctx_pages"),
+    donate_argnames=("cache",),
+)
+def paged_verify_step(weights, cache: PagedKVCache, tokens, pos, key, temp,
+                      topp, minp, recent, rep_pen, freq_pen, pres_pen, bias,
+                      cfg, compute_dtype, n_ctx_pages: int | None = None):
+    """One speculative verify dispatch (see _paged_verify_fwd): greedy
+    argmax at every position, position 0 additionally sampled with the
+    full per-slot params so non-greedy slots take one correct token from
+    the same dispatch (engine._spec_verify_step semantics)."""
+    logits, cache = _paged_verify_fwd(weights, cache, tokens, pos, cfg,
+                                      compute_dtype, n_ctx_pages)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     nxt, lp = sample_batch(logits[:, 0], key, temp, topp, minp=minp,
                            recent_tokens=recent, repetition_penalty=rep_pen,
                            frequency_penalty=freq_pen, presence_penalty=pres_pen,
                            logit_bias=bias, with_logprobs=True)
-    return greedy, nxt, lp, PagedKVCache(k_new, v_new, cache.table,
-                                         ks_new, vs_new)
+    return greedy, nxt, lp, cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rounds", "draft", "match_len", "two_model", "cfg",
+                     "dcfg", "compute_dtype", "n_ctx_pages", "attn_window"),
+    donate_argnames=("cache", "dcache"),
+)
+def _paged_spec_scan(weights, cache: PagedKVCache, hist, token, pos, active,
+                     eligible, key, temp, topp, minp, recent, rep_pen,
+                     freq_pen, pres_pen, bias, dweights, dcache, rounds,
+                     draft, cfg, compute_dtype, dcfg=None,
+                     match_len: int = 2, two_model: bool = False,
+                     n_ctx_pages: int | None = None, attn_window=None):
+    """Fused multi-round speculative tick through the PAGE POOL — the
+    paged twin of engine._spec_scan: `rounds` draft+verify rounds per
+    dispatch, drafts on device (2-gram lookup over per-slot history, or
+    the draft model's fused greedy chain over its dense cache), each
+    verify writing K+1 tokens per slot through the block table
+    (_paged_verify_fwd) with pages pre-allocated by the engine for the
+    whole scan's horizon. Acceptance/eligibility semantics are exactly
+    engine._spec_scan's (shared _accept_round). Removes the
+    one-dispatch-round-trip-per-round cost that bounded the paged
+    engine's speculation floor (BASELINE: 0.60x paged at accept≈0)."""
+    B, S = hist.shape
+    draft_one = partial(_draft_2gram_one, draft=draft, match_len=match_len)
+
+    def body(carry, key_r):
+        cache, dcache, hist, token, pos, rec = carry
+        if two_model:
+            def dstep(dc, _):
+                dcache, t, p = dc
+                dlogits, dcache = forward(dweights, dcache, t[:, None], p,
+                                          dcfg, compute_dtype,
+                                          attn_window=attn_window)
+                nt = jnp.argmax(dlogits[:, 0], -1).astype(jnp.int32)
+                return (dcache, nt, p + 1), nt
+
+            # draft+1 steps: full-accept frontier hole argument, see
+            # engine._spec_scan
+            (dcache, _, _), dr = jax.lax.scan(
+                dstep, (dcache, token, pos), length=draft + 1)
+            dr = dr.T[:, :draft]
+        else:
+            dr, hist = jax.vmap(draft_one)(hist, token, pos)
+        tok_seq = jnp.concatenate([token[:, None], dr], axis=1)  # (B, K+1)
+        logits, cache = _paged_verify_fwd(weights, cache, tok_seq, pos, cfg,
+                                          compute_dtype, n_ctx_pages)
+        g = jnp.argmax(logits, -1).astype(jnp.int32)
+        nxt, lp = sample_batch(logits[:, 0], key_r, temp, topp, minp=minp,
+                               recent_tokens=rec, repetition_penalty=rep_pen,
+                               frequency_penalty=freq_pen,
+                               presence_penalty=pres_pen, logit_bias=bias,
+                               with_logprobs=True)
+        out, count, token = _accept_round(g, dr, nxt, token, active,
+                                          eligible, draft)
+        hist = jax.vmap(
+            lambda h, row, p: jax.lax.dynamic_update_slice(h, row, (p + 1,))
+        )(hist, out, pos)
+        rec = jnp.concatenate([rec[:, 1:], token[:, None]], axis=1)
+        pos = pos + count
+        return (cache, dcache, hist, token, pos, rec), (out, count, *lp)
+
+    keys = jax.random.split(key, rounds)
+    (cache, dcache, _, _, _, _), (outs, counts, tok_lp, top_lp, top_id) = (
+        jax.lax.scan(body, (cache, dcache, hist, token, pos, recent), keys)
+    )
+    return outs, counts, (tok_lp, top_lp, top_id), cache, dcache
 
 
 @partial(
@@ -981,11 +1062,37 @@ class PagedServingEngine(ServingEngine):
         active slot; allocate their pages first (preempting if needed)."""
         return self._ensure_pages(active, K + 1)
 
-    def _spec_scan_tick(self, active, snapshot, pos0, pmax, multi):
-        """The fused multi-round scan is dense-cache-only (its verify
-        forward writes through KVCache, not the page pool); the paged
-        engine keeps single-dispatch speculative ticks."""
-        return None
+    def _run_spec_scan(self, hist, active_m, eligible, rounds: int,
+                       K: int, pmax: int):
+        """Paged device half of the fused multi-round tick: the scan's
+        verifies write through the block table (_paged_spec_scan); pages
+        for the whole rounds*(K+1) horizon were pre-allocated by
+        _spec_prepare before this runs."""
+        self._key, sub = jax.random.split(self._key)
+        horizon = pmax + rounds * (K + 1)
+        need = -(-horizon // PAGE)
+        n_ctx = 1
+        while n_ctx < need:
+            n_ctx *= 2
+        n_ctx = min(n_ctx, self.max_pages)
+        win = min(_bucket(horizon, 128), self.seq_len)
+        two = self._draft_w is not None
+        outs, counts, lp, self.cache, dcache = _paged_spec_scan(
+            self.weights, self.cache, jnp.asarray(hist),
+            jnp.asarray(self.cur_tok), jnp.asarray(self.pos),
+            jnp.asarray(active_m), jnp.asarray(eligible), sub,
+            jnp.asarray(self.temp), jnp.asarray(self.topp),
+            jnp.asarray(self.minp), jnp.asarray(self.recent),
+            jnp.asarray(self.rep_pen), jnp.asarray(self.freq_pen),
+            jnp.asarray(self.pres_pen), self._bias(),
+            self._draft_w, self._draft_cache,
+            rounds, K, self.cfg, self.compute_dtype,
+            dcfg=self._draft_cfg, two_model=two,
+            n_ctx_pages=n_ctx, attn_window=win,
+        )
+        if two:
+            self._draft_cache = dcache
+        return outs, counts, lp
 
     def _spec_verify(self, tokens_in, key):
         need = -(-(int(self.pos.max()) + tokens_in.shape[1]) // PAGE)
@@ -1022,7 +1129,11 @@ class PagedServingEngine(ServingEngine):
         multi = max(1, min(multi, self.seq_len - 1 - pmax))
 
         if self.speculative:
-            n = self._spec_tick(active, snapshot, pos0, pmax)
+            n = None
+            if multi > 1:  # idle admission: fuse rounds in one dispatch
+                n = self._spec_scan_tick(active, snapshot, pos0, pmax, multi)
+            if n is None and active:
+                n = self._spec_tick(active, snapshot, pos0, pmax)
             if n is not None:
                 return n
             if not active:  # _spec_prepare preempted every active slot

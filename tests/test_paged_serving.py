@@ -584,3 +584,95 @@ def test_paged_two_model_with_prefix_reuse(stories260k_path):
     second = eng.generate([long_prompt], max_tokens=16)[0]
     assert second == first
     assert eng.prefix_hits > hits0  # the reuse path actually ran
+
+
+# ---------------------------------------------------------------------------
+# fused multi-round speculative scan through the page pool (_paged_spec_scan)
+# ---------------------------------------------------------------------------
+
+
+def _drain_fused(eng, multi, max_steps=400):
+    n = 0
+    while (any(eng.slots) or not eng.pending.empty()) and n < max_steps:
+        idle = eng.pending.empty() and not eng._prefilling
+        eng.step(multi if idle else 1)
+        n += 1
+
+
+def test_paged_fused_spec_scan_exactness(runner):
+    """The paged fused multi-round scan (on-device drafts, R rounds per
+    dispatch, verifies writing through the block table) emits exactly the
+    plain paged engine's greedy tokens, including across page
+    boundaries."""
+    plain = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16)
+    want = [plain.generate([p], max_tokens=PAGE + 10)[0]
+            for p in PROMPTS[:2]]
+
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16,
+                             speculative=4, tick_tokens=6)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=PAGE + 10))
+            for p in PROMPTS[:2]]
+    _drain_fused(eng, 6)
+    assert [_detok(eng, r) for r in reqs] == want
+    assert eng.spec_ticks > 0
+
+
+def test_paged_fused_spec_scan_int8_pool(runner):
+    """Fused rounds write quantized KV + scales through the table."""
+    import jax.numpy as jnp
+
+    plain = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16,
+                               kv_dtype=jnp.int8)
+    want = [plain.generate([p], max_tokens=24)[0] for p in PROMPTS[:2]]
+    eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16,
+                             kv_dtype=jnp.int8, speculative=4,
+                             tick_tokens=6)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=24))
+            for p in PROMPTS[:2]]
+    _drain_fused(eng, 6)
+    assert [_detok(eng, r) for r in reqs] == want
+    assert eng.spec_ticks > 0
+
+
+def test_paged_fused_spec_scan_two_model(stories260k_path):
+    """Two-model fused scan through the pool: draft == target gives full
+    acceptance and byte-exact output (the draft chain runs in-scan on its
+    dense cache while verifies write paged)."""
+    tr = Runner(stories260k_path, seq_len=256)
+    plain = PagedServingEngine(tr, n_slots=2, seq_len=256, n_pages=16)
+    want = [plain.generate([p], max_tokens=30)[0] for p in PROMPTS[:2]]
+
+    spec_r = Runner(stories260k_path, seq_len=256,
+                    draft_model=stories260k_path)
+    eng = PagedServingEngine(spec_r, n_slots=2, seq_len=256, n_pages=16,
+                             speculative=4, tick_tokens=4)
+    reqs = [eng.submit(Request(prompt=p, max_tokens=30))
+            for p in PROMPTS[:2]]
+    _drain_fused(eng, 4)
+    assert [_detok(eng, r) for r in reqs] == want
+    # anything above K+1=5 proves full-draft rounds for both slots
+    assert eng.spec_tokens / eng.spec_ticks > 5
+
+
+def test_paged_fused_spec_scan_mixed_traffic(stories260k_path):
+    """Per-slot eligibility through the paged fused path: a penalized
+    deterministic slot matches plain output while greedy slots accept
+    multi-token rounds."""
+    tr = Runner(stories260k_path, seq_len=256)
+    plain = PagedServingEngine(tr, n_slots=3, seq_len=256, n_pages=24)
+    want_g = plain.generate([PROMPTS[0]], max_tokens=18)[0]
+    plain2 = PagedServingEngine(tr, n_slots=3, seq_len=256, n_pages=24)
+    want_p = plain2.generate([PROMPTS[2]], max_tokens=18,
+                             repetition_penalty=1.3)[0]
+
+    eng = PagedServingEngine(tr, n_slots=3, seq_len=256, n_pages=24,
+                             speculative=4, tick_tokens=4)
+    rg = eng.submit(Request(prompt=PROMPTS[0], max_tokens=18))
+    rs = eng.submit(Request(prompt=PROMPTS[1], max_tokens=8,
+                            temperature=0.9))
+    rp = eng.submit(Request(prompt=PROMPTS[2], max_tokens=18,
+                            repetition_penalty=1.3))
+    _drain_fused(eng, 4)
+    assert rg.done and rs.done and rp.done
+    assert _detok(eng, rg) == want_g
+    assert _detok(eng, rp) == want_p
