@@ -425,6 +425,7 @@ class ServingEngine:
     """
 
     REPEAT_WINDOW = 64
+    SPEC_FUSED_DEFAULT = True  # see self.spec_fused in __init__
 
     def __init__(
         self,
@@ -444,6 +445,7 @@ class ServingEngine:
         speculative: int = 0,
         draft_runner=None,
         repeat_window: int | None = None,
+        spec_fused: bool | None = None,
     ):
         self.mesh = None
         self.kv_lane_pad = kv_lane_pad
@@ -520,6 +522,15 @@ class ServingEngine:
         # plain-greedy (exactness requires argmax verify without
         # penalties/bias).
         self.speculative = speculative
+        # fused multi-round scan engagement: measured per engine on the
+        # v5e (same-process A/B, benchmarks/r4/spec_ab_*.json) — the dense
+        # engine's fused scan beats single-dispatch ticks 0.78x-vs-0.57x
+        # of plain at accept~0 (RTT amortized, cache carry aliases fine),
+        # while the paged engine's LOSES 0.47x-vs-0.62x (the page pool
+        # carried through the rounds-scan costs more than the saved RTT),
+        # so each class carries its measured default; the kwarg overrides.
+        self.spec_fused = (self.SPEC_FUSED_DEFAULT if spec_fused is None
+                           else spec_fused)
         self.spec_ticks = 0
         self.spec_tokens = 0  # tokens emitted by speculative ticks
         self._draft_w = self._draft_cfg = self._draft_dtype = None
@@ -843,7 +854,7 @@ class ServingEngine:
 
         if self.speculative:
             n = None
-            if multi > 1:  # idle admission: fuse rounds in one dispatch
+            if multi > 1 and self.spec_fused:  # idle: fuse rounds per dispatch
                 n = self._spec_scan_tick(active, snapshot, pos0, pmax, multi)
             if n is None:
                 n = self._spec_tick(active, snapshot, pos0, pmax)

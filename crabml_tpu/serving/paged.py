@@ -701,6 +701,13 @@ class PagedServingEngine(ServingEngine):
     an idle slot can never scatter into a reallocated page.
     """
 
+    # fused multi-round spec measured SLOWER than single-dispatch ticks
+    # through the page pool (same-process A/B, benchmarks/r4/
+    # spec_ab_paged.json: 0.47x vs 0.62x of plain at accept~0 — the pool
+    # carried through the rounds-scan outweighs the saved round trips);
+    # opt back in with spec_fused=True if a workload's acceptance pays.
+    SPEC_FUSED_DEFAULT = False
+
     def __init__(self, runner=None, *, n_pages: int = 256,
                  prefix_cache: bool = True, **kw):
         kw.setdefault("kv_dtype", jnp.bfloat16)
@@ -1130,7 +1137,7 @@ class PagedServingEngine(ServingEngine):
 
         if self.speculative:
             n = None
-            if multi > 1:  # idle admission: fuse rounds in one dispatch
+            if multi > 1 and self.spec_fused:
                 n = self._spec_scan_tick(active, snapshot, pos0, pmax, multi)
             if n is None and active:
                 n = self._spec_tick(active, snapshot, pos0, pmax)

@@ -609,7 +609,8 @@ def test_paged_fused_spec_scan_exactness(runner):
             for p in PROMPTS[:2]]
 
     eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16,
-                             speculative=4, tick_tokens=6)
+                             speculative=4, tick_tokens=6,
+                             spec_fused=True)
     reqs = [eng.submit(Request(prompt=p, max_tokens=PAGE + 10))
             for p in PROMPTS[:2]]
     _drain_fused(eng, 6)
@@ -626,7 +627,7 @@ def test_paged_fused_spec_scan_int8_pool(runner):
     want = [plain.generate([p], max_tokens=24)[0] for p in PROMPTS[:2]]
     eng = PagedServingEngine(runner, n_slots=2, seq_len=256, n_pages=16,
                              kv_dtype=jnp.int8, speculative=4,
-                             tick_tokens=6)
+                             tick_tokens=6, spec_fused=True)
     reqs = [eng.submit(Request(prompt=p, max_tokens=24))
             for p in PROMPTS[:2]]
     _drain_fused(eng, 6)
@@ -645,7 +646,7 @@ def test_paged_fused_spec_scan_two_model(stories260k_path):
     spec_r = Runner(stories260k_path, seq_len=256,
                     draft_model=stories260k_path)
     eng = PagedServingEngine(spec_r, n_slots=2, seq_len=256, n_pages=16,
-                             speculative=4, tick_tokens=4)
+                             speculative=4, tick_tokens=4, spec_fused=True)
     reqs = [eng.submit(Request(prompt=p, max_tokens=30))
             for p in PROMPTS[:2]]
     _drain_fused(eng, 4)
@@ -666,7 +667,7 @@ def test_paged_fused_spec_scan_mixed_traffic(stories260k_path):
                              repetition_penalty=1.3)[0]
 
     eng = PagedServingEngine(tr, n_slots=3, seq_len=256, n_pages=24,
-                             speculative=4, tick_tokens=4)
+                             speculative=4, tick_tokens=4, spec_fused=True)
     rg = eng.submit(Request(prompt=PROMPTS[0], max_tokens=18))
     rs = eng.submit(Request(prompt=PROMPTS[1], max_tokens=8,
                             temperature=0.9))
@@ -676,3 +677,17 @@ def test_paged_fused_spec_scan_mixed_traffic(stories260k_path):
     assert rg.done and rs.done and rp.done
     assert _detok(eng, rg) == want_g
     assert _detok(eng, rp) == want_p
+
+
+def test_spec_fused_defaults(runner):
+    """Measured per-engine defaults (benchmarks/r4/spec_ab_*.json): the
+    dense engine fuses speculative rounds by default, the paged engine
+    keeps single-dispatch ticks unless opted in."""
+    d = ServingEngine(runner, n_slots=1, seq_len=128, speculative=3)
+    assert d.spec_fused
+    pg = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=8,
+                            speculative=3)
+    assert not pg.spec_fused
+    pg2 = PagedServingEngine(runner, n_slots=1, seq_len=256, n_pages=8,
+                             speculative=3, spec_fused=True)
+    assert pg2.spec_fused
