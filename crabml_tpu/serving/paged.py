@@ -47,6 +47,7 @@ import numpy as np
 from ..models.forward import (KVCache, apply_final_norm, forward,
                               layer_norm_in, project_ffn, project_qkv)
 from ..ops.pallas.decode_attention import BK as PAGE
+from ..ops.pallas.decode_attention import MAX_T
 from ..ops.pallas.decode_attention import paged_decode_attention
 from ..ops.matmul import qmatmul
 from ..ops.norm import rms_norm
@@ -121,6 +122,68 @@ def _q8_vec(a):
     s_ = jnp.maximum(s_.astype(jnp.float32), 1e-12)
     qv = jnp.clip(jnp.round(a.astype(jnp.float32) / s_), -127, 127)
     return qv.astype(jnp.int8), s_
+
+
+def _fused_pool_ok(cache: "PagedKVCache", hd: int, lane_pad: int) -> bool:
+    """Shape gate for the fused (pool-out-of-scan) paged paths: the
+    kernel DMAs whole (PAGE, hd) tiles, so it needs lane-tiled head dims
+    and BK-sized pages."""
+    return (hd + lane_pad) % 128 == 0 and cache.k.shape[3] == 128
+
+
+def _fused_token_io(cache: "PagedKVCache", q, k_t, v_t, l, pos, scale, cfg,
+                    quantized):
+    """Shared kv_io body of the fused paged decode/verify: quantize the
+    new tokens (k_t/v_t (B, KV, T, hd)), attend over the stacked pool +
+    the VMEM new block, and return (out, news) — `news` is what the
+    post-scan _write_new_pages scatters into the pool."""
+    from ..models.forward import _window_eff
+    from ..ops.pallas.decode_attention import paged_decode_attention_fused
+
+    use_local = (l % 2 == 0) if cfg.alternating_window else None
+    if quantized:
+        kq, ks_new = _q8_vec(k_t)
+        vq, vs_new = _q8_vec(v_t)
+        news = (kq, vq, ks_new, vs_new)
+    else:
+        kq = k_t.astype(cache.k.dtype)
+        vq = v_t.astype(cache.v.dtype)
+        ks_new = vs_new = None
+        news = (kq, vq)
+    out = paged_decode_attention_fused(
+        q, cache.k, cache.v, cache.table, l, pos, scale,
+        k_new=kq, v_new=vq, k_scale=cache.k_scale, v_scale=cache.v_scale,
+        ks_new=ks_new, vs_new=vs_new,
+        softcap=cfg.attn_logit_softcap,
+        local_window=_window_eff(cfg.sliding_window, use_local))
+    return out, news
+
+
+def _write_new_pages(cache: "PagedKVCache", news, page_of, off
+                     ) -> "PagedKVCache":
+    """Write all layers' new tokens into the pool in per-(slot, token)
+    dynamic_update_slices. news: (L, B, KV, T, d) stacked scan outputs;
+    page_of/off: (B, T) physical page + in-page offset per token. DUS
+    (unlike XLA scatter, which here picks a non-default operand layout
+    and pays full-pool layout-conversion copies) updates the donated pool
+    in place — update bytes are L*B*KV*T*hd, independent of pool size."""
+    B, T = page_of.shape
+    zero = jnp.int32(0)
+
+    def wr(pool, upd):  # pool (L, P, KV, PAGE, d); upd (L, B, KV, T, d)
+        for b in range(B):
+            for t in range(T):
+                pool = jax.lax.dynamic_update_slice(
+                    pool, upd[:, b : b + 1, :, t : t + 1],
+                    (zero, page_of[b, t], zero, off[b, t], zero))
+        return pool
+
+    if cache.quantized:
+        kq, vq, ks, vs = news
+        return PagedKVCache(wr(cache.k, kq), wr(cache.v, vq), cache.table,
+                            wr(cache.k_scale, ks), wr(cache.v_scale, vs))
+    kn, vn = news
+    return PagedKVCache(wr(cache.k, kn), wr(cache.v, vn), cache.table)
 
 
 def _layer_body(lw, rope_ff, l, x, positions, cfg, compute_dtype, kv_io,
@@ -230,19 +293,33 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
     positions = pos[:, None]
 
     quantized = cache.quantized
+    # fused path (VERDICT r4 #1/#3): pools stay OUT of the layer scan —
+    # the kernel reads the full stacked pool via a prefetched layer scalar
+    # and attends this step's token from VMEM; page writes batch into
+    # per-slot dynamic_update_slices after the scan (_write_new_pages).
+    # The old path streamed the whole pool through the scan's xs->ys every
+    # tick — and once more per fused-speculation round, the paged
+    # fused-scan regression's root cause.
+    fused = _fused_pool_ok(cache, hd, lane_pad)
 
     def layer_step(x, per_layer):
-        if quantized:
+        if fused:
+            l = per_layer
+        elif quantized:
             l, k_pages, v_pages, ks_pages, vs_pages = per_layer
         else:
             l, k_pages, v_pages = per_layer
             ks_pages = vs_pages = None
 
         def kv_io(q, k, v):
-            # scatter this token's K/V into each sequence's current page
-            kp, vp, ksp, vsp = k_pages, v_pages, ks_pages, vs_pages
             kt = k[:, 0]  # (B, KV, hd[+pad])
             vt = v[:, 0]
+            if fused:
+                return _fused_token_io(
+                    cache, q, kt[:, :, None], vt[:, :, None], l, pos,
+                    scale, cfg, quantized)
+            # scatter this token's K/V into each sequence's current page
+            kp, vp, ksp, vsp = k_pages, v_pages, ks_pages, vs_pages
             if quantized:
                 kq, ks_new = _q8_vec(kt)
                 vq, vs_new = _q8_vec(vt)
@@ -298,19 +375,24 @@ def paged_decode_step(weights, cache: PagedKVCache, tokens, pos, key, temp, topp
                            kv_io, B, 1, lane_pad)
 
     idx = jnp.arange(L, dtype=jnp.int32)
-    if quantized:
+    if fused:
+        x, news = jax.lax.scan(layer_step, x, idx)
+        out_cache = _write_new_pages(cache, news, page_of[:, None],
+                                     off[:, None])
+    elif quantized:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
             layer_step, x, (idx, cache.k, cache.v, cache.k_scale, cache.v_scale)
         )
+        out_cache = PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
-        ks_new = vs_new = None
+        out_cache = PagedKVCache(k_new, v_new, cache.table)
     logits = _final_logits(weights, x, cfg, compute_dtype)[:, 0]
     nxt, lp = sample_batch(logits, key, temp, topp, minp=minp,
                            recent_tokens=recent, repetition_penalty=rep_pen,
                            frequency_penalty=freq_pen, presence_penalty=pres_pen,
                            logit_bias=bias, with_logprobs=True)
-    return nxt, lp, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
+    return nxt, lp, out_cache
 
 
 @partial(
@@ -461,22 +543,35 @@ def _paged_verify_fwd(weights, cache: PagedKVCache, tokens, pos,
     ctx_table = cache.table[:, :mp]
 
     positions = pos[:, None] + jnp.arange(T, dtype=pos.dtype)[None, :]  # (B,T)
-    pg_f = cache.table[
-        jnp.arange(B)[:, None], positions // PAGE].reshape(-1)  # (B*T,)
-    off_f = (positions % PAGE).reshape(-1)
+    pg_bt = cache.table[jnp.arange(B)[:, None], positions // PAGE]  # (B, T)
+    off_bt = positions % PAGE
+    pg_f = pg_bt.reshape(-1)  # (B*T,)
+    off_f = off_bt.reshape(-1)
 
     x = embedding_lookup(weights["token_embed"], tokens, compute_dtype)
     if cfg.scale_embedding:
         x = x * jnp.sqrt(jnp.float32(D)).astype(compute_dtype)
 
+    # same pool-out-of-scan rewrite as paged_decode_step: this is the
+    # forward the fused speculative scan loops over, so removing the
+    # per-call pool stream also removes the per-ROUND pool copy that made
+    # the paged fused scan lose to single-dispatch (VERDICT r4 #3)
+    fused = T <= MAX_T and _fused_pool_ok(cache, hd, lane_pad)
+
     def layer_step(x, per_layer):
-        if quantized:
+        if fused:
+            l = per_layer
+        elif quantized:
             l, k_pages, v_pages, ks_pages, vs_pages = per_layer
         else:
             l, k_pages, v_pages = per_layer
             ks_pages = vs_pages = None
 
         def kv_io(q, k, v):
+            if fused:
+                return _fused_token_io(
+                    cache, q, k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3), l, pos, scale, cfg, quantized)
             # flat scatter: every slot's K+1 tokens through the block
             # table (page boundaries straddled via per-token indices)
             kp, vp, ksp, vsp = k_pages, v_pages, ks_pages, vs_pages
@@ -531,15 +626,19 @@ def _paged_verify_fwd(weights, cache: PagedKVCache, tokens, pos,
                            kv_io, B, T, lane_pad)
 
     idx = jnp.arange(L, dtype=jnp.int32)
-    if quantized:
+    if fused:
+        x, news = jax.lax.scan(layer_step, x, idx)
+        out_cache = _write_new_pages(cache, news, pg_bt, off_bt)
+    elif quantized:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
             layer_step, x, (idx, cache.k, cache.v, cache.k_scale, cache.v_scale)
         )
+        out_cache = PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
-        ks_new = vs_new = None
+        out_cache = PagedKVCache(k_new, v_new, cache.table)
     logits = _final_logits(weights, x, cfg, compute_dtype)
-    return logits, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
+    return logits, out_cache
 
 
 @partial(

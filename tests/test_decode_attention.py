@@ -397,3 +397,141 @@ def test_paged_decode_attention_multitoken():
                          jnp.asarray(dense_v), jnp.asarray(pos), T, scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("T", [1, 4])
+def test_decode_attention_fused_stacked(T):
+    """Fused variant: full (L, B, KV, S, hd) cache + prefetched layer
+    scalar + the step's tokens from VMEM == old kernel on a cache with
+    the tokens already written (per layer)."""
+    from crabml_tpu.ops.pallas.decode_attention import (
+        decode_attention, decode_attention_fused)
+
+    L, B, S, KV, G, hd = 3, 2, 256, 2, 2, 128
+    H = KV * G
+    rng = np.random.default_rng(21)
+    cache_k = rng.standard_normal((L, B, KV, S, hd)).astype(np.float32)
+    cache_v = rng.standard_normal((L, B, KV, S, hd)).astype(np.float32)
+    pos = np.asarray([37, 128], np.int32)  # incl. a chunk boundary
+    scale = 1.0 / np.sqrt(hd)
+    for l in range(L):
+        q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+        k_new = jnp.asarray(rng.standard_normal((B, KV, T, hd)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((B, KV, T, hd)), jnp.float32)
+        got = decode_attention_fused(
+            q, jnp.asarray(cache_k), jnp.asarray(cache_v), jnp.int32(l),
+            jnp.asarray(pos), scale, k_new=k_new, v_new=v_new)
+        assert got is not None
+        # reference: write the tokens into layer l's slice, run the old kernel
+        kl, vl = cache_k[l].copy(), cache_v[l].copy()
+        for b in range(B):
+            kl[b, :, pos[b] : pos[b] + T] = np.asarray(k_new)[b]
+            vl[b, :, pos[b] : pos[b] + T] = np.asarray(v_new)[b]
+        want = decode_attention(q, jnp.asarray(kl), jnp.asarray(vl),
+                                jnp.asarray(pos), scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_fused_int8_window_softcap():
+    """Fused variant with the int8 cache (+ per-token scales for both the
+    chunks and the new block), sliding window, and softcap — vs the
+    dequantize-then-attend XLA reference."""
+    from crabml_tpu.ops.pallas.decode_attention import decode_attention_fused
+
+    L, B, S, KV, G, hd, T = 2, 2, 256, 2, 2, 128, 3
+    H = KV * G
+    lyr, win, cap = 1, 96, 30.0
+    rng = np.random.default_rng(23)
+
+    def q8(a):
+        s = (np.abs(a).max(axis=-1, keepdims=True) / 127.0 + 1e-12
+             ).astype(np.float32)
+        return np.clip(np.round(a / s), -127, 127).astype(np.int8), s
+
+    kf = rng.standard_normal((L, B, KV, S, hd)).astype(np.float32)
+    vf = rng.standard_normal((L, B, KV, S, hd)).astype(np.float32)
+    k8, ks = q8(kf)
+    v8, vs = q8(vf)
+    knf = rng.standard_normal((B, KV, T, hd)).astype(np.float32)
+    vnf = rng.standard_normal((B, KV, T, hd)).astype(np.float32)
+    kn8, ksn = q8(knf)
+    vn8, vsn = q8(vnf)
+    pos = np.asarray([130, 200], np.int32)
+    scale = 1.0 / np.sqrt(hd)
+
+    got = decode_attention_fused(
+        jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32),
+        jnp.asarray(k8), jnp.asarray(v8), jnp.int32(lyr), jnp.asarray(pos),
+        scale, k_new=jnp.asarray(kn8), v_new=jnp.asarray(vn8),
+        k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs),
+        ks_new=jnp.asarray(ksn), vs_new=jnp.asarray(vsn),
+        softcap=cap, local_window=win)
+    # the q above must match the reference call: regenerate deterministically
+    rng = np.random.default_rng(23)
+    q8(rng.standard_normal((L, B, KV, S, hd)).astype(np.float32))
+    q8(rng.standard_normal((L, B, KV, S, hd)).astype(np.float32))
+    q8(rng.standard_normal((B, KV, T, hd)).astype(np.float32))
+    q8(rng.standard_normal((B, KV, T, hd)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    assert got is not None
+
+    # dense dequantized reference with the new tokens written at pos
+    kd = k8.astype(np.float32) * ks
+    vd = v8.astype(np.float32) * vs
+    for b in range(B):
+        kd[lyr, b, :, pos[b] : pos[b] + T] = kn8[b].astype(np.float32) * ksn[b]
+        vd[lyr, b, :, pos[b] : pos[b] + T] = vn8[b].astype(np.float32) * vsn[b]
+    want = fwd.attention(q, jnp.asarray(kd[lyr]), jnp.asarray(vd[lyr]),
+                         jnp.asarray(pos), T, scale, softcap=cap,
+                         local_window=win)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("T", [1, 5])
+def test_paged_decode_attention_fused(T):
+    """Paged fused variant: stacked pools + layer scalar + VMEM new block
+    == dense attention over the scattered pages with the tokens written."""
+    from crabml_tpu.ops.pallas.decode_attention import (
+        BK, paged_decode_attention_fused)
+
+    L, B, KV, G, hd = 2, 2, 2, 2, 128
+    H = KV * G
+    max_pages = 3
+    S = max_pages * BK
+    lyr = 1
+    rng = np.random.default_rng(29)
+    q = jnp.asarray(rng.standard_normal((B, T, H, hd)), jnp.float32)
+    dense_k = rng.standard_normal((L, B, KV, S, hd)).astype(np.float32)
+    dense_v = rng.standard_normal((L, B, KV, S, hd)).astype(np.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, KV, T, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, KV, T, hd)), jnp.float32)
+    pos = np.asarray([100, 250], np.int32)  # prefix BEFORE this step
+
+    n_pages = B * max_pages
+    perm = rng.permutation(n_pages)
+    k_pages = np.zeros((L, n_pages, KV, BK, hd), np.float32)
+    v_pages = np.zeros((L, n_pages, KV, BK, hd), np.float32)
+    table = np.zeros((B, max_pages), np.int32)
+    for b in range(B):
+        for c in range(max_pages):
+            p = perm[b * max_pages + c]
+            table[b, c] = p
+            sl = slice(c * BK, (c + 1) * BK)
+            k_pages[:, p] = dense_k[:, b, :, sl]
+            v_pages[:, p] = dense_v[:, b, :, sl]
+
+    scale = 1.0 / np.sqrt(hd)
+    got = paged_decode_attention_fused(
+        q, jnp.asarray(k_pages), jnp.asarray(v_pages), jnp.asarray(table),
+        jnp.int32(lyr), jnp.asarray(pos), scale, k_new=k_new, v_new=v_new)
+    assert got is not None
+    kd, vd = dense_k[lyr].copy(), dense_v[lyr].copy()
+    for b in range(B):
+        kd[b, :, pos[b] : pos[b] + T] = np.asarray(k_new)[b]
+        vd[b, :, pos[b] : pos[b] + T] = np.asarray(v_new)[b]
+    want = fwd.attention(q, jnp.asarray(kd), jnp.asarray(vd),
+                         jnp.asarray(pos), T, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
