@@ -498,6 +498,14 @@ def main():
     logits, cache = step(weights, cache, tokens, pos)
     _ = np.asarray(logits[:1, :1, :1])
     prefill_compile_s = time.perf_counter() - t0
+    # split the conflated first call (VERDICT r4 #6): the same executable
+    # re-run is the engine's WARM prompt latency; the delta is one-time
+    # XLA compile + the tunneled backend's server-side first-execution
+    # kernel build — environmental, paid once, not per request
+    t0 = time.perf_counter()
+    logits, cache = step(weights, cache, tokens, jnp.zeros(B, jnp.int32))
+    _ = np.asarray(logits[:1, :1, :1])
+    prefill_warm_s = time.perf_counter() - t0
 
     key = jax.random.PRNGKey(0)
     tok = jnp.ones(B, jnp.int32)
@@ -554,6 +562,9 @@ def main():
             "spec_roofline_tok_s": round(spec_roofline, 1),
             "vs_spec_roofline": round(tok_s / spec_roofline, 4),
             "prefill_plus_compile_s": round(prefill_compile_s, 2),
+            "prefill_warm_s": round(prefill_warm_s, 2),
+            "compile_plus_backend_build_s": round(
+                prefill_compile_s - prefill_warm_s, 2),
             "device": jax.devices()[0].device_kind,
         },
     }

@@ -129,11 +129,35 @@ def make_handler(engine: ServingEngine, longctx=None):
                         ("crabml_preemptions_total", "counter",
                          engine.preemptions),
                     ]
+                extra = ""
+                if longctx is not None:
+                    # the sp long-context tier is B=1-serial by design
+                    # (one sp-sharded cache owns the mesh), so its queue
+                    # depth + wait are the tier's load signal
+                    rows += [
+                        ("crabml_sp_queue_depth", "gauge",
+                         longctx.queue_depth),
+                        ("crabml_sp_busy", "gauge",
+                         sum(r is not None for r in longctx.slots)),
+                        ("crabml_sp_requests_submitted_total", "counter",
+                         longctx.requests_submitted),
+                        ("crabml_sp_requests_completed_total", "counter",
+                         longctx.requests_completed),
+                        ("crabml_sp_tokens_generated_total", "counter",
+                         longctx.tokens_generated),
+                    ]
+                    extra = (
+                        longctx.queue_wait_hist.render(
+                            "crabml_sp_queue_wait_seconds")
+                        + longctx.ttft_hist.render("crabml_sp_ttft_seconds")
+                        + longctx.e2e_hist.render(
+                            "crabml_sp_request_duration_seconds"))
                 body = (
                     "".join(f"# TYPE {n} {t}\n{n} {v}\n" for n, t, v in rows)
                     + engine.ttft_hist.render("crabml_ttft_seconds")
                     + engine.e2e_hist.render(
                         "crabml_request_duration_seconds")
+                    + extra
                 ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; version=0.0.4")

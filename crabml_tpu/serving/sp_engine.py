@@ -50,8 +50,16 @@ class SpServingEngine:
         self.steps = 0
         self.ttft_hist = LatencyHistogram()
         self.e2e_hist = LatencyHistogram()
+        # the tier is deliberately B=1-serial (one sp-sharded cache owns
+        # the mesh), so queue depth/wait IS its load signal (VERDICT r4 #7)
+        self.queue_wait_hist = LatencyHistogram()
         self._started = None
         self.slots: list[Request | None] = [None]  # the in-flight request
+
+    @property
+    def queue_depth(self) -> int:
+        """Requests waiting behind the in-flight one (approximate)."""
+        return self.pending.qsize()
 
     # -- the ServingEngine surface serving.http drives ---------------------
 
@@ -135,6 +143,8 @@ class SpServingEngine:
 
     def _serve_one(self, req: Request):
         r = self.runner
+        if req._t_submit:
+            self.queue_wait_hist.observe(time.monotonic() - req._t_submit)
         if req.cancelled:
             self._finish(req, "cancelled")
             return

@@ -152,6 +152,21 @@ def main(argv=None):
     if bad:
         ap.error(f"unknown engine kind(s) {bad}; valid: {', '.join(valid)}")
 
+    # fail BEFORE the multi-GB weight load: every request's positions must
+    # stay >= tick below the seq_len edge so the fused-scan length (and
+    # its executable) never varies mid-run; a 'spec' engine additionally
+    # needs speculative+1 headroom per verify tick or it silently falls
+    # back to plain ticks near the edge (engine returns None), quietly
+    # diluting the spec_vs_dense measurement
+    worst_tick = max(args.tick,
+                     args.speculative + 1
+                     if any(k.startswith("spec") for k in kinds) else 0)
+    if args.prompt + args.max_tokens + worst_tick >= args.seq_len:
+        ap.error(f"prompt({args.prompt}) + max_tokens({args.max_tokens}) + "
+                 f"{worst_tick} (tick/speculative headroom) must stay under "
+                 f"seq_len({args.seq_len}): the workload would clamp the "
+                 f"fused/speculative tick at the seq_len edge")
+
     import jax.numpy as jnp
 
     from ..ops import matmul as matmul_mod
@@ -175,16 +190,6 @@ def main(argv=None):
 
     kv_dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
     seq_len = args.seq_len
-    # every request's positions stay >= tick below the seq_len edge so the
-    # fused-scan length (and its executable) never varies mid-run; a 'spec'
-    # engine additionally needs speculative+1 headroom per verify tick or
-    # it silently falls back to plain ticks near the edge (engine returns
-    # None), quietly diluting the spec_vs_dense measurement
-    worst_tick = max(args.tick,
-                     args.speculative + 1
-                     if any(k.startswith("spec") for k in kinds) else 0)
-    assert args.prompt + args.max_tokens + worst_tick < seq_len, \
-        "workload would clamp the fused/speculative tick at the seq_len edge"
 
     from ..ops.pallas.decode_attention import BK as PAGE
     from ..serving.engine import ServingEngine

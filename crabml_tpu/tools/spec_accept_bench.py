@@ -40,11 +40,16 @@ def main(argv=None):
     ap.add_argument("--prompt-tokens", type=int, default=192)
     ap.add_argument("--gen-tokens", type=int, default=128)
     ap.add_argument("--seq-len", type=int, default=1024)
+    ap.add_argument("--draft-gguf", default=None, metavar="GGUF",
+                    help="small trained DRAFT model (same tokenizer "
+                         "family): measures TWO-MODEL acceptance "
+                         "(runtime.speculative.draft_model_loop) instead "
+                         "of prompt lookup")
     args = ap.parse_args(argv)
 
     from ..models.forward import KVCache
     from ..runtime.runner import Runner
-    from ..runtime.speculative import speculative_loop
+    from ..runtime.speculative import draft_model_loop, speculative_loop
     from ..utils import bucket as _bucket
     from ..utils import enable_compilation_cache
 
@@ -52,15 +57,21 @@ def main(argv=None):
     text = open(args.text).read()
     r = Runner(args.model, seq_len=args.seq_len,
                compute_dtype=jnp.bfloat16, backend="pallas")
+    rd = None
+    if args.draft_gguf:
+        rd = Runner(args.draft_gguf, seq_len=args.seq_len,
+                    compute_dtype=jnp.bfloat16, backend="pallas")
     ids = r.tokenizer.encode(text, bos=False)
     P, G = args.prompt_tokens, args.gen_tokens
     starts = np.linspace(0, max(len(ids) - P - 1, 1),
                          args.prompts).astype(int)
     results = {"metric": "spec_acceptance_real_text",
+               "mode": "two_model" if rd else "prompt_lookup",
                "model": r.cfg.model_name, "prompts": args.prompts,
                "prompt_tokens": P, "gen_tokens": G, "per_draft": {}}
+    if rd:
+        results["draft_model"] = rd.cfg.model_name
     for K in (int(x) for x in args.drafts.split(",")):
-        rounds_budget = G  # >=1 token/round, so G rounds always suffice
         acc_tokens = 0
         n_rounds = 0
         for s in starts:
@@ -73,16 +84,31 @@ def main(argv=None):
                 r.weights, cache, jnp.asarray([prompt], jnp.int32),
                 jnp.zeros(1, jnp.int32), attn_window=win)
             tok0 = int(np.asarray(jnp.argmax(logits[0, -1])))
+            dcache = None
+            if rd:  # the draft model prefills the same prompt
+                dcache = KVCache.create(rd.cfg, 1, args.seq_len, rd.kv_dtype)
+                _, dcache = rd._step(
+                    rd.weights, dcache, jnp.asarray([prompt], jnp.int32),
+                    jnp.zeros(1, jnp.int32), attn_window=win)
             hist = np.zeros(args.seq_len, np.int32)
             hist[:pos0] = prompt
             emitted = 0
             token, pos = jnp.int32(tok0), jnp.int32(pos0)
             hist_j = jnp.asarray(hist)
             while emitted < G:
-                step_rounds = min(16, rounds_budget)
-                outs, counts, cache, hist_j, token, pos = speculative_loop(
-                    r.weights, cache, hist_j, token, pos, step_rounds, K,
-                    r.cfg, r.compute_dtype, attn_window=win)
+                step_rounds = 16
+                if rd:
+                    outs, counts, cache, dcache, token, pos = (
+                        draft_model_loop(
+                            r.weights, cache, rd.weights, dcache, token,
+                            pos, step_rounds, K, r.cfg, rd.cfg,
+                            r.compute_dtype, attn_window=win))
+                else:
+                    outs, counts, cache, hist_j, token, pos = (
+                        speculative_loop(
+                            r.weights, cache, hist_j, token, pos,
+                            step_rounds, K, r.cfg, r.compute_dtype,
+                            attn_window=win))
                 counts = np.asarray(counts)
                 acc_tokens += int(counts.sum())
                 n_rounds += len(counts)

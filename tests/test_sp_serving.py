@@ -98,6 +98,16 @@ def test_longctx_routing_through_http(stories260k_path, sp_engine):
         assert len(out["choices"][0]["text"]) > 0
         assert sp_engine.requests_completed == done0 + 1  # untouched
         assert primary.requests_completed >= 1
+
+        # the sp tier's load signal is visible on /metrics: queue depth,
+        # queue-wait histogram, and its own TTFT/e2e (VERDICT r4 #7)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=60) as resp:
+            metrics = resp.read().decode()
+        assert "crabml_sp_queue_depth" in metrics
+        assert "crabml_sp_queue_wait_seconds" in metrics
+        assert "crabml_sp_requests_completed_total" in metrics
+        assert "crabml_sp_ttft_seconds" in metrics
     finally:
         primary.shutdown()
         sp_engine.shutdown()
