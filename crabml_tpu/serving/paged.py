@@ -186,6 +186,33 @@ def _write_new_pages(cache: "PagedKVCache", news, page_of, off
     return PagedKVCache(wr(cache.k, kn), wr(cache.v, vn), cache.table)
 
 
+def _write_chunk_pages(cache: "PagedKVCache", news, pages_here
+                       ) -> "PagedKVCache":
+    """Post-scan whole-page writes for the fused direct-to-page prefill.
+    news: (L, KV, T, d) stacked scan outputs (T = c_pages*PAGE);
+    pages_here: c_pages traced physical page ids, chunk page j holding
+    tokens [j*PAGE, (j+1)*PAGE). One whole-page dynamic_update_slice per
+    chunk page updates the donated pool in place — update bytes are
+    L*KV*PAGE*d per page, independent of pool size (same rationale as
+    _write_new_pages). Entries past the slot's allocation are page 0 =
+    the shared scratch page, so padded-tail writes stay harmless."""
+    zero = jnp.int32(0)
+
+    def wr(pool, upd):  # pool (L, P, KV, PAGE, d); upd (L, KV, T, d)
+        for j, pg in enumerate(pages_here):
+            blk = upd[:, None, :, j * PAGE : (j + 1) * PAGE]
+            pool = jax.lax.dynamic_update_slice(
+                pool, blk, (zero, pg, zero, zero, zero))
+        return pool
+
+    if cache.quantized:
+        kq, vq, ks, vs = news
+        return PagedKVCache(wr(cache.k, kq), wr(cache.v, vq), cache.table,
+                            wr(cache.k_scale, ks), wr(cache.v_scale, vs))
+    kn, vn = news
+    return PagedKVCache(wr(cache.k, kn), wr(cache.v, vn), cache.table)
+
+
 def _layer_body(lw, rope_ff, l, x, positions, cfg, compute_dtype, kv_io,
                 B, T, lane_pad):
     """The transformer layer shared by the three paged forwards (decode /
@@ -442,18 +469,65 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
         x = x * jnp.sqrt(jnp.float32(D)).astype(compute_dtype)
     positions = filled + jnp.arange(T, dtype=jnp.int32)[None, :]
 
+    # pool-out-of-scan (same rewrite as paged_decode_step): the pool is a
+    # read-only closure; attention gathers this slot's ctx pages from it
+    # (bounded by n_ctx_pages — NOT the engine-wide pool the old xs->ys
+    # scan streamed every chunk) and splices the chunk's own k/v in before
+    # attending; whole-page writes batch after the scan.
+    fused = _fused_pool_ok(cache, hd, lane_pad)
+
     def layer_step(x, per_layer):
-        if quantized:
+        if fused:
+            l = per_layer
+        elif quantized:
             l, k_pages, v_pages, ks_pages, vs_pages = per_layer
         else:
             l, k_pages, v_pages = per_layer
             ks_pages = vs_pages = None
 
         def kv_io(q, k, v):
+            kt = k[0].transpose(1, 0, 2)  # (KV, T, hd)
+            vt = v[0].transpose(1, 0, 2)
+            if fused:
+                if quantized:
+                    kq, ks_new = _q8_vec(kt)
+                    vq, vs_new = _q8_vec(vt)
+                    news = (kq, vq, ks_new, vs_new)
+                    chunk_k = kq.astype(q.dtype) * ks_new.astype(q.dtype)
+                    chunk_v = vq.astype(q.dtype) * vs_new.astype(q.dtype)
+                else:
+                    kq = kt.astype(cache.k.dtype)
+                    vq = vt.astype(cache.v.dtype)
+                    news = (kq, vq)
+                    chunk_k = kq  # pool dtype == the gathered kd's dtype
+                    chunk_v = vq
+                kg = cache.k[l, ctx]  # (n_ctx_pages, KV, PAGE, hd) gather
+                vg = cache.v[l, ctx]
+                if quantized:
+                    kg = kg.astype(q.dtype) * cache.k_scale[l, ctx].astype(q.dtype)
+                    vg = vg.astype(q.dtype) * cache.v_scale[l, ctx].astype(q.dtype)
+                kd = kg.transpose(1, 0, 2, 3).reshape(
+                    1, KV, n_ctx_pages * PAGE, hd + lane_pad)
+                vd = vg.transpose(1, 0, 2, 3).reshape(
+                    1, KV, n_ctx_pages * PAGE, hd + lane_pad)
+                # the closure pool predates this chunk: splice the chunk's
+                # (quantize-roundtripped, so numerics match a pool read)
+                # k/v into its own span before attending
+                zero = jnp.int32(0)
+                kd = jax.lax.dynamic_update_slice(
+                    kd, chunk_k[None], (zero, zero, filled, zero))
+                vd = jax.lax.dynamic_update_slice(
+                    vd, chunk_v[None], (zero, zero, filled, zero))
+                out = attention(
+                    q, kd, vd, jnp.reshape(filled, (1,)), T, scale,
+                    softcap=cfg.attn_logit_softcap,
+                    local_window=cfg.sliding_window,
+                    use_local=(l % 2 == 0) if cfg.alternating_window else None,
+                )
+                return out, news
+
             # write the whole chunk straight into its pages: (KV, T, hd)
             kp, vp, ksp, vsp = k_pages, v_pages, ks_pages, vs_pages
-            kt = k[0].transpose(1, 0, 2)
-            vt = v[0].transpose(1, 0, 2)
             if quantized:
                 kq, ks_new = _q8_vec(kt)
                 vq, vs_new = _q8_vec(vt)
@@ -495,15 +569,19 @@ def paged_prefill_chunk(weights, cache: PagedKVCache, tokens, filled,
                            kv_io, B, T, lane_pad)
 
     idx = jnp.arange(L, dtype=jnp.int32)
-    if quantized:
+    if fused:
+        x, news = jax.lax.scan(layer_step, x, idx)
+        out_cache = _write_chunk_pages(cache, news, pages_here)
+    elif quantized:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
             layer_step, x, (idx, cache.k, cache.v, cache.k_scale, cache.v_scale)
         )
+        out_cache = PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
     else:
         x, (k_new, v_new) = jax.lax.scan(layer_step, x, (idx, cache.k, cache.v))
-        ks_new = vs_new = None
+        out_cache = PagedKVCache(k_new, v_new, cache.table)
     logits = _final_logits(weights, x, cfg, compute_dtype)
-    return logits, PagedKVCache(k_new, v_new, cache.table, ks_new, vs_new)
+    return logits, out_cache
 
 
 def _paged_verify_fwd(weights, cache: PagedKVCache, tokens, pos,

@@ -122,6 +122,11 @@ def main(argv=None):
                          "'spec-paged' = paged engine with them)")
     ap.add_argument("--speculative", type=int, default=7,
                     help="draft length K for the spec engine kinds")
+    ap.add_argument("--spec-fused", default="default",
+                    choices=["default", "on", "off"],
+                    help="override the engines' fused multi-round spec-scan "
+                         "default (A/B the fused scan vs single-dispatch "
+                         "verify ticks in one process)")
     ap.add_argument("--draft-gguf", default=None, metavar="GGUF",
                     help="small draft model for the spec kinds: two-model "
                          "speculation instead of prompt lookup")
@@ -225,6 +230,8 @@ def main(argv=None):
         # greedy workload (temperature=0.0 in run_workload) so the
         # speculative tick engages on every slot
         spec = dict(speculative=args.speculative, draft_runner=draft_runner)
+        if args.spec_fused != "default":
+            spec["spec_fused"] = args.spec_fused == "on"
         np_ = pages_for(slots, tick)
         if kind == "dense":
             return lambda: ServingEngine(**common)

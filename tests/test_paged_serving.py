@@ -204,6 +204,43 @@ def test_multi_page_prefill_chunks_match_dense(runner):
     assert r2.output_tokens == r1.output_tokens
 
 
+def test_multi_page_prefill_fused_pool_parity(stories260k_path):
+    """Fused (pool-out-of-scan) direct-to-page prefill: with a lane-padded
+    pool the chunk attends over a bounded ctx-page gather with its own
+    k/v spliced in at `filled`, and whole-page writes batch after the
+    layer scan (_write_chunk_pages). Forcing one-page chunks makes every
+    chunk after the first run at filled>0, so the splice offset and the
+    predates-this-chunk ctx read are both load-bearing. Outputs must
+    match the unpadded (pool-in-scan) engine token for token, bf16 and
+    int8 pools alike."""
+    import jax.numpy as jnp
+
+    from crabml_tpu.runtime.runner import Runner
+
+    plain_r = Runner(stories260k_path, seq_len=512)
+    pad_r = Runner(stories260k_path, seq_len=512, kv_lane_pad=True)
+    toks = [1] + (plain_r.tokenizer.encode(
+        "Tom and Jane went to the garden. ", bos=False) * 40)
+    toks = toks[: 2 * PAGE + 44]  # 300 tokens: 3 one-page chunks
+
+    for kv_dtype in (None, jnp.int8):
+        kw = dict(n_slots=1, seq_len=512, n_pages=8, prefill_chunk=PAGE)
+        if kv_dtype is not None:
+            kw["kv_dtype"] = kv_dtype
+        plain = PagedServingEngine(plain_r, **kw)
+        r1 = plain.submit(Request(prompt="", prompt_tokens=list(toks),
+                                  max_tokens=10))
+        plain.drain()
+        fused = PagedServingEngine(pad_r, **kw)
+        from crabml_tpu.serving.paged import _fused_pool_ok
+        hd = fused.cfg.head_dim
+        assert _fused_pool_ok(fused.cache, hd, fused.cache.k.shape[-1] - hd)
+        r2 = fused.submit(Request(prompt="", prompt_tokens=list(toks),
+                                  max_tokens=10))
+        fused.drain()
+        assert r2.output_tokens == r1.output_tokens
+
+
 # feature-arch parity: the paged step wires qwen3 qk-norm, gemma2
 # post-norms/softcaps/sliding-window, and llama3.1 rope scaling the same
 # as the dense forward (advisor r2 finding: it used to silently omit them)
