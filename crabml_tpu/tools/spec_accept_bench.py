@@ -61,7 +61,13 @@ def main(argv=None):
     if args.draft_gguf:
         rd = Runner(args.draft_gguf, seq_len=args.seq_len,
                     compute_dtype=jnp.bfloat16, backend="pallas")
-    ids = r.tokenizer.encode(text, bos=False)
+    # encode per story: the greedy SPM merge is superlinear in string
+    # length — one ~370 KB string takes tens of minutes, 2k small ones
+    # take seconds (same workaround as tools.train_fixture)
+    ids: list[int] = []
+    for para in text.split("\n\n"):
+        if para.strip():
+            ids.extend(r.tokenizer.encode(para, bos=False))
     P, G = args.prompt_tokens, args.gen_tokens
     starts = np.linspace(0, max(len(ids) - P - 1, 1),
                          args.prompts).astype(int)
