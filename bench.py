@@ -169,30 +169,41 @@ def load_gguf_weights(path, backend, prefill_w8=False):
     # same disk plane cache the Runner uses: warm bench runs skip the repack
     wc_root = _wc.default_root()
     wc_key = _wc.cache_key(path, layout, "bf16" if kern else "float32")
-    host = _wc.load(wc_root, wc_key)
-    t["cache_hit"] = host is not None
-    if host is None:
-        host = load_weights(gf, cfg, layout, "bf16" if kern else np.float32)
-        host = fuse_weights(host, cfg)
-        if kern:
-            host = repack_weights(host, cfg)
-        _wc.save(wc_root, wc_key, host)
+    # W8-augmented planes cache under their own key (same scheme as the
+    # Runner: partial budgets quantize to GiB so the key is run-stable) —
+    # a warm `--mode prefill --model 13b` skips the ~20 min host augment,
+    # not just the repack
+    budget = None
+    w8_tag = ""
     if prefill_w8 and kern:
-        # same fit-HBM budget policy as the flagless Runner: full W8 when
-        # it fits, largest-tensors-first partial when it doesn't (13B on a
-        # 16 GiB chip), so `--mode prefill --model 13b` measures the
-        # partial-W8 path instead of OOMing
         from crabml_tpu.runtime.runner import _auto_w8_budget
 
         budget = _auto_w8_budget(gf, cfg, 1, 1024, None)
-        tw = time.perf_counter()
-        if budget is not None:
-            host = augment_w8_weights(
-                host, None if budget == -1 else budget)
-        t["w8_augment_s"] = round(time.perf_counter() - tw, 2)
+        w8_tag = ("" if budget is None
+                  else ("+w8" if budget == -1 else f"+w8b{budget >> 30}"))
         t["w8_budget"] = ("full" if budget == -1
                           else "off" if budget is None
                           else f"{budget / 2**30:.1f}GiB")
+    host = None
+    if w8_tag:
+        host = _wc.load(wc_root, _wc.cache_key(path, layout + w8_tag, "bf16"))
+        t["w8_cache_hit"] = host is not None
+    if host is None:
+        host = _wc.load(wc_root, wc_key)
+        t["cache_hit"] = host is not None
+        if host is None:
+            host = load_weights(gf, cfg, layout, "bf16" if kern else np.float32)
+            host = fuse_weights(host, cfg)
+            if kern:
+                host = repack_weights(host, cfg)
+            _wc.save(wc_root, wc_key, host)
+        if budget is not None:
+            tw = time.perf_counter()
+            host = augment_w8_weights(
+                host, None if budget == -1 else budget)
+            t["w8_augment_s"] = round(time.perf_counter() - tw, 2)
+            _wc.save(wc_root, _wc.cache_key(path, layout + w8_tag, "bf16"),
+                     host)
     t["repack_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     weights = jax.tree.map(jax.device_put, host)
@@ -254,6 +265,11 @@ def main():
                     help="attach W8 prefill planes (int8 storage, unpack-"
                          "free prefill tiles; +8 bits/weight HBM). Default: "
                          "on for --mode prefill, off otherwise")
+    ap.add_argument("--no-prefill-w8", dest="prefill_w8",
+                    action="store_false",
+                    help="force W8 prefill planes OFF (bf16-dequant prefill "
+                         "tiles), e.g. to isolate the W8 kernel from a "
+                         "prefill measurement")
     args = ap.parse_args()
 
     from crabml_tpu.gguf.constants import GGMLType

@@ -119,7 +119,11 @@ def main(argv=None):
     ap.add_argument("--engines", default="dense,paged",
                     help="comma list of dense,paged,spec,spec-paged "
                          "('spec' = dense engine with speculative ticks; "
-                         "'spec-paged' = paged engine with them)")
+                         "'spec-paged' = paged engine with them). A spec "
+                         "kind may carry a '-fused' or '-single' suffix to "
+                         "force the fused multi-round scan on/off for THAT "
+                         "arm only — e.g. 'paged,spec-paged-fused,"
+                         "spec-paged-single' is a same-process 3-arm A/B")
     ap.add_argument("--speculative", type=int, default=7,
                     help="draft length K for the spec engine kinds")
     ap.add_argument("--spec-fused", default="default",
@@ -153,9 +157,15 @@ def main(argv=None):
 
     kinds = args.engines.split(",")
     valid = ("dense", "paged", "spec", "spec-paged")
-    bad = [k for k in kinds if k not in valid]
+
+    def base_kind(kind):
+        return kind.removesuffix("-fused").removesuffix("-single")
+
+    bad = [k for k in kinds if base_kind(k) not in valid
+           or (k != base_kind(k) and not k.startswith("spec"))]
     if bad:
-        ap.error(f"unknown engine kind(s) {bad}; valid: {', '.join(valid)}")
+        ap.error(f"unknown engine kind(s) {bad}; valid: {', '.join(valid)}"
+                 " (spec kinds may add a -fused/-single suffix)")
 
     # fail BEFORE the multi-GB weight load: every request's positions must
     # stay >= tick below the seq_len edge so the fused-scan length (and
@@ -232,7 +242,15 @@ def main(argv=None):
         spec = dict(speculative=args.speculative, draft_runner=draft_runner)
         if args.spec_fused != "default":
             spec["spec_fused"] = args.spec_fused == "on"
+        # per-arm suffix beats the process-wide flag: lets one process run
+        # fused and single-dispatch arms side by side (chip-health variance
+        # removed — the r4 lesson that separate-process A/Bs mislead)
+        if kind.endswith("-fused"):
+            spec["spec_fused"] = True
+        elif kind.endswith("-single"):
+            spec["spec_fused"] = False
         np_ = pages_for(slots, tick)
+        kind = base_kind(kind)
         if kind == "dense":
             return lambda: ServingEngine(**common)
         if kind == "spec":
@@ -281,34 +299,29 @@ def main(argv=None):
             "kv_dtype": args.kv_dtype,
             "backend": matmul_mod._BACKEND,
         })
-        if kind in ("paged", "spec-paged"):
+        if base_kind(kind) in ("paged", "spec-paged"):
             res["page_size"] = PAGE
             res["n_pages"] = n_pages
-        if kind in ("spec", "spec-paged"):
+        if base_kind(kind) in ("spec", "spec-paged"):
             res["speculative"] = args.speculative
             res["draft"] = "model" if draft_runner is not None else "lookup"
         results[kind] = res
         print(json.dumps(res))
-    if "dense" in results and "spec" in results:
-        print(json.dumps({
-            "metric": "spec_vs_dense",
-            "value": round(results["spec"]["tok_s"]
-                           / results["dense"]["tok_s"], 4),
-            "speculative": args.speculative,
-            # interpretation key: ~1.0 tokens/tick means the random-prompt
-            # workload measured verify overhead, not realistic acceptance
-            "spec_tokens_per_tick":
-                results["spec"].get("spec_tokens_per_tick"),
-        }))
-    if "paged" in results and "spec-paged" in results:
-        print(json.dumps({
-            "metric": "spec_paged_vs_paged",
-            "value": round(results["spec-paged"]["tok_s"]
-                           / results["paged"]["tok_s"], 4),
-            "speculative": args.speculative,
-            "spec_tokens_per_tick":
-                results["spec-paged"].get("spec_tokens_per_tick"),
-        }))
+    # pair every spec arm (incl. -fused/-single suffixed ones) against its
+    # plain engine from the same process
+    for kind, res in results.items():
+        bk = base_kind(kind)
+        plain = "paged" if bk == "spec-paged" else "dense"
+        if bk.startswith("spec") and plain in results:
+            print(json.dumps({
+                "metric": f"{kind.replace('-', '_')}_vs_{plain}",
+                "value": round(res["tok_s"] / results[plain]["tok_s"], 4),
+                "speculative": args.speculative,
+                # interpretation key: ~1.0 tokens/tick means the
+                # random-prompt workload measured verify overhead, not
+                # realistic acceptance
+                "spec_tokens_per_tick": res.get("spec_tokens_per_tick"),
+            }))
     if "dense" in results and "paged" in results:
         print(json.dumps({
             "metric": "paged_vs_dense",
